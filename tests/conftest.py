@@ -1,0 +1,32 @@
+"""Test environment: force CPU with a virtual 8-device mesh.
+
+Multi-chip logic (sharded search, DP inference, training step) runs in CI on
+``xla_force_host_platform_device_count=8`` CPU devices — the idiomatic JAX
+substitute for a fake backend (SURVEY.md §4.5). Must be set before jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("TPUCLIP_QUIET", "1")
+os.environ.setdefault("TPUCLIP_INIT", "random")
+
+# The harness environment force-selects an experimental TPU platform plugin
+# via JAX_PLATFORMS=axon from a sitecustomize hook; the env var alone is not
+# enough, so pin the platform through jax.config too (before any devices are
+# instantiated).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture()
+def tmp_home(tmp_path, monkeypatch):
+    """Point all default output paths at a temp dir."""
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path))
+    return tmp_path

@@ -1,0 +1,159 @@
+"""Golden parity tests: tpuclip JAX towers vs HuggingFace PyTorch SiglipModel.
+
+The pretrained checkpoint is not downloadable in this environment, so the
+oracle is an HF SiglipModel instantiated from config with random weights —
+this validates the *architecture and converter* bit-for-bit (BASELINE.md
+parity target: cosine >= 0.999; we assert far tighter in fp32).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from tpuclip.models import configs as C  # noqa: E402
+from tpuclip.models import siglip  # noqa: E402
+from tpuclip.models.convert import params_from_torch_model  # noqa: E402
+
+
+def _make_hf_model(vision_kw, text_kw):
+    from transformers import SiglipConfig, SiglipModel
+
+    cfg = SiglipConfig.from_text_vision_configs(
+        transformers.SiglipTextConfig(**text_kw),
+        transformers.SiglipVisionConfig(**vision_kw),
+    )
+    torch.manual_seed(0)
+    model = SiglipModel(cfg).eval()
+    return model
+
+
+def _tpuclip_config(name, vision_kw, text_kw):
+    vision = C.VisionConfig(
+        hidden_size=vision_kw["hidden_size"],
+        intermediate_size=vision_kw["intermediate_size"],
+        num_layers=vision_kw["num_hidden_layers"],
+        num_heads=vision_kw["num_attention_heads"],
+        image_size=vision_kw["image_size"],
+        patch_size=vision_kw["patch_size"],
+    )
+    text = C.TextConfig(
+        vocab_size=text_kw["vocab_size"],
+        hidden_size=text_kw["hidden_size"],
+        intermediate_size=text_kw["intermediate_size"],
+        num_layers=text_kw["num_hidden_layers"],
+        num_heads=text_kw["num_attention_heads"],
+        projection_size=text_kw.get("projection_size", text_kw["hidden_size"]),
+    )
+    return C.SiglipConfig(name=name, vision=vision, text=text)
+
+
+VISION_KW = dict(
+    hidden_size=96,
+    intermediate_size=192,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    image_size=56,
+    patch_size=14,
+)
+TEXT_KW = dict(
+    vocab_size=200,
+    hidden_size=96,
+    intermediate_size=192,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    max_position_embeddings=64,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    hf = _make_hf_model(VISION_KW, TEXT_KW)
+    cfg = _tpuclip_config("parity-tiny", VISION_KW, TEXT_KW)
+    params = params_from_torch_model(hf, cfg)
+    return hf, cfg, params
+
+
+def _cos(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return float(
+        np.min(
+            np.sum(a * b, -1)
+            / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-30)
+        )
+    )
+
+
+def test_image_features_parity(models):
+    hf, cfg, params = models
+    rng = np.random.default_rng(1)
+    # Pre-normalized float pixels in both frameworks (NCHW for torch, NHWC ours)
+    pix = rng.standard_normal((3, 3, VISION_KW["image_size"], VISION_KW["image_size"]), dtype=np.float32)
+    with torch.no_grad():
+        ref = hf.get_image_features(pixel_values=torch.from_numpy(pix)).numpy()
+    ours = siglip.vision_forward(
+        params["vision"], jnp.asarray(pix.transpose(0, 2, 3, 1)), cfg.vision
+    )
+    ours = np.asarray(ours)
+    assert ours.shape == ref.shape
+    assert _cos(ours, ref) > 0.99999
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_text_features_parity(models):
+    hf, cfg, params = models
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, TEXT_KW["vocab_size"], size=(4, 64))
+    with torch.no_grad():
+        ref = hf.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+    ours = np.asarray(
+        siglip.text_forward(params["text"], jnp.asarray(ids), cfg.text)
+    )
+    assert ours.shape == ref.shape
+    assert _cos(ours, ref) > 0.99999
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_uint8_pixel_normalization(models):
+    """uint8 NHWC input must equal the rescale+normalize preprocessing."""
+    hf, cfg, params = models
+    rng = np.random.default_rng(3)
+    raw = rng.integers(0, 256, size=(2, VISION_KW["image_size"], VISION_KW["image_size"], 3), dtype=np.uint8)
+    normalized = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
+    out_u8 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(raw), cfg.vision))
+    out_f32 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(normalized), cfg.vision))
+    np.testing.assert_allclose(out_u8, out_f32, rtol=1e-5, atol=1e-5)
+
+
+def test_normalized_feature_fns(models):
+    _, cfg, params = models
+    rng = np.random.default_rng(4)
+    pix = rng.integers(0, 256, size=(2, 56, 56, 3), dtype=np.uint8)
+    emb = np.asarray(siglip.get_image_features(params, jnp.asarray(pix), cfg))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=-1), 1.0, rtol=1e-5)
+    ids = rng.integers(0, 200, size=(2, 64))
+    temb = np.asarray(siglip.get_text_features(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(np.linalg.norm(temb, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_bf16_parity_loose(models):
+    """bf16 compute path must stay within the 0.999-cosine budget."""
+    hf, cfg, params = models
+    rng = np.random.default_rng(5)
+    pix = rng.standard_normal((2, 3, 56, 56), dtype=np.float32)
+    with torch.no_grad():
+        ref = hf.get_image_features(pixel_values=torch.from_numpy(pix)).numpy()
+    ours = np.asarray(
+        siglip.vision_forward(
+            params["vision"],
+            jnp.asarray(pix.transpose(0, 2, 3, 1)),
+            cfg.vision,
+            compute_dtype=jnp.bfloat16,
+        )
+    ).astype(np.float32)
+    assert _cos(ours, ref) > 0.999

@@ -1,0 +1,426 @@
+"""SQLite metadata store.
+
+The reference keeps everything in SQLite: metadata in ``images``, float vectors
+in the sqlite-vec ``vec0`` virtual table, and sign bits in
+``binary_embeddings`` (image_database.py:245-344). TPU-native redesign:
+
+- ``images`` keeps the exact reference schema (image_database.py:275-283) so
+  resume semantics and external tooling carry over unchanged.
+- Float embeddings live in a plain ``embeddings`` BLOB table (no C extension
+  needed) and are *served* from a packed matrix cache uploaded to device HBM
+  (see tpuclip.index.cache / tpuclip.index.search) — SQLite never scans
+  vectors at query time.
+- ``binary_embeddings`` keeps the reference's on-disk format: one byte per
+  bit, ``(e >= 0).astype(uint8)`` (image_database.py:1189-1198), so databases
+  stay interchangeable at the blob level.
+
+The DB *is* the checkpoint: commits are idempotent (INSERT OR REPLACE plus
+per-row existence checks, image_database.py:1108-1148), batched, and retried
+on lock with linear backoff (image_database.py:1084-1096). WAL mode allows a
+reader during a scan (image_database.py:253).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import time
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from tpuclip.utils.logging import log, safe_print_path
+
+EMBEDDING_DIM = 1152  # SigLIP2 SO400M (image_database.py:235)
+
+
+def connect(db_path: str, timeout: float = 30.0) -> sqlite3.Connection:
+    """Open a connection with WAL enabled (image_database.py:248-253)."""
+    conn = sqlite3.connect(db_path, timeout=timeout)
+    conn.execute("PRAGMA journal_mode=WAL")
+    return conn
+
+
+class MetadataStore:
+    """Schema management + read/write paths for one image database."""
+
+    def __init__(self, db_path: str, embedding_dim: int = EMBEDDING_DIM):
+        self.db_path = str(db_path)
+        self.embedding_dim = embedding_dim
+
+    # ------------------------------------------------------------------ init
+
+    def init_schema(self, verbose: bool = True) -> None:
+        """Idempotent schema creation (CREATE IF NOT EXISTS everywhere),
+        mirroring _init_database (image_database.py:245-344)."""
+        Path(self.db_path).parent.mkdir(parents=True, exist_ok=True)
+        conn = connect(self.db_path)
+        try:
+            cursor = conn.cursor()
+            cursor.execute(
+                """
+                CREATE TABLE IF NOT EXISTS images (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    file_path TEXT UNIQUE NOT NULL,
+                    last_modified REAL NOT NULL,
+                    file_hash TEXT,
+                    created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+                )
+                """
+            )
+            # Float vectors: plain BLOB keyed by image_id. Replaces vec0
+            # (image_database.py:290-294); scanning happens on-device instead.
+            cursor.execute(
+                """
+                CREATE TABLE IF NOT EXISTS embeddings (
+                    image_id INTEGER PRIMARY KEY,
+                    vector BLOB NOT NULL,
+                    FOREIGN KEY (image_id) REFERENCES images(id)
+                )
+                """
+            )
+            cursor.execute(
+                """
+                CREATE TABLE IF NOT EXISTS binary_embeddings (
+                    rowid INTEGER PRIMARY KEY AUTOINCREMENT,
+                    image_id INTEGER UNIQUE NOT NULL,
+                    embedding BLOB NOT NULL,
+                    FOREIGN KEY (image_id) REFERENCES images(id)
+                )
+                """
+            )
+            cursor.execute(
+                """
+                CREATE INDEX IF NOT EXISTS idx_binary_embeddings_image_id
+                ON binary_embeddings(image_id)
+                """
+            )
+            cursor.execute(
+                """
+                CREATE TABLE IF NOT EXISTS meta (
+                    key TEXT PRIMARY KEY,
+                    value TEXT
+                )
+                """
+            )
+            cursor.execute(
+                "INSERT OR IGNORE INTO meta (key, value) VALUES ('embedding_dim', ?)",
+                (str(self.embedding_dim),),
+            )
+            cursor.execute("SELECT COUNT(*) FROM images")
+            existing = cursor.fetchone()[0]
+            if existing > 0 and verbose:
+                log(f"  Database contains {existing:,} existing images")
+            conn.commit()
+        finally:
+            conn.close()
+
+    def stored_embedding_dim(self) -> Optional[int]:
+        conn = connect(self.db_path)
+        try:
+            cur = conn.execute("SELECT value FROM meta WHERE key = 'embedding_dim'")
+            row = cur.fetchone()
+            return int(row[0]) if row else None
+        except sqlite3.OperationalError:
+            return None
+        finally:
+            conn.close()
+
+    # ------------------------------------------------------------ resume path
+
+    @staticmethod
+    def batch_check_processed(
+        cursor: sqlite3.Cursor, file_metadata: Sequence[Tuple[str, float]]
+    ) -> Set[str]:
+        """Which (file_path, last_modified) pairs are already fully processed.
+
+        Same contract as the reference (image_database.py:692-720): chunked at
+        400 bind variables, and a file only counts as done if a full *or*
+        binary embedding row exists.
+        """
+        if not file_metadata:
+            return set()
+        processed: Set[str] = set()
+        chunk_size = 400  # 200 (path, mtime) pairs per statement
+        for i in range(0, len(file_metadata), chunk_size):
+            chunk = file_metadata[i : i + chunk_size]
+            placeholders = ",".join(["(?, ?)"] * len(chunk))
+            values = [item for pair in chunk for item in pair]
+            cursor.execute(
+                f"""
+                SELECT i.file_path
+                FROM images i
+                WHERE (i.file_path, i.last_modified) IN (VALUES {placeholders})
+                AND (
+                    EXISTS (SELECT 1 FROM embeddings e WHERE e.image_id = i.id)
+                    OR EXISTS (SELECT 1 FROM binary_embeddings be WHERE be.image_id = i.id)
+                )
+                """,
+                values,
+            )
+            processed.update(row[0] for row in cursor.fetchall())
+        return processed
+
+    # ----------------------------------------------------------------- writes
+
+    def commit_with_retry(
+        self,
+        cursor: sqlite3.Cursor,
+        conn: sqlite3.Connection,
+        db_batch: List[Tuple[str, float, str, np.ndarray]],
+        save_full_embeddings: bool,
+        max_retries: int = 5,
+        thumbnailer=None,
+    ) -> bool:
+        """Commit with lock-retry and linear backoff (image_database.py:1084-1096)."""
+        for attempt in range(max_retries):
+            try:
+                self.commit_batch(cursor, db_batch, save_full_embeddings, thumbnailer)
+                conn.commit()
+                return True
+            except sqlite3.OperationalError as e:
+                if "locked" in str(e).lower() and attempt < max_retries - 1:
+                    time.sleep(0.1 * (attempt + 1))
+                    continue
+                raise
+        return False
+
+    def commit_batch(
+        self,
+        cursor: sqlite3.Cursor,
+        batch: List[Tuple[str, float, str, np.ndarray]],
+        save_full_embeddings: bool = True,
+        thumbnailer=None,
+    ) -> None:
+        """Idempotent per-row commit (image_database.py:1098-1205).
+
+        batch rows: (file_path, last_modified, file_hash, embedding[float32]).
+        """
+        for file_path, last_modified, file_hash, embedding in batch:
+            try:
+                cursor.execute(
+                    "SELECT id FROM images WHERE file_path = ? AND last_modified = ?",
+                    (file_path, last_modified),
+                )
+                existing_row = cursor.fetchone()
+                if existing_row:
+                    image_id = existing_row[0]
+                    table = "embeddings" if save_full_embeddings else "binary_embeddings"
+                    cursor.execute(
+                        f"SELECT 1 FROM {table} WHERE image_id = ?", (image_id,)
+                    )
+                    if cursor.fetchone():
+                        continue  # already processed in the requested mode
+
+                if thumbnailer is not None:
+                    thumbnailer(file_path)
+
+                cursor.execute(
+                    """
+                    INSERT OR REPLACE INTO images (file_path, last_modified, file_hash)
+                    VALUES (?, ?, ?)
+                    """,
+                    (file_path, last_modified, file_hash),
+                )
+                if cursor.lastrowid == 0:
+                    cursor.execute("SELECT id FROM images WHERE file_path = ?", (file_path,))
+                    row = cursor.fetchone()
+                    image_id = row[0] if row else None
+                else:
+                    image_id = cursor.lastrowid
+                if image_id is None:
+                    continue
+
+                vec = np.asarray(embedding, dtype=np.float32).reshape(-1)
+                if save_full_embeddings:
+                    cursor.execute(
+                        """
+                        INSERT OR REPLACE INTO embeddings (image_id, vector)
+                        VALUES (?, ?)
+                        """,
+                        (image_id, vec.tobytes()),
+                    )
+
+                # Binary embedding always saved if absent; same on-disk format
+                # as the reference: one uint8 per bit (image_database.py:1189).
+                cursor.execute(
+                    "SELECT 1 FROM binary_embeddings WHERE image_id = ?", (image_id,)
+                )
+                if not cursor.fetchone():
+                    binary_blob = (vec >= 0).astype(np.uint8).tobytes()
+                    cursor.execute(
+                        """
+                        INSERT INTO binary_embeddings (image_id, embedding)
+                        VALUES (?, ?)
+                        """,
+                        (image_id, binary_blob),
+                    )
+            except sqlite3.IntegrityError:
+                continue  # skip duplicates (image_database.py:1200)
+            except Exception as e:  # noqa: BLE001 - containment, keep scanning
+                safe_print_path("Error committing ", file_path, e)
+                continue
+
+    # ------------------------------------------------------------------ reads
+
+    def count_images(self) -> int:
+        conn = connect(self.db_path)
+        try:
+            return conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+        finally:
+            conn.close()
+
+    def count_embeddings(self) -> Tuple[int, int]:
+        """Return (full_count, binary_count)."""
+        conn = connect(self.db_path)
+        try:
+            full = conn.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+            binary = conn.execute("SELECT COUNT(*) FROM binary_embeddings").fetchone()[0]
+            return full, binary
+        finally:
+            conn.close()
+
+    def fetch_paths_for_ids(self, image_ids: Sequence[int]) -> Dict[int, str]:
+        if not len(image_ids):
+            return {}
+        out: Dict[int, str] = {}
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            ids = [int(i) for i in image_ids]
+            for i in range(0, len(ids), 900):
+                chunk = ids[i : i + 900]
+                placeholders = ",".join(["?"] * len(chunk))
+                cur.execute(
+                    f"SELECT id, file_path FROM images WHERE id IN ({placeholders})",
+                    chunk,
+                )
+                out.update(dict(cur.fetchall()))
+            return out
+        finally:
+            conn.close()
+
+    def fetch_binary_for_paths(
+        self, file_paths: Iterable[str]
+    ) -> Dict[str, np.ndarray]:
+        """Binary (0/1 uint8) embeddings for the given paths, for the
+        duplicate filter (image_database.py:1232-1253)."""
+        paths = list(file_paths)
+        if not paths:
+            return {}
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            out: Dict[str, np.ndarray] = {}
+            for i in range(0, len(paths), 900):
+                chunk = paths[i : i + 900]
+                placeholders = ",".join(["?"] * len(chunk))
+                cur.execute(
+                    f"""
+                    SELECT i.file_path, be.embedding
+                    FROM binary_embeddings be
+                    JOIN images i ON be.image_id = i.id
+                    WHERE i.file_path IN ({placeholders})
+                    """,
+                    chunk,
+                )
+                for file_path, blob in cur.fetchall():
+                    out[file_path] = np.frombuffer(blob, dtype=np.uint8)
+            return out
+        finally:
+            conn.close()
+
+    def folder_filter_ids(self, filter_folders: Sequence[str]) -> Set[int]:
+        """image_ids whose file_path falls under any of the given folders,
+        using the reference's escaped LIKE-prefix semantics
+        (image_database.py:1513-1529, 1576-1579)."""
+        import os
+
+        if not filter_folders:
+            return set()
+        conditions = []
+        params: List[str] = []
+        for folder in filter_folders:
+            folder_abs = os.path.abspath(folder)
+            if not folder_abs.endswith(os.sep):
+                folder_abs += os.sep
+            escaped = (
+                folder_abs.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            )
+            conditions.append("file_path LIKE ? ESCAPE '\\'")
+            params.append(escaped + "%")
+        conn = connect(self.db_path)
+        try:
+            cur = conn.execute(
+                f"SELECT id FROM images WHERE ({' OR '.join(conditions)})", params
+            )
+            return {row[0] for row in cur.fetchall()}
+        finally:
+            conn.close()
+
+    def embeddings_fingerprint(self) -> Tuple[int, int]:
+        """(row_count, max_image_id) of the embeddings table — the staleness
+        stamp for the packed matrix cache. Append-only workload, so this pair
+        changes iff new vectors were committed."""
+        conn = connect(self.db_path)
+        try:
+            row = conn.execute(
+                "SELECT COUNT(*), COALESCE(MAX(image_id), 0) FROM embeddings"
+            ).fetchone()
+            return int(row[0]), int(row[1])
+        finally:
+            conn.close()
+
+    def binary_fingerprint(self) -> Tuple[int, int]:
+        conn = connect(self.db_path)
+        try:
+            row = conn.execute(
+                "SELECT COUNT(*), COALESCE(MAX(image_id), 0) FROM binary_embeddings"
+            ).fetchone()
+            return int(row[0]), int(row[1])
+        finally:
+            conn.close()
+
+    def iter_embeddings(
+        self, min_image_id: int = 0, batch_rows: int = 8192
+    ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (image_ids[int64], vectors[float32, (n, D)]) in image_id order,
+        starting after min_image_id. Streams in batches to bound memory."""
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                "SELECT image_id, vector FROM embeddings WHERE image_id > ? ORDER BY image_id",
+                (min_image_id,),
+            )
+            while True:
+                rows = cur.fetchmany(batch_rows)
+                if not rows:
+                    break
+                ids = np.array([r[0] for r in rows], dtype=np.int64)
+                vecs = np.frombuffer(b"".join(r[1] for r in rows), dtype=np.float32)
+                yield ids, vecs.reshape(len(rows), -1)
+        finally:
+            conn.close()
+
+    def iter_binary_embeddings(
+        self, min_image_id: int = 0, batch_rows: int = 8192
+    ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
+        """Yield (image_ids[int64], bits[uint8 0/1, (n, D)]) in image_id order."""
+        conn = connect(self.db_path)
+        try:
+            cur = conn.cursor()
+            cur.execute(
+                "SELECT image_id, embedding FROM binary_embeddings "
+                "WHERE image_id > ? ORDER BY image_id",
+                (min_image_id,),
+            )
+            while True:
+                rows = cur.fetchmany(batch_rows)
+                if not rows:
+                    break
+                ids = np.array([r[0] for r in rows], dtype=np.int64)
+                bits = np.frombuffer(b"".join(r[1] for r in rows), dtype=np.uint8)
+                yield ids, bits.reshape(len(rows), -1)
+        finally:
+            conn.close()
