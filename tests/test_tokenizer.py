@@ -1,0 +1,151 @@
+"""Tokenizer tests: pure-Python sentencepiece + contract checks.
+
+Since the `sentencepiece` wheel is unavailable offline, the tiny model files
+are built with our own serializer and segmentations verified against
+hand-computed Viterbi/BPE results.
+"""
+
+import numpy as np
+
+from tpuclip.text import sentencepiece as sp
+from tpuclip.text.tokenizer import (
+    MAX_LENGTH,
+    HashBackend,
+    SentencePieceBackend,
+    build_prompt,
+)
+
+
+def _make_unigram_model():
+    m = sp.SentencePieceModel(model_type=sp.UNIGRAM)
+    pieces = [
+        ("<pad>", 0.0, 3),  # control
+        ("<eos>", 0.0, 3),
+        ("<bos>", 0.0, 3),
+        ("<unk>", 0.0, 2),  # unknown
+        ("▁", -3.0, 1),
+        ("a", -2.0, 1),
+        ("b", -2.0, 1),
+        ("c", -2.5, 1),
+        ("ab", -2.5, 1),
+        ("▁a", -2.2, 1),
+        ("▁ab", -2.4, 1),
+        ("photo", -4.0, 1),
+        ("▁photo", -3.5, 1),
+    ]
+    for piece, score, t in pieces:
+        m.pieces.append(piece)
+        m.scores.append(score)
+        m.types.append(t)
+    m.unk_id, m.bos_id, m.eos_id, m.pad_id = 3, 2, 1, 0
+    return m.finalize()
+
+
+def test_protobuf_roundtrip():
+    m = _make_unigram_model()
+    data = sp.serialize_model(m)
+    m2 = sp.parse_model(data)
+    assert m2.pieces == m.pieces
+    assert np.allclose(m2.scores, m.scores)
+    assert m2.types == m.types
+    assert (m2.unk_id, m2.bos_id, m2.eos_id, m2.pad_id) == (3, 2, 1, 0)
+    assert m2.model_type == sp.UNIGRAM
+
+
+def test_unigram_viterbi_picks_best_segmentation():
+    m = _make_unigram_model()
+    # "ab" normalized → "▁ab". Candidates:
+    #   ▁ab            = -2.4   (best)
+    #   ▁a + b         = -4.2
+    #   ▁ + ab         = -5.5
+    #   ▁ + a + b      = -7.0
+    assert m.encode("ab", out_type="piece") == ["▁ab"]
+    # "aab" → "▁aab": ▁a(-2.2)+ab(-2.5) = -4.7 beats ▁ab? no: ▁a+ab=-4.7 vs
+    # ▁(-3)+a(-2)+ab(-2.5)=-7.5 vs ▁ab(-2.4)... "▁aab" can't use ▁ab (not prefix-aligned):
+    # positions: ▁ a a b. ▁a + a + b = -2.2-2-2 = -6.2; ▁a + ab = -4.7 ✓
+    assert m.encode("aab", out_type="piece") == ["▁a", "ab"]
+
+
+def test_unigram_unknown_character_fallback():
+    m = _make_unigram_model()
+    ids = m.encode("aXb")
+    # X is not in vocab and no byte fallback → unk id in the middle
+    assert sp_ids_contain_unknown(m, ids)
+
+
+def sp_ids_contain_unknown(m, ids):
+    return m.unk_id in ids
+
+
+def test_byte_fallback():
+    m = _make_unigram_model()
+    m.byte_fallback = True
+    for b in range(256):
+        m.pieces.append(f"<0x{b:02X}>")
+        m.scores.append(-10.0)
+        m.types.append(6)
+    m.finalize()
+    ids = m.encode("aXb")
+    assert m.unk_id not in ids
+    x_byte_id = m.piece_to_id["<0x58>"]  # 'X'
+    assert x_byte_id in ids
+
+
+def test_bpe_mode():
+    m = _make_unigram_model()
+    m.model_type = sp.BPE
+    m.finalize()
+    # "▁ab": merges available: ▁a(-2.2), ab(-2.5), ▁ab(-2.4).
+    # Best first merge is ▁+a → ▁a (-2.2); then ▁a+b → ▁ab (-2.4).
+    assert m.encode("ab", out_type="piece") == ["▁ab"]
+
+
+def test_normalization():
+    m = _make_unigram_model()
+    assert m.normalize("a  b") == "▁a▁b"  # extra whitespace collapsed, escaped
+    m.add_dummy_prefix = False
+    assert m.normalize("a b") == "a▁b"
+
+
+def test_build_prompt_contract():
+    # Reference contract: lowercase + template (image_database.py:517-521)
+    assert build_prompt("A Red CAR") == "this is a photo of a red car"
+
+
+def test_sentencepiece_backend_padding(tmp_path):
+    m = _make_unigram_model()
+    path = tmp_path / "tokenizer.model"
+    path.write_bytes(sp.serialize_model(m))
+    tok = SentencePieceBackend(str(path), model_name="google/siglip-base-patch16-224")
+    out = tok.encode("ab")
+    assert out.shape == (MAX_LENGTH,)
+    assert out.dtype == np.int32
+    # siglip1 convention: eos appended, padded with pad_id (0 here)
+    ids = m.encode("ab")
+    assert list(out[: len(ids)]) == ids
+    assert out[len(ids)] == m.eos_id
+    assert out[-1] == 0
+
+    tok2 = SentencePieceBackend(str(path), model_name="google/siglip2-so400m-patch14-224")
+    out2 = tok2.encode("ab")
+    # siglip2/gemma convention: bos prepended, no eos, pad 0
+    assert out2[0] == m.bos_id
+    assert out2[-1] == 0
+
+
+def test_hash_backend_deterministic():
+    tok = HashBackend(vocab_size=1000)
+    a = tok.encode("a red car")
+    b = tok.encode("a red car")
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (MAX_LENGTH,)
+    assert (a < 1000).all() and (a >= 0).all()
+    c = tok.encode("a blue car")
+    assert not np.array_equal(a, c)
+
+
+def test_truncation():
+    tok = HashBackend(vocab_size=1000)
+    long_text = " ".join(["word"] * 200)
+    out = tok.encode(long_text)
+    assert out.shape == (MAX_LENGTH,)

@@ -1,0 +1,544 @@
+"""Command-line interface: ``scan`` / ``search`` / interactive sessions.
+
+Byte-compatible flag surface with the reference CLI (image_database.py:
+1891-1930), including the interactive mini-language (:2110-2239):
+``quit``/``exit``/``q``, ``k:<n>``, ``folder:<path>``/``folder:clear``,
+``duplicates:show|hide``, ``<q> - <neg1> - <neg2>`` negatives with ``image:``
+prefixes, ``q1 + q2`` combined queries, and plain/``image:`` single queries.
+Line parsing lives in pure functions so the grammar is unit-testable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+from tpuclip.config import default_paths, list_db_files, resolve_db_path
+from tpuclip.utils.logging import is_tty, log
+
+
+# =============================================================================
+# Interactive-line grammar (pure)
+# =============================================================================
+
+
+@dataclass
+class SearchSpec:
+    query: str
+    is_image: bool = False
+    query2: Optional[str] = None
+    is_image2: bool = False
+    negative_query: Optional[str] = None
+    negative_is_image: bool = False
+    negative_queries: Optional[List[str]] = None
+    negative_is_images: Optional[List[bool]] = None
+    negative_weights: Optional[List[float]] = None
+
+
+@dataclass
+class ReplCommand:
+    kind: str  # quit | empty | set_k | folder | folder_clear | duplicates | search | error
+    k: Optional[int] = None
+    folder: Optional[str] = None
+    show_duplicates: Optional[bool] = None
+    search: Optional[SearchSpec] = None
+    message: str = ""
+
+
+def _strip_image_prefix(part: str) -> Tuple[str, bool]:
+    if part.lower().startswith("image:"):
+        return part.split(":", 1)[1].strip(), True
+    return part, False
+
+
+def parse_interactive_line(
+    line: str,
+    default_negative_weight: float = 0.5,
+    preset: Optional[SearchSpec] = None,
+) -> ReplCommand:
+    """Parse one REPL line into a command (image_database.py:2105-2239).
+
+    ``preset`` carries CLI-provided fields for the *first* session query
+    (image_database.py:2072-2087): a CLI ``--negative`` suppresses ``' - '``
+    parsing and a CLI ``--query2`` suppresses ``'+'``/``image:`` parsing —
+    exactly the reference's "if not already set from command line" guards
+    (:2157, :2193).
+    """
+    query = line.strip()
+    if not query:
+        return ReplCommand("empty")
+    if query.lower() in ("quit", "exit", "q"):
+        return ReplCommand("quit")
+    if query.lower().startswith("k:"):
+        try:
+            return ReplCommand("set_k", k=int(query.split(":", 1)[1].strip()))
+        except ValueError:
+            return ReplCommand("error", message="Invalid number. Usage: k:20")
+    if query.lower().startswith("folder:"):
+        folder_path = query.split(":", 1)[1].strip()
+        if folder_path.lower() == "clear":
+            return ReplCommand("folder_clear")
+        return ReplCommand("folder", folder=folder_path)
+    if query.lower().startswith("duplicates:"):
+        setting = query.split(":", 1)[1].strip().lower()
+        if setting == "show":
+            return ReplCommand("duplicates", show_duplicates=True)
+        if setting == "hide":
+            return ReplCommand("duplicates", show_duplicates=False)
+        return ReplCommand(
+            "error", message="Invalid option. Use 'duplicates:show' or 'duplicates:hide'"
+        )
+
+    if preset is not None:
+        spec = SearchSpec(
+            query=query,
+            is_image=preset.is_image,
+            query2=preset.query2,
+            is_image2=preset.is_image2,
+            negative_query=preset.negative_query,
+            negative_is_image=preset.negative_is_image,
+        )
+    else:
+        spec = SearchSpec(query=query)
+
+    # Negatives: "<query> - <neg1> - <neg2> ..." (split precedes '+' parsing,
+    # image_database.py:2156-2190); skipped when the CLI already set one.
+    if spec.negative_query is None and " - " in spec.query:
+        head, negative_str = spec.query.split(" - ", 1)
+        spec.query = head.strip()
+        negative_parts = [p.strip() for p in negative_str.strip().split(" - ")]
+        if len(negative_parts) == 1:
+            neg, is_img = _strip_image_prefix(negative_parts[0])
+            spec.negative_query = neg
+            spec.negative_is_image = is_img
+        else:
+            qs, flags = [], []
+            for part in negative_parts:
+                neg, is_img = _strip_image_prefix(part)
+                qs.append(neg)
+                flags.append(is_img)
+            spec.negative_queries = qs
+            spec.negative_is_images = flags
+            spec.negative_weights = [default_negative_weight] * len(qs)
+
+    # Combined: "q1 + q2" (split on '+', image_database.py:2192-2213);
+    # skipped when the CLI already set --query2.
+    if spec.query2 is None:
+        query_parts = [q.strip() for q in spec.query.split("+", 1)]
+        if len(query_parts) == 2:
+            q1, is1 = _strip_image_prefix(query_parts[0])
+            q2, is2 = _strip_image_prefix(query_parts[1])
+            spec.query, spec.is_image = q1, is1
+            spec.query2, spec.is_image2 = q2, is2
+        else:
+            q1, is1 = _strip_image_prefix(spec.query)
+            spec.query, spec.is_image = q1, is1
+
+    return ReplCommand("search", search=spec)
+
+
+def display_query_string(spec: SearchSpec) -> str:
+    """Query string shown in galleries (image_database.py:2270-2277)."""
+    display = spec.query
+    if spec.query2:
+        display += f" + {spec.query2}"
+    if spec.negative_queries:
+        display += " - " + " - ".join(spec.negative_queries)
+    elif spec.negative_query:
+        display += f" - {spec.negative_query}"
+    return display
+
+
+# =============================================================================
+# Argument parser (reference flag surface)
+# =============================================================================
+
+
+def build_parser() -> argparse.ArgumentParser:
+    paths = default_paths()
+    parser = argparse.ArgumentParser(
+        prog="tpuclip", description="Searchable Image Database using SigLIP 2 (TPU-native)"
+    )
+    subparsers = parser.add_subparsers(dest="mode", help="Mode to run")
+
+    scan_parser = subparsers.add_parser("scan", help="Scan directory and process images")
+    scan_parser.add_argument("directory", help="Root directory to scan")
+    scan_parser.add_argument("--db", default=None, help="Database path (required unless using --db-name)")
+    scan_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir} (e.g. products_database.db)")
+    scan_parser.add_argument("--batch-size", type=int, default=75, help="Batch size for DB commits")
+    scan_parser.add_argument("--inference-batch-size", type=int, default=16, help="Batch size for model inference (higher = faster but more HBM)")
+    scan_parser.add_argument("--profile", action="store_true", help="Show performance profiling information")
+    scan_parser.add_argument("--limit", type=int, default=None, help="Limit number of images to process (for testing)")
+    scan_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+    scan_parser.add_argument("--exclude", action="append", help="Exclude directory path (can be used multiple times)")
+    scan_parser.add_argument("--binary-only", action="store_true", help="Only save binary embeddings (space-efficient mode)")
+    scan_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
+
+    search_parser = subparsers.add_parser("search", help="Search for similar images")
+    search_parser.add_argument("query", nargs="?", help="Text query or image file path (optional if using --interactive)")
+    search_parser.add_argument("-k", type=int, default=10, help="Number of results")
+    search_parser.add_argument("--image", action="store_true", help="Treat query as image file path")
+    search_parser.add_argument("--query2", help="Second query for combined search (text or image path)")
+    search_parser.add_argument("--image2", action="store_true", help="Treat query2 as image file path")
+    search_parser.add_argument("--weights", nargs=2, type=float, default=[0.5, 0.5], metavar=("W1", "W2"), help="Weights for combining queries (default: 0.5 0.5)")
+    search_parser.add_argument("--negative", help="Negative prompt to exclude (text or image path)")
+    search_parser.add_argument("--negative-image", action="store_true", help="Treat negative prompt as image file path")
+    search_parser.add_argument("--negative-weight", type=float, default=0.5, help="Weight for negative prompt subtraction (default: 0.5)")
+    search_parser.add_argument("--db", default=None, help="Database path (required unless using --db-name)")
+    search_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir} (e.g. photos_database.db)")
+    search_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+    search_parser.add_argument("--output", default="results.html", help="Output HTML file")
+    search_parser.add_argument("--interactive", "-i", action="store_true", help="Interactive session mode (default when query provided)")
+    search_parser.add_argument("--no-session", action="store_true", help="Exit after processing query instead of keeping session open")
+    search_parser.add_argument("--folder", action="append", help="Filter results to images in this folder (repeatable)")
+    search_parser.add_argument("--profile", action="store_true", help="Show performance profiling information for search")
+    search_parser.add_argument("--show-duplicates", action="store_true", help="Show duplicate images in results (default: filtered)")
+    search_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
+    return parser
+
+
+def _require_db_path(args, paths) -> str:
+    try:
+        return resolve_db_path(args.db, getattr(args, "db_name", None), paths.db_dir)
+    except ValueError:
+        log("\n[X] Error: No database selected.")
+        log("Please specify either:")
+        log('  --db "/data/image-databases/products_database.db"')
+        log("  --db-name products_database.db")
+        log(f"\nDatabase directory: {paths.db_dir}")
+        dbs = list_db_files(paths.db_dir)
+        if dbs:
+            log("Available .db files:")
+            for name in dbs:
+                log(f"  - {name}")
+        else:
+            log("No .db files found in database directory.")
+        sys.exit(2)
+
+
+def _make_engine(db_path: str, args):
+    from tpuclip.engine import ImageDatabase
+    from tpuclip.models.configs import DEFAULT_MODEL
+
+    model_cache = args.model_cache if args.model_cache else None
+    return ImageDatabase(
+        db_path,
+        model_cache,
+        model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
+        inference_batch_size=getattr(args, "inference_batch_size", 16),
+    )
+
+
+# =============================================================================
+# Modes
+# =============================================================================
+
+
+def _run_scan(args, paths) -> None:
+    log("Starting scan mode...\n")
+    db_path = _require_db_path(args, paths)
+    log("Initializing database connection and loading model...")
+    db = _make_engine(db_path, args)
+    log("\nStarting directory scan...\n")
+    db.scan_directory(
+        args.directory,
+        batch_size=args.batch_size,
+        inference_batch_size=args.inference_batch_size,
+        profile=args.profile,
+        limit=args.limit,
+        exclude_paths=args.exclude if args.exclude else None,
+        save_full_embeddings=not args.binary_only,
+    )
+
+
+def _print_results(results) -> None:
+    log(f"\nFound {len(results)} results:")
+    for i, (file_path, similarity) in enumerate(results, 1):
+        log(f"  {i:2d}. {similarity:.4f}: {file_path}")
+
+
+def _run_search(args, paths) -> None:
+    from tpuclip.gallery.html import (
+        combined_output_filename,
+        generate_output_filename,
+    )
+
+    log("Starting search mode...\n")
+    db_path = _require_db_path(args, paths)
+
+    if not os.path.exists(db_path):
+        log(f"\n[X] Error: Database file does not exist: {db_path}")
+        log(f"\nDatabase directory: {paths.db_dir}")
+        dbs = list_db_files(paths.db_dir)
+        if dbs:
+            log("Available .db files:")
+            for name in dbs:
+                log(f"  - {name}")
+        else:
+            log("No .db files found in database directory.")
+        sys.exit(2)
+
+    # Schema pre-flight: images table must exist (image_database.py:2004-2016).
+    import sqlite3
+
+    try:
+        conn_check = sqlite3.connect(db_path)
+        cur = conn_check.cursor()
+        cur.execute("SELECT name FROM sqlite_master WHERE type='table' AND name='images'")
+        ok = cur.fetchone()
+        conn_check.close()
+        if not ok:
+            log(f"\n[X] Error: Database file exists but does not contain the expected schema: {db_path}")
+            log("The database appears to be empty or not a valid image database.")
+            sys.exit(2)
+    except sqlite3.Error as e:
+        log(f"\n[X] Error: Could not verify database schema: {e}")
+        sys.exit(2)
+
+    log("Initializing database connection and loading model...")
+    db = _make_engine(db_path, args)
+
+    use_session = args.interactive or (args.query is not None and not args.no_session)
+    if use_session:
+        _interactive_session(db, args)
+        return
+
+    # Single-shot mode (image_database.py:2300-2362)
+    if not args.query:
+        log("Error: Query required (or use --interactive for session mode)")
+        return
+
+    if args.query2:
+        log("Combined search:")
+        log(f"  Query 1: {args.query} ({'image' if args.image else 'text'})")
+        log(f"  Query 2: {args.query2} ({'image' if args.image2 else 'text'})")
+        log(f"  Weights: {args.weights[0]:.1f} / {args.weights[1]:.1f}")
+    if args.negative:
+        log(f"  Negative: {args.negative} ({'image' if args.negative_image else 'text'})")
+
+    results = db.search(
+        args.query, k=args.k, is_image_path=args.image,
+        query2=args.query2, is_image_path2=args.image2,
+        weights=tuple(args.weights),
+        negative_query=args.negative, negative_is_image=args.negative_image,
+        negative_weight=args.negative_weight,
+        filter_folders=args.folder if args.folder else None,
+        profile=args.profile,
+        show_duplicates=args.show_duplicates,
+    )
+    if not results:
+        log("No results found.")
+        return
+
+    log(f"\nFound {len(results)} results:")
+    for file_path, similarity in results:
+        log(f"  {similarity:.4f}: {file_path}")
+
+    if args.output == "results.html":  # default → derive from query
+        if args.query2:
+            output_file = combined_output_filename(
+                args.query, args.query2, args.image, args.image2,
+                results_dir=Path(db.results_dir),
+            )
+        else:
+            output_file = generate_output_filename(
+                args.query, args.image, results_dir=Path(db.results_dir)
+            )
+    else:
+        output_file = args.output
+
+    display_query = args.query
+    if args.query2:
+        display_query += f" + {args.query2}"
+    if args.negative:
+        display_query += f" - {args.negative}"
+    db.generate_html_gallery(results, output_file, query=display_query)
+    log(f"\nResults saved to {output_file}")
+
+
+def _interactive_session(db, args) -> None:
+    from tpuclip.gallery.html import generate_output_filename
+
+    log("\n" + "=" * 60)
+    log("Interactive Search Session")
+    log("=" * 60)
+    if args.query:
+        log("Processing initial query, then session will remain open for more queries...")
+    else:
+        log("Model loaded and ready! Enter queries below.")
+    log("Commands:")
+    log("  - Enter a text query to search")
+    log("  - Type 'image:<path>' to search by image")
+    log("  - Type 'image:<path1> + image:<path2>' for combined image search")
+    log("  - Type 'image:<path> + <text>' or '<text> + image:<path>' for image+text search")
+    log("  - Type '<query> - <negative>' to exclude concepts")
+    log("  - Type '<query> - <neg1> - <neg2>' for multiple negatives")
+    log("  - Type 'k:<number>' to change number of results (default: 10)")
+    log("  - Type 'folder:<path>' to filter results to a folder (can use multiple times)")
+    log("  - Type 'folder:clear' to clear folder filters")
+    log("  - Type 'duplicates:show' to show duplicate images (default: hidden)")
+    log("  - Type 'duplicates:hide' to hide duplicate images (default)")
+    log("  - Type 'quit' or 'exit' to end session")
+    log("=" * 60 + "\n")
+
+    current_k = args.k
+    weights = tuple(args.weights)
+    filter_folders: List[str] = list(args.folder) if args.folder else []
+    show_duplicates = args.show_duplicates
+    negative_weight = args.negative_weight
+    interactive = is_tty()
+
+    first_cli_query = args.query
+
+    while True:
+        try:
+            if first_cli_query is not None:
+                # First iteration consumes the CLI query + CLI modifiers, then
+                # the mini-language still applies to whatever the CLI did not
+                # set (image_database.py:2072-2087, :2157, :2193).
+                preset = SearchSpec(
+                    query=first_cli_query,
+                    is_image=args.image,
+                    query2=args.query2,
+                    is_image2=args.image2,
+                    negative_query=args.negative,
+                    negative_is_image=args.negative_image,
+                )
+                cmd = parse_interactive_line(first_cli_query, negative_weight, preset=preset)
+                first_cli_query = None
+                if cmd.kind != "search":
+                    if cmd.kind == "quit":
+                        log("Ending session. Goodbye!")
+                        break
+                    if cmd.message:
+                        log(cmd.message)
+                    continue
+                spec = cmd.search
+            else:
+                if not interactive:
+                    break
+                line = input("Query> ")
+                cmd = parse_interactive_line(line, negative_weight)
+                if cmd.kind == "empty":
+                    continue
+                if cmd.kind == "quit":
+                    log("Ending session. Goodbye!")
+                    break
+                if cmd.kind == "error":
+                    log(cmd.message)
+                    continue
+                if cmd.kind == "set_k":
+                    current_k = cmd.k
+                    log(f"Number of results set to {current_k}")
+                    continue
+                if cmd.kind == "folder_clear":
+                    filter_folders = []
+                    log("Folder filters cleared")
+                    continue
+                if cmd.kind == "folder":
+                    folder_abs = os.path.abspath(cmd.folder)
+                    if os.path.isdir(folder_abs):
+                        if folder_abs not in filter_folders:
+                            filter_folders.append(folder_abs)
+                            log(f"Added folder filter: {folder_abs}")
+                        else:
+                            log(f"Folder already in filter list: {folder_abs}")
+                    else:
+                        log(f"Warning: Folder does not exist: {folder_abs}")
+                    if filter_folders:
+                        log(f"Current folder filters ({len(filter_folders)}):")
+                        for f in filter_folders:
+                            log(f"  - {f}")
+                    continue
+                if cmd.kind == "duplicates":
+                    show_duplicates = cmd.show_duplicates
+                    log(
+                        "Duplicate images will be shown"
+                        if show_duplicates
+                        else "Duplicate images will be hidden (default)"
+                    )
+                    continue
+                spec = cmd.search
+
+            # Echo the parsed query (image_database.py:2215-2250)
+            if spec.query2:
+                log("\nCombined search:")
+                log(f"  Query 1: {spec.query} ({'image' if spec.is_image else 'text'})")
+                log(f"  Query 2: {spec.query2} ({'image' if spec.is_image2 else 'text'})")
+                log(f"  Weights: {weights[0]:.1f} / {weights[1]:.1f}")
+            else:
+                log(f"\nSearching for: {spec.query}")
+            if spec.negative_queries:
+                log(f"  Negatives ({len(spec.negative_queries)}): {', '.join(spec.negative_queries)}")
+            elif spec.negative_query:
+                log(f"  Negative: {spec.negative_query} ({'image' if spec.negative_is_image else 'text'})")
+            log(f"  Number of results: {current_k}")
+
+            results = db.search(
+                spec.query, k=current_k, is_image_path=spec.is_image,
+                query2=spec.query2, is_image_path2=spec.is_image2,
+                weights=weights,
+                negative_query=spec.negative_query,
+                negative_is_image=spec.negative_is_image,
+                negative_weight=negative_weight,
+                negative_queries=spec.negative_queries,
+                negative_is_images=spec.negative_is_images,
+                negative_weights=spec.negative_weights,
+                filter_folders=filter_folders if filter_folders else None,
+                profile=args.profile,
+                show_duplicates=show_duplicates,
+            )
+
+            if results:
+                _print_results(results)
+                output_file = generate_output_filename(
+                    spec.query, spec.is_image, results_dir=Path(db.results_dir)
+                )
+                db.generate_html_gallery(
+                    results, output_file, query=display_query_string(spec)
+                )
+                log(f"\nResults saved to {output_file}")
+            else:
+                log("No results found.")
+
+            if not interactive:
+                break
+            log("")
+        except KeyboardInterrupt:
+            log("\n\nInterrupted. Ending session.")
+            break
+        except EOFError:
+            if interactive:
+                log("\nEnding session. Goodbye!")
+            break
+        except Exception as e:  # noqa: BLE001 - session must survive errors
+            log(f"Error: {e}")
+            continue
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    paths = default_paths()
+    if args.mode == "scan":
+        _run_scan(args, paths)
+    elif args.mode == "search":
+        _run_search(args, paths)
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    log("Script starting...")
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - fatal trap (image_database.py:2368-2376)
+        log(f"Fatal error: {e}")
+        import traceback
+
+        traceback.print_exc()
+        sys.exit(1)

@@ -1,0 +1,182 @@
+"""The resident engine: model + database + device index.
+
+TPU-native counterpart of the reference's ``ImageDatabase`` class
+(image_database.py:145-243). One instance holds:
+
+- the SigLIP params resident on device (bf16 on TPU, fp32 on CPU — the
+  analog of the reference's fp16-on-CUDA/fp32-on-CPU split,
+  image_database.py:174-175),
+- jit-compiled image/text feature functions with *fixed* batch shapes
+  (batches are zero-padded to ``inference_batch_size`` so exactly one
+  program is compiled per tower),
+- the SQLite metadata store (tpuclip.index.store) and the HBM-resident
+  search index (tpuclip.index.search),
+- the tokenizer and the thumbnailer.
+
+The private-method surface mirrors the reference so downstream pipelines and
+tests translate 1:1: ``_get_image_embedding``, ``_get_image_embeddings_batch``,
+``_get_text_embedding`` (image_database.py:443, :465, :509).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuclip.config import default_paths
+from tpuclip.index.search import DeviceIndex
+from tpuclip.index.store import MetadataStore
+from tpuclip.io.prefetch import decode_single
+from tpuclip.io.preprocess import preprocess_batch
+from tpuclip.io.thumbnails import Thumbnailer
+from tpuclip.models.configs import DEFAULT_MODEL
+from tpuclip.models.loader import find_local_checkpoint, load_model
+from tpuclip.models.siglip import cast_params, get_image_features, get_text_features
+from tpuclip.text.tokenizer import build_prompt, load_tokenizer
+from tpuclip.utils.logging import banner, log, safe_print_path
+
+
+class ImageDatabase:
+    """Searchable image database: SigLIP embeddings + on-device retrieval."""
+
+    def __init__(
+        self,
+        db_path: Optional[str] = None,
+        model_cache_dir: Optional[str] = None,
+        model_name: str = DEFAULT_MODEL,
+        inference_batch_size: int = 16,
+        compute_dtype=None,
+    ):
+        banner("Initializing Image Database")
+        paths = default_paths()
+        self.db_path = db_path or paths.db_path
+        self.model_cache_dir = model_cache_dir if model_cache_dir is not None else paths.model_cache_dir
+        self.thumbnails_dir = paths.thumbnails_dir
+        self.results_dir = paths.results_dir
+        log(f"Database path: {self.db_path}")
+        log(f"Model cache directory: {self.model_cache_dir}")
+
+        backend = jax.default_backend()
+        self.device = jax.devices()[0]
+        if compute_dtype is None:
+            compute_dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+        self.compute_dtype = compute_dtype
+        log(f"\nCompute device: {backend} ({self.device})")
+        log(f"  [OK] Data type: {jnp.dtype(self.compute_dtype).name}")
+
+        log(f"\nLoading SigLIP 2 model...\n  Model: {model_name}")
+        self.model_name = model_name
+        self.config, host_params = load_model(model_name, self.model_cache_dir)
+        # Params live on device in compute dtype (HBM: so400m bf16 ≈ 1.8 GB).
+        self.params = jax.device_put(
+            cast_params(host_params, self.compute_dtype), self.device
+        )
+        self.embedding_dim = self.config.embedding_dim
+        self.image_size = self.config.vision.image_size
+        self.inference_batch_size = int(inference_batch_size)
+        log(f"  Embedding dimension: {self.embedding_dim}")
+
+        ckpt_dir = find_local_checkpoint(model_name, self.model_cache_dir)
+        self.tokenizer = load_tokenizer(
+            model_name,
+            str(ckpt_dir) if ckpt_dir else None,
+            vocab_size=self.config.text.vocab_size,
+        )
+
+        log("\nInitializing database...")
+        self.store = MetadataStore(self.db_path, embedding_dim=self.embedding_dim)
+        self.store.init_schema()
+        self.index = DeviceIndex(self.store, device=self.device)
+        self.thumbnailer = Thumbnailer(self.thumbnails_dir)
+        banner("Initialization complete!")
+
+    # ------------------------------------------------------------- embeddings
+
+    def embed_images_uint8(self, batch_uint8: np.ndarray) -> np.ndarray:
+        """uint8 (B, S, S, 3) → L2-normalized fp32 (B, D). B is padded to the
+        configured inference batch size to keep one compiled program."""
+        b = batch_uint8.shape[0]
+        pad = self.inference_batch_size - b
+        if pad > 0:
+            batch_uint8 = np.concatenate(
+                [batch_uint8, np.zeros((pad,) + batch_uint8.shape[1:], np.uint8)]
+            )
+        out = get_image_features(
+            self.params,
+            jnp.asarray(batch_uint8),
+            self.config,
+            compute_dtype=self.compute_dtype,
+        )
+        return np.asarray(out[:b], dtype=np.float32)
+
+    def embed_texts(self, texts: List[str]) -> np.ndarray:
+        """Prompted, tokenized, L2-normalized text embeddings (fp32)."""
+        ids = self.tokenizer.encode_batch([build_prompt(t) for t in texts])
+        out = get_text_features(
+            self.params, jnp.asarray(ids), self.config, compute_dtype=self.compute_dtype
+        )
+        return np.asarray(out, dtype=np.float32)
+
+    # Reference-surface methods (image_database.py:443-543) -------------------
+
+    def _get_image_embedding(self, image_path: str) -> Optional[np.ndarray]:
+        try:
+            pixels = decode_single(image_path, self.image_size)
+            if pixels is None:
+                return None
+            return self.embed_images_uint8(pixels[None])[0].flatten()
+        except Exception as e:  # noqa: BLE001 - containment
+            safe_print_path("Error processing ", image_path, e)
+            return None
+
+    def _get_image_embeddings_batch(
+        self, image_paths: List[str]
+    ) -> List[Optional[np.ndarray]]:
+        from tpuclip.io.decode import load_image
+
+        images = [load_image(p) for p in image_paths]
+        if not any(img is not None for img in images):
+            return [None] * len(image_paths)
+        try:
+            pixels = preprocess_batch(images, self.image_size)
+            embeddings = self.embed_images_uint8(pixels)
+            return [
+                embeddings[i].flatten() if images[i] is not None else None
+                for i in range(len(image_paths))
+            ]
+        except Exception as e:  # noqa: BLE001
+            log(f"Error processing batch: {e}")
+            return [None] * len(image_paths)
+
+    def _get_text_embedding(self, text: str) -> np.ndarray:
+        """Lowercase + template + 64-token pad contract (image_database.py:509-543)."""
+        return self.embed_texts([text])[0]
+
+    # ------------------------------------------------------------- pipelines
+
+    def scan_directory(self, root_dir: str, **kwargs) -> None:
+        from tpuclip.pipelines.scan import scan_directory
+
+        scan_directory(self, root_dir, **kwargs)
+
+    def search(self, query: str, **kwargs):
+        from tpuclip.pipelines.search import search
+
+        return search(self, query, **kwargs)
+
+    def generate_html_gallery(self, results, output_file="results.html", query=None):
+        from tpuclip.gallery.html import generate_html_gallery
+
+        generate_html_gallery(
+            results, output_file, query=query, thumbnailer=self.thumbnailer
+        )
+
+    # Back-compat private names used by pipelines/tests --------------------
+
+    def _needs_thumbnail(self, file_path: str) -> bool:
+        from tpuclip.io.thumbnails import needs_thumbnail
+
+        return needs_thumbnail(file_path)

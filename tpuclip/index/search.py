@@ -1,0 +1,173 @@
+"""Device-resident search engine.
+
+Replaces the reference's per-query SQL scan (image_database.py:1559-1629):
+the packed embedding matrix is uploaded to device HBM once per session (or
+after index growth) and every query is a fused matmul+top-k. The binary path
+(binary-only databases) uploads unpacked {0,1} int8 sign bits and scores with
+one int8 MXU matmul — exact integer parity with the reference's
+``dot(query_bits, cand_bits) / dim``.
+
+Folder filters become additive score masks built from SQLite LIKE-prefix id
+sets (image_database.py:1513-1529 semantics); masks are cached per filter
+tuple.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpuclip.index.cache import MatrixCache
+from tpuclip.index.store import MetadataStore
+from tpuclip.ops.hamming import binary_topk
+from tpuclip.ops.topk import cosine_topk
+from tpuclip.utils.logging import log
+
+
+def _default_matrix_dtype():
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+class DeviceIndex:
+    """HBM-resident brute-force index over one database."""
+
+    def __init__(
+        self,
+        store: MetadataStore,
+        matrix_dtype=None,
+        device=None,
+    ):
+        self.store = store
+        self.cache = MatrixCache(store)
+        self.matrix_dtype = matrix_dtype or _default_matrix_dtype()
+        self.device = device
+        self._ids: Optional[np.ndarray] = None  # row -> image_id
+        self._matrix: Optional[jnp.ndarray] = None  # (N, D) on device
+        self._bin_ids: Optional[np.ndarray] = None
+        self._bin_matrix: Optional[jnp.ndarray] = None  # (N, D) int8 on device
+        self._fingerprint: Optional[Tuple[int, int, int, int]] = None
+        self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
+
+    # ---------------------------------------------------------------- loading
+
+    def _current_fingerprint(self) -> Tuple[int, int, int, int]:
+        return self.store.embeddings_fingerprint() + self.store.binary_fingerprint()
+
+    def refresh(self, force: bool = False) -> None:
+        fp = self._current_fingerprint()
+        if not force and fp == self._fingerprint:
+            return
+        ids, vectors = self.cache.load()
+        self._ids = ids
+        if len(ids):
+            self._matrix = jax.device_put(
+                jnp.asarray(np.asarray(vectors), dtype=self.matrix_dtype), self.device
+            )
+        else:
+            self._matrix = None
+
+        bin_ids, packed = self.cache.load_binary()
+        self._bin_ids = bin_ids
+        if len(bin_ids):
+            bits = np.unpackbits(np.asarray(packed), axis=-1)[:, : self.store.embedding_dim]
+            self._bin_matrix = jax.device_put(
+                jnp.asarray(bits, dtype=jnp.int8), self.device
+            )
+        else:
+            self._bin_matrix = None
+        self._fingerprint = fp
+        self._mask_cache.clear()
+        if len(ids) or len(bin_ids):
+            log(
+                f"  Index resident on {jax.default_backend()}: "
+                f"{len(ids):,} full vectors, {len(bin_ids):,} binary rows"
+            )
+
+    @property
+    def num_full(self) -> int:
+        return 0 if self._ids is None else len(self._ids)
+
+    @property
+    def num_binary(self) -> int:
+        return 0 if self._bin_ids is None else len(self._bin_ids)
+
+    # ----------------------------------------------------------------- masks
+
+    def _folder_mask(
+        self, filter_folders: Sequence[str], row_ids: np.ndarray
+    ) -> jnp.ndarray:
+        key = tuple(sorted(filter_folders)) + (len(row_ids),)
+        cached = self._mask_cache.get(key)
+        if cached is not None:
+            return cached
+        allowed = self.store.folder_filter_ids(filter_folders)
+        allowed_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
+        keep = np.isin(row_ids, allowed_arr)
+        mask = jnp.asarray(np.where(keep, 0.0, -np.inf), dtype=jnp.float32)
+        mask = jax.device_put(mask, self.device)
+        self._mask_cache[key] = mask
+        return mask
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        query: np.ndarray,
+        k: int,
+        filter_folders: Optional[Sequence[str]] = None,
+    ) -> List[Tuple[str, float]]:
+        """Top-k over the index. Returns [(file_path, similarity)] descending.
+
+        Full-precision path when float vectors exist; binary fallback
+        otherwise (same preference order as image_database.py:1532-1556).
+        """
+        self.refresh()
+        if self._matrix is not None:
+            return self._search_full(query, k, filter_folders)
+        if self._bin_matrix is not None:
+            return self._search_binary(query, k, filter_folders)
+        return []
+
+    def _search_full(self, query, k, filter_folders):
+        q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
+        mask = (
+            self._folder_mask(filter_folders, self._ids)
+            if filter_folders
+            else None
+        )
+        scores, rows = cosine_topk(q, self._matrix, k, mask=mask)
+        scores = np.asarray(scores[0])
+        rows = np.asarray(rows[0])
+        valid = np.isfinite(scores)
+        scores, rows = scores[valid], rows[valid]
+        image_ids = self._ids[rows]
+        paths = self.store.fetch_paths_for_ids(image_ids)
+        return [
+            (paths[int(i)], float(s))
+            for i, s in zip(image_ids, scores)
+            if int(i) in paths
+        ]
+
+    def _search_binary(self, query, k, filter_folders):
+        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.int8)
+        mask = (
+            self._folder_mask(filter_folders, self._bin_ids)
+            if filter_folders
+            else None
+        )
+        matches, rows = binary_topk(jnp.asarray(qbits), self._bin_matrix, k, mask=mask)
+        matches = np.asarray(matches[0])
+        rows = np.asarray(rows[0])
+        valid = matches > np.iinfo(np.int32).min
+        matches, rows = matches[valid], rows[valid]
+        image_ids = self._bin_ids[rows]
+        paths = self.store.fetch_paths_for_ids(image_ids)
+        dim = self.store.embedding_dim
+        return [
+            (paths[int(i)], float(m) / dim)
+            for i, m in zip(image_ids, matches)
+            if int(i) in paths
+        ]

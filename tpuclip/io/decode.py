@@ -1,0 +1,68 @@
+"""Host-side image decode.
+
+Equivalent of ``_load_image`` (image_database.py:408-441): PIL open + RGB
+convert for raster formats; first PDF page rendered at 150 DPI via PyMuPDF
+when available (gated import, same as the reference's PDF_SUPPORT flag,
+image_database.py:132-137). Decode stays on host CPU — TPUs have no image
+codecs — but everything downstream (resize output batching, normalization)
+is pipelined; see tpuclip.io.prefetch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+from PIL import Image
+
+from tpuclip.utils.logging import safe_print_path
+
+try:  # PDF support — optional, mirrors image_database.py:132-137
+    import fitz  # type: ignore  # PyMuPDF
+
+    PDF_SUPPORT = True
+except ImportError:
+    fitz = None
+    PDF_SUPPORT = False
+
+# Raise PIL's ~89MP default so large scans/panoramas decode
+# (image_database.py:142).
+Image.MAX_IMAGE_PIXELS = 500_000_000
+
+IMAGE_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".gif", ".webp", ".tiff", ".tif"}
+
+
+def supported_extensions(include_pdf: Optional[bool] = None) -> set:
+    exts = set(IMAGE_EXTENSIONS)
+    if include_pdf if include_pdf is not None else PDF_SUPPORT:
+        exts.add(".pdf")
+    return exts
+
+
+def load_image(image_path: str) -> Optional[Image.Image]:
+    """Load an RGB PIL image, or None on any failure (containment:
+    a bad file must never kill a scan, image_database.py:439-441)."""
+    try:
+        file_ext = Path(image_path).suffix.lower()
+        if file_ext == ".pdf":
+            if not PDF_SUPPORT:
+                safe_print_path("PDF support not available for ", image_path, None)
+                return None
+            try:
+                doc = fitz.open(image_path)
+                if len(doc) == 0:
+                    doc.close()
+                    return None
+                page = doc[0]
+                mat = fitz.Matrix(150 / 72, 150 / 72)  # 150 DPI render
+                pix = page.get_pixmap(matrix=mat)
+                img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+                doc.close()
+                return img
+            except Exception as pdf_error:  # noqa: BLE001
+                safe_print_path("Error converting PDF ", image_path, pdf_error)
+                return None
+        return Image.open(image_path).convert("RGB")
+    except Exception as e:  # noqa: BLE001
+        safe_print_path("Error loading ", image_path, e)
+        return None

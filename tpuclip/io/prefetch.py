@@ -1,0 +1,149 @@
+"""Parallel decode + prefetching batch pipeline.
+
+The reference decodes serially inside the batched embed call
+(image_database.py:471-479) — the device idles while Python/PIL works. Here a
+thread pool decodes and resizes ahead of the device, and a bounded queue of
+*fixed-shape* uint8 batches keeps exactly one compiled program hot:
+
+    paths ──► ThreadPool(decode+resize, CPU) ──► bounded queue ──► device
+
+- Fixed batch shape (last batch zero-padded, validity tracked) → one XLA
+  compilation, no shape polymorphism.
+- PIL decode/resize release the GIL in their C cores, so threads scale to
+  physical cores without multiprocessing overhead.
+- The queue depth bounds host memory (depth × batch × 224² × 3 bytes).
+- File hashing rides the same worker task as decode (the bytes are already
+  hot in the page cache), removing the reference's separate serial hash loop
+  (image_database.py:954-963).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpuclip.io.decode import load_image
+from tpuclip.io.hashing import file_sha256
+from tpuclip.io.preprocess import resize_to_uint8
+
+
+@dataclass
+class DecodedImage:
+    path: str
+    last_modified: float
+    pixels: Optional[np.ndarray]  # uint8 (S, S, 3) or None on decode failure
+    file_hash: Optional[str]
+
+
+@dataclass
+class Batch:
+    pixels: np.ndarray  # uint8 (B, S, S, 3), padded
+    items: List[DecodedImage]  # len <= B; items[i] corresponds to pixels[i]
+    valid: np.ndarray  # bool (B,) — True where pixels are a real decode
+
+
+def _decode_one(path: str, last_modified: float, image_size: int, with_hash: bool) -> DecodedImage:
+    img = load_image(path)
+    pixels = resize_to_uint8(img, image_size) if img is not None else None
+    file_hash = None
+    if with_hash and pixels is not None:
+        try:
+            file_hash = file_sha256(path)
+        except OSError:
+            pixels = None
+    return DecodedImage(path, last_modified, pixels, file_hash)
+
+
+def default_workers() -> int:
+    env = os.environ.get("TPUCLIP_DECODE_WORKERS")
+    if env:
+        return max(1, int(env))
+    return max(2, min(32, (os.cpu_count() or 4)))
+
+
+def prefetch_batches(
+    files: Iterable[Tuple[str, float]],
+    batch_size: int,
+    image_size: int,
+    num_workers: Optional[int] = None,
+    queue_depth: int = 4,
+    with_hash: bool = True,
+    stop_event: Optional[threading.Event] = None,
+) -> Iterator[Batch]:
+    """Yield fixed-shape decoded batches, decoding ahead on a thread pool.
+
+    ``files``: iterable of (path, last_modified). Order is preserved.
+    """
+    workers = num_workers or default_workers()
+    out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=queue_depth)
+    error_holder: List[BaseException] = []
+
+    def producer() -> None:
+        try:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                pending: List = []
+                metas: List[Tuple[str, float]] = []
+
+                def flush() -> None:
+                    if not pending:
+                        return
+                    items = [f.result() for f in pending]
+                    pixels = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
+                    valid = np.zeros((batch_size,), bool)
+                    for i, item in enumerate(items):
+                        if item.pixels is not None:
+                            pixels[i] = item.pixels
+                            valid[i] = True
+                    out_q.put(Batch(pixels=pixels, items=items, valid=valid))
+                    pending.clear()
+                    metas.clear()
+
+                for path, last_modified in files:
+                    if stop_event is not None and stop_event.is_set():
+                        break
+                    pending.append(
+                        pool.submit(_decode_one, path, last_modified, image_size, with_hash)
+                    )
+                    metas.append((path, last_modified))
+                    if len(pending) >= batch_size:
+                        flush()
+                flush()
+        except BaseException as e:  # noqa: BLE001 - surface in consumer thread
+            error_holder.append(e)
+        finally:
+            out_q.put(None)
+
+    thread = threading.Thread(target=producer, daemon=True, name="tpuclip-prefetch")
+    thread.start()
+    try:
+        while True:
+            batch = out_q.get()
+            if batch is None:
+                break
+            yield batch
+        if error_holder:
+            raise error_holder[0]
+    finally:
+        if stop_event is not None:
+            stop_event.set()
+        # Drain so the producer can exit if the consumer stopped early.
+        while thread.is_alive():
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)
+
+
+def decode_single(path: str, image_size: int) -> Optional[np.ndarray]:
+    """One-off decode+resize (search-time image queries)."""
+    img = load_image(path)
+    if img is None:
+        return None
+    return resize_to_uint8(img, image_size)

@@ -1,0 +1,63 @@
+"""Thumbnails for non-browser-renderable formats (PDF/TIF/BMP).
+
+Contract from the reference (image_database.py:354-391): content-hash-named
+JPEGs (``<thumbnails_dir>/<sha256>.jpg``), 400x400 LANCZOS, quality 85,
+created during scan commits and on-demand at gallery time.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+from PIL import Image
+
+from tpuclip.io.decode import load_image
+from tpuclip.io.hashing import file_sha256
+from tpuclip.utils.logging import safe_print_path
+
+THUMBNAIL_FORMATS = {".pdf", ".tif", ".tiff", ".bmp"}
+
+
+def needs_thumbnail(file_path: str) -> bool:
+    return Path(file_path).suffix.lower() in THUMBNAIL_FORMATS
+
+
+class Thumbnailer:
+    def __init__(self, thumbnails_dir: str):
+        self.thumbnails_dir = Path(thumbnails_dir)
+
+    def thumbnail_path(self, file_path: str, file_hash: Optional[str] = None) -> str:
+        if file_hash is None:
+            file_hash = file_sha256(file_path)
+        self.thumbnails_dir.mkdir(parents=True, exist_ok=True)
+        return str(self.thumbnails_dir / f"{file_hash}.jpg")
+
+    def create(
+        self,
+        file_path: str,
+        max_size: Tuple[int, int] = (400, 400),
+        file_hash: Optional[str] = None,
+    ) -> Optional[str]:
+        """Create (or return existing) thumbnail; None on failure."""
+        try:
+            thumbnail_path = self.thumbnail_path(file_path, file_hash)
+            if os.path.exists(thumbnail_path):
+                return thumbnail_path
+            image = load_image(file_path)
+            if image is None:
+                return None
+            image.thumbnail(max_size, Image.Resampling.LANCZOS)
+            if image.mode != "RGB":
+                image = image.convert("RGB")
+            image.save(thumbnail_path, "JPEG", quality=85)
+            return thumbnail_path
+        except Exception as e:  # noqa: BLE001
+            safe_print_path("Error creating thumbnail for ", file_path, e)
+            return None
+
+    def ensure_for(self, file_path: str) -> None:
+        """Commit-time hook: thumbnail PDF/TIF/BMP only (image_database.py:1132)."""
+        if needs_thumbnail(file_path):
+            self.create(file_path)

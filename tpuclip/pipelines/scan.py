@@ -1,0 +1,255 @@
+"""Scan (indexing) pipeline.
+
+Behavioral contract from ``scan_directory`` (image_database.py:722-1082):
+census → folder grouping (sorted) → sequence sampling → per-folder resume
+check → embed → hash → batched idempotent commits; Ctrl-C flushes pending
+work and prints resume instructions; ``--limit`` for testing; opt-in
+profiling report with images/sec throughput.
+
+TPU-native differences:
+- Decode+resize+hash run on a thread pool *ahead of* the device
+  (tpuclip.io.prefetch), instead of serially inside the embed call — the
+  accelerator never waits on PIL.
+- Batches are fixed-shape uint8; normalization happens on device inside the
+  tower's first fusion.
+- The device embed for batch N is dispatched asynchronously; the host
+  commits batch N-1 to SQLite while the device works.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from tpuclip.index.store import connect
+from tpuclip.io.prefetch import prefetch_batches
+from tpuclip.io.walker import census, group_by_folder, sample_folder_sequences
+from tpuclip.utils.logging import banner, log
+from tpuclip.utils.profiling import StepTimers
+
+
+def scan_directory(
+    engine,
+    root_dir: str,
+    batch_size: int = 75,
+    inference_batch_size: Optional[int] = None,
+    profile: bool = False,
+    limit: Optional[int] = None,
+    exclude_paths: Optional[List[str]] = None,
+    save_full_embeddings: bool = True,
+) -> None:
+    try:
+        from tqdm import tqdm
+    except ImportError:  # pragma: no cover
+        tqdm = None
+
+    inference_batch_size = inference_batch_size or engine.inference_batch_size
+    engine.inference_batch_size = inference_batch_size
+
+    banner("Starting Directory Scan")
+    log(f"Root directory: {root_dir}")
+    log(f"Database: {engine.db_path}")
+    log(f"Batch size (DB commits): {batch_size}")
+    log(f"Inference batch size: {inference_batch_size}")
+    if save_full_embeddings:
+        log("Embedding mode: Full embeddings + Binary embeddings")
+    else:
+        log("Embedding mode: Binary embeddings only (space-efficient mode)")
+    if limit:
+        log(f"Limit: {limit} images (testing mode)")
+    log("=" * 60 + "\n")
+
+    root_path = Path(root_dir)
+    if not root_path.exists():
+        log(f"[X] Error: Directory {root_dir} does not exist")
+        return
+
+    if exclude_paths:
+        log(f"Excluding {len(exclude_paths)} directory path(s):")
+        for p in exclude_paths:
+            log(f"  - {p}")
+
+    log("\n[Step 1/4] Counting image files...")
+    image_files, excluded_count = census(root_dir, exclude_paths)
+    if excluded_count:
+        log(f"  Excluded {excluded_count:,} directories")
+    total_found = len(image_files)
+    log(f"  Found {total_found:,} total image files")
+
+    folders = group_by_folder(image_files)
+    log(f"  Grouped into {len(folders):,} directories")
+    if not folders:
+        log("\n[X] No image files found!")
+        return
+
+    log("\n[Step 2/4] Connecting to database...")
+    conn = connect(engine.db_path)
+    cursor = conn.cursor()
+
+    timers = StepTimers()
+    state = {
+        "processed": 0,
+        "skipped": 0,
+        "errors": 0,
+        "sampled_folders": 0,
+        "files_removed": 0,
+        "queued": 0,
+        "folders_done": 0,
+    }
+    db_batch: List[Tuple[str, float, str, np.ndarray]] = []
+
+    log("\n[Step 3/4] Processing images...")
+    log(f"  Processing {len(folders):,} folders...")
+    pbar = tqdm(total=total_found, desc="Processing images", unit="img", unit_scale=True) if tqdm else None
+
+    import os
+
+    def pending_files() -> Iterator[Tuple[str, float]]:
+        """Yield (path, mtime) for files that still need embedding, folder by
+        folder, honoring sampling / resume / limit semantics.
+
+        Runs inside the prefetcher's producer thread, so it opens its own
+        SQLite connection for the resume checks (connections are thread-bound;
+        WAL allows this read connection alongside the main commit connection —
+        same per-operation-connection pattern as image_database.py:850).
+        """
+        check_conn = connect(engine.db_path)
+        check_cursor = check_conn.cursor()
+        try:
+            for parent_dir, folder_files in folders:
+                try:
+                    state["folders_done"] += 1
+                    files_to_process = sample_folder_sequences(sorted(folder_files))
+                    removed = len(folder_files) - len(files_to_process)
+                    if removed:
+                        state["files_removed"] += removed
+                        state["sampled_folders"] += 1
+                        if pbar:
+                            pbar.total = max(pbar.total - removed, pbar.n)
+
+                    folder_metadata = []
+                    for img_path in files_to_process:
+                        file_path = str(img_path.absolute())
+                        folder_metadata.append((file_path, os.path.getmtime(file_path)))
+
+                    with timers.track("check_db"):
+                        processed_files = engine.store.batch_check_processed(
+                            check_cursor, folder_metadata
+                        )
+
+                    for file_path, last_modified in folder_metadata:
+                        if file_path in processed_files:
+                            state["skipped"] += 1
+                            if pbar:
+                                pbar.update(1)
+                            continue
+                        if limit is not None and state["queued"] >= limit:
+                            return
+                        state["queued"] += 1
+                        yield file_path, last_modified
+                except Exception as e:  # noqa: BLE001 - folder containment
+                    log(f"\n  [ERROR] Error processing folder {state['folders_done']}: {str(parent_dir)[-80:]}")
+                    log(f"  Error: {e}")
+                    state["errors"] += len(folder_files)
+                    if pbar:
+                        pbar.update(len(folder_files))
+                    continue
+        finally:
+            check_conn.close()
+
+    def commit(batch) -> None:
+        with timers.track("db_write", count=len(batch)):
+            engine.store.commit_with_retry(
+                cursor, conn, batch, save_full_embeddings,
+                thumbnailer=engine.thumbnailer.ensure_for,
+            )
+        state["processed"] += len(batch)
+
+    interrupted = False
+    try:
+        pending_embed = None  # (future embeddings device array, items)
+        def drain(pe):
+            """Block on a dispatched embed and stage rows for commit."""
+            emb_dev, items, valid = pe
+            with timers.track("inference", count=len(items)):
+                emb = np.asarray(emb_dev, dtype=np.float32)
+            for i, item in enumerate(items):
+                if valid[i] and item.file_hash is not None:
+                    db_batch.append((item.path, item.last_modified, item.file_hash, emb[i]))
+                else:
+                    state["errors"] += 1
+            if pbar:
+                pbar.update(len(items))
+
+        for batch in prefetch_batches(
+            pending_files(),
+            batch_size=inference_batch_size,
+            image_size=engine.image_size,
+            with_hash=True,
+        ):
+            from tpuclip.models.siglip import get_image_features
+            import jax.numpy as jnp
+
+            # Dispatch this batch (async), then drain the previous one while
+            # the device works.
+            emb_dev = get_image_features(
+                engine.params, jnp.asarray(batch.pixels), engine.config,
+                compute_dtype=engine.compute_dtype,
+            )
+            if pending_embed is not None:
+                drain(pending_embed)
+            pending_embed = (emb_dev[: len(batch.items)], batch.items, batch.valid)
+
+            if len(db_batch) >= batch_size:
+                flush, db_batch = db_batch, []
+                commit(flush)
+
+        if pending_embed is not None:
+            drain(pending_embed)
+            pending_embed = None
+        if db_batch:
+            commit(db_batch)
+            db_batch = []
+
+        log(f"\n  Processed {state['folders_done']:,} / {len(folders):,} folders")
+        if state["sampled_folders"]:
+            log(
+                f"  Sequence sampling: {state['sampled_folders']} folders sampled, "
+                f"{state['files_removed']:,} files removed (kept every 100th frame)"
+            )
+        if limit is not None and state["queued"] >= limit:
+            log(f"  Limited to {limit} images for testing - stopping")
+
+    except KeyboardInterrupt:
+        interrupted = True
+        log("\n\nInterrupted! Committing current batch...")
+        if pending_embed is not None:
+            try:
+                drain(pending_embed)
+            except Exception:  # noqa: BLE001
+                pass
+        if db_batch:
+            commit(db_batch)
+            db_batch = []
+        log(
+            f"Progress saved: {state['processed']} processed, "
+            f"{state['skipped']} skipped, {state['errors']} errors"
+        )
+        log("You can resume by running the same command - already processed images will be skipped.")
+    finally:
+        if pbar:
+            pbar.close()
+        conn.close()
+
+    if not interrupted:
+        log("\n[Step 4/4] Finalizing...")
+        banner("Scan Complete!")
+        log(f"  Processed: {state['processed']:,} images")
+        log(f"  Skipped: {state['skipped']:,} images (already in database)")
+        log(f"  Errors: {state['errors']:,}" if state["errors"] else "  Errors: 0")
+        if profile:
+            timers.report(processed=state["processed"])
+        log("=" * 60 + "\n")

@@ -1,0 +1,146 @@
+"""Tokenizer front-end with pluggable backends.
+
+Reproduces the reference's text contract (image_database.py:509-543):
+  1. lowercase is mandatory,
+  2. the prompt template is ``"this is a photo of {text}"``,
+  3. padding to exactly 64 tokens (``max_length=64``).
+
+The template/lowercasing live in :func:`build_prompt` (applied by the engine,
+like the reference applies them before the processor call); this module turns
+the prompt into fixed-length id arrays.
+
+Backends, in resolution order:
+  1. **SentencePieceBackend** — our pure-Python sentencepiece (tokenizer.model
+     in the checkpoint dir). Family conventions: SigLIP2 uses the Gemma
+     tokenizer (BOS prepended, no EOS); SigLIP1 appends EOS. Both pad right.
+  2. **HFBackend** — transformers AutoTokenizer when importable and tokenizer
+     files are present (bit-exact with upstream; useful where the full HF
+     stack exists).
+  3. **HashBackend** — deterministic word-hash ids for offline/random-weight
+     smoke runs and tests; NOT compatible with pretrained checkpoints.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+MAX_LENGTH = 64  # strict SigLIP requirement (image_database.py:528)
+
+
+def build_prompt(text: str) -> str:
+    """Lowercase + official template (image_database.py:517-521)."""
+    return f"this is a photo of {text.lower()}"
+
+
+@dataclass(frozen=True)
+class TokenizerConventions:
+    add_bos: bool
+    add_eos: bool
+    pad_id: int
+
+    @staticmethod
+    def for_model(model_name: str, sp_model=None) -> "TokenizerConventions":
+        if "siglip2" in model_name:
+            # Gemma tokenizer: BOS prepended, pad with <pad>=0.
+            return TokenizerConventions(add_bos=True, add_eos=False, pad_id=0)
+        # SigLIP v1 sentencepiece tokenizer: EOS appended, pad with eos/pad id.
+        pad = 1
+        if sp_model is not None:
+            pad = sp_model.pad_id if sp_model.pad_id >= 0 else sp_model.eos_id
+        return TokenizerConventions(add_bos=False, add_eos=True, pad_id=pad)
+
+
+class Tokenizer:
+    """Fixed-length encoder. encode() returns int32 [max_length]."""
+
+    vocab_size: int
+
+    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+        raise NotImplementedError
+
+    def encode_batch(self, texts: Sequence[str], max_length: int = MAX_LENGTH) -> np.ndarray:
+        return np.stack([self.encode(t, max_length) for t in texts])
+
+    def _finalize(self, ids: List[int], conv: TokenizerConventions, max_length: int) -> np.ndarray:
+        if conv.add_bos:
+            ids = [self.bos_id] + ids
+        if conv.add_eos:
+            ids = ids + [self.eos_id]
+        ids = ids[:max_length]
+        out = np.full((max_length,), conv.pad_id, dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+
+class SentencePieceBackend(Tokenizer):
+    def __init__(self, model_file: str, model_name: str = ""):
+        from tpuclip.text.sentencepiece import load_model
+
+        self.sp = load_model(model_file)
+        self.vocab_size = self.sp.vocab_size
+        self.bos_id = self.sp.bos_id
+        self.eos_id = self.sp.eos_id
+        self.conventions = TokenizerConventions.for_model(model_name, self.sp)
+
+    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+        ids = self.sp.encode(text)
+        return self._finalize(list(ids), self.conventions, max_length)
+
+
+class HFBackend(Tokenizer):
+    def __init__(self, name_or_dir: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(name_or_dir)
+        self.vocab_size = self.tok.vocab_size
+
+    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+        out = self.tok(
+            [text], padding="max_length", max_length=max_length, truncation=True
+        )["input_ids"][0]
+        return np.asarray(out, dtype=np.int32)
+
+
+class HashBackend(Tokenizer):
+    """Deterministic whitespace-word hashing — stable ids for smoke/test runs."""
+
+    def __init__(self, vocab_size: int = 256000):
+        self.vocab_size = vocab_size
+        self.bos_id = 2
+        self.eos_id = 1
+        self.conventions = TokenizerConventions(add_bos=True, add_eos=False, pad_id=0)
+
+    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+        reserved = 3
+        ids = []
+        for word in text.lower().split():
+            h = int.from_bytes(hashlib.sha256(word.encode("utf-8")).digest()[:8], "little")
+            ids.append(reserved + (h % (self.vocab_size - reserved)))
+        return self._finalize(ids, self.conventions, max_length)
+
+
+def load_tokenizer(
+    model_name: str,
+    checkpoint_dir: Optional[str] = None,
+    vocab_size: int = 256000,
+) -> Tokenizer:
+    """Resolve the best available backend for a checkpoint."""
+    if checkpoint_dir:
+        d = Path(checkpoint_dir)
+        sp_file = d / "tokenizer.model"
+        if sp_file.exists():
+            try:
+                return SentencePieceBackend(str(sp_file), model_name)
+            except Exception as e:  # noqa: BLE001
+                print(f"Warning: sentencepiece load failed ({e}); trying HF tokenizer")
+        if (d / "tokenizer.json").exists() or (d / "tokenizer_config.json").exists():
+            try:
+                return HFBackend(str(d))
+            except Exception as e:  # noqa: BLE001
+                print(f"Warning: HF tokenizer load failed ({e}); using hash fallback")
+    return HashBackend(vocab_size)
