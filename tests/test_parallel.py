@@ -1,0 +1,123 @@
+"""Multi-chip logic on an 8-device virtual CPU mesh (SURVEY.md §4.5):
+sharded search parity with single-device, DP inference, TP param sharding,
+and the contrastive train step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpuclip.models import get_config, init_params
+from tpuclip.models.siglip import get_image_features
+from tpuclip.ops.topk import topk_xla
+from tpuclip.parallel import make_mesh, param_shardings, shard_params
+from tpuclip.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from tpuclip.parallel.sharded_search import ShardedIndex
+from tpuclip.parallel.training import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    sigmoid_contrastive_loss,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(model_parallelism=1)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return make_mesh(model_parallelism=2)
+
+
+def test_sharded_search_matches_single_device(mesh8):
+    rng = np.random.default_rng(0)
+    n, d, k = 10_000, 64, 17
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((3, d)).astype(np.float32)
+
+    idx = ShardedIndex(matrix, mesh8, dtype=jnp.float32)
+    s_sh, i_sh = idx.search(queries, k)
+
+    s_ref, i_ref = topk_xla(jnp.asarray(queries), jnp.asarray(matrix.T), k)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_search_ragged_rows(mesh8):
+    """Row count not divisible by the mesh: zero-padding must not leak."""
+    rng = np.random.default_rng(1)
+    n, d, k = 1003, 32, 10
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((1, d)).astype(np.float32)
+    idx = ShardedIndex(matrix, mesh8, dtype=jnp.float32)
+    s_sh, i_sh = idx.search(queries, k)
+    s_ref, i_ref = topk_xla(jnp.asarray(queries), jnp.asarray(matrix.T), k)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+    assert np.asarray(i_sh).max() < n
+
+
+def test_dp_inference_matches_single(mesh8):
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    batch = rng.integers(0, 256, size=(16, 56, 56, 3), dtype=np.uint8)
+
+    single = np.asarray(get_image_features(params, jnp.asarray(batch), cfg))
+
+    sharded_batch = jax.device_put(
+        jnp.asarray(batch), NamedSharding(mesh8, P(DATA_AXIS, None, None, None))
+    )
+    dp = np.asarray(get_image_features(params, sharded_batch, cfg))
+    np.testing.assert_allclose(dp, single, rtol=1e-4, atol=1e-5)
+
+
+def test_tp_param_sharding_preserves_forward(mesh4x2):
+    """TP-sharded params (heads/MLP over 'model') must not change outputs."""
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, size=(8, 56, 56, 3), dtype=np.uint8)
+    base = np.asarray(get_image_features(params, jnp.asarray(batch), cfg))
+
+    sharded = shard_params(params, mesh4x2)
+    # verify something actually sharded over 'model'
+    fc1 = sharded["vision"]["encoder"]["fc1_kernel"]
+    assert MODEL_AXIS in str(fc1.sharding.spec)
+    out = np.asarray(get_image_features(sharded, jnp.asarray(batch), cfg))
+    np.testing.assert_allclose(out, base, rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_runs_and_decreases_loss(mesh8):
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sharded = shard_params(params, mesh8)
+    opt = make_optimizer(learning_rate=1e-3)
+    state = init_train_state(sharded, opt)
+    step = make_train_step(cfg, opt, mesh=mesh8, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(4)
+    images = jnp.asarray(rng.integers(0, 256, size=(16, 56, 56, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(0, 512, size=(16, 64)))
+
+    first_loss = float(
+        sigmoid_contrastive_loss(params, images, ids, cfg, jnp.float32)
+    )
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, images, ids)
+        losses.append(float(loss))
+    assert losses[0] == pytest.approx(first_loss, rel=1e-3)
+    assert losses[-1] < losses[0]  # memorizing one batch must reduce loss
+    assert int(state.step) == 5
+
+
+def test_param_shardings_cover_tree(mesh4x2):
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    specs = param_shardings(params, mesh4x2)
+    assert jax.tree.structure(specs) == jax.tree.structure(params)

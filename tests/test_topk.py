@@ -29,7 +29,7 @@ def test_topk_xla_matches_oracle(n, k):
     rng = np.random.default_rng(0)
     q = rng.standard_normal((3, 64)).astype(np.float32)
     m = rng.standard_normal((n, 64)).astype(np.float32)
-    s, i = topk_xla(jnp.asarray(q), jnp.asarray(m), k)
+    s, i = topk_xla(jnp.asarray(q), jnp.asarray(m.T), k)
     es, ei = _oracle(q, m, k)
     np.testing.assert_array_equal(np.asarray(i), ei)
     np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
@@ -40,7 +40,7 @@ def test_topk_xla_with_mask():
     q = rng.standard_normal((2, 32)).astype(np.float32)
     m = rng.standard_normal((500, 32)).astype(np.float32)
     mask = np.where(rng.random(500) < 0.5, 0.0, -np.inf).astype(np.float32)
-    s, i = topk_xla(jnp.asarray(q), jnp.asarray(m), 15, mask=jnp.asarray(mask))
+    s, i = topk_xla(jnp.asarray(q), jnp.asarray(m.T), 15, mask=jnp.asarray(mask))
     es, ei = _oracle(q, m, 15, mask)
     np.testing.assert_array_equal(np.asarray(i), ei)
 
@@ -51,7 +51,7 @@ def test_topk_pallas_interpret_matches_oracle(n, k, qn):
     rng = np.random.default_rng(2)
     q = rng.standard_normal((qn, 128)).astype(np.float32)
     m = rng.standard_normal((n, 128)).astype(np.float32)
-    s, i = topk_pallas(jnp.asarray(q), jnp.asarray(m), k, tile_n=512, interpret=True)
+    s, i = topk_pallas(jnp.asarray(q), jnp.asarray(m.T), k, tile_n=512, interpret=True)
     es, ei = _oracle(q, m, k)
     np.testing.assert_array_equal(np.asarray(i), ei)
     np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
@@ -64,7 +64,7 @@ def test_topk_pallas_duplicate_scores_tiebreak():
     base = rng.standard_normal((4, 64)).astype(np.float32)
     m = np.tile(base, (64, 1))  # 256 rows, every score appears 64 times
     q = base[:1]
-    s, i = topk_pallas(jnp.asarray(q), jnp.asarray(m), 8, tile_n=256, interpret=True)
+    s, i = topk_pallas(jnp.asarray(q), jnp.asarray(m.T), 8, tile_n=256, interpret=True)
     es, ei = _oracle(q, m, 8)
     np.testing.assert_array_equal(np.asarray(i), ei)
 
@@ -73,7 +73,7 @@ def test_k_larger_than_n():
     rng = np.random.default_rng(4)
     q = rng.standard_normal((1, 16)).astype(np.float32)
     m = rng.standard_normal((5, 16)).astype(np.float32)
-    s, i = cosine_topk(jnp.asarray(q), jnp.asarray(m), 10)
+    s, i = cosine_topk(jnp.asarray(q), jnp.asarray(m.T), 10)
     assert s.shape == (1, 5)
     es, ei = _oracle(q, m, 10)
     np.testing.assert_array_equal(np.asarray(i), ei)
@@ -82,5 +82,5 @@ def test_k_larger_than_n():
 def test_empty_matrix():
     q = np.zeros((1, 16), np.float32)
     m = np.zeros((0, 16), np.float32)
-    s, i = cosine_topk(jnp.asarray(q), jnp.asarray(m), 10)
+    s, i = cosine_topk(jnp.asarray(q), jnp.asarray(m.T), 10)
     assert s.shape == (1, 0) and i.shape == (1, 0)

@@ -23,7 +23,7 @@ import numpy as np
 from tpuclip.index.cache import MatrixCache
 from tpuclip.index.store import MetadataStore
 from tpuclip.ops.hamming import binary_topk
-from tpuclip.ops.topk import cosine_topk
+from tpuclip.ops.topk import cosine_topk, pad_matrix_t
 from tpuclip.utils.logging import log
 
 
@@ -45,7 +45,8 @@ class DeviceIndex:
         self.matrix_dtype = matrix_dtype or _default_matrix_dtype()
         self.device = device
         self._ids: Optional[np.ndarray] = None  # row -> image_id
-        self._matrix: Optional[jnp.ndarray] = None  # (N, D) on device
+        self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
+        self._n_valid: Optional[jnp.ndarray] = None
         self._bin_ids: Optional[np.ndarray] = None
         self._bin_matrix: Optional[jnp.ndarray] = None  # (N, D) int8 on device
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
@@ -63,18 +64,24 @@ class DeviceIndex:
         ids, vectors = self.cache.load()
         self._ids = ids
         if len(ids):
+            # Feature-major (D, N) device layout, pre-padded to the kernel
+            # tile so the per-query path never copies the matrix (see
+            # tpuclip.ops.topk layout/padding notes).
+            mt, n_valid = pad_matrix_t(np.ascontiguousarray(np.asarray(vectors).T))
             self._matrix = jax.device_put(
-                jnp.asarray(np.asarray(vectors), dtype=self.matrix_dtype), self.device
+                jnp.asarray(mt, dtype=self.matrix_dtype), self.device
             )
+            self._n_valid = jnp.asarray(n_valid, jnp.int32)
         else:
             self._matrix = None
+            self._n_valid = None
 
         bin_ids, packed = self.cache.load_binary()
         self._bin_ids = bin_ids
         if len(bin_ids):
             bits = np.unpackbits(np.asarray(packed), axis=-1)[:, : self.store.embedding_dim]
             self._bin_matrix = jax.device_put(
-                jnp.asarray(bits, dtype=jnp.int8), self.device
+                jnp.asarray(bits.T, dtype=jnp.int8), self.device
             )
         else:
             self._bin_matrix = None
@@ -97,15 +104,17 @@ class DeviceIndex:
     # ----------------------------------------------------------------- masks
 
     def _folder_mask(
-        self, filter_folders: Sequence[str], row_ids: np.ndarray
+        self, filter_folders: Sequence[str], row_ids: np.ndarray, padded_n: int
     ) -> jnp.ndarray:
-        key = tuple(sorted(filter_folders)) + (len(row_ids),)
+        """Additive -inf/0 mask over the padded column width."""
+        key = tuple(sorted(filter_folders)) + (len(row_ids), padded_n)
         cached = self._mask_cache.get(key)
         if cached is not None:
             return cached
         allowed = self.store.folder_filter_ids(filter_folders)
         allowed_arr = np.fromiter(allowed, dtype=np.int64, count=len(allowed))
-        keep = np.isin(row_ids, allowed_arr)
+        keep = np.zeros((padded_n,), bool)
+        keep[: len(row_ids)] = np.isin(row_ids, allowed_arr)
         mask = jnp.asarray(np.where(keep, 0.0, -np.inf), dtype=jnp.float32)
         mask = jax.device_put(mask, self.device)
         self._mask_cache[key] = mask
@@ -134,14 +143,14 @@ class DeviceIndex:
     def _search_full(self, query, k, filter_folders):
         q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
         mask = (
-            self._folder_mask(filter_folders, self._ids)
+            self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])
             if filter_folders
             else None
         )
-        scores, rows = cosine_topk(q, self._matrix, k, mask=mask)
+        scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
         scores = np.asarray(scores[0])
         rows = np.asarray(rows[0])
-        valid = np.isfinite(scores)
+        valid = np.isfinite(scores) & (rows < len(self._ids))
         scores, rows = scores[valid], rows[valid]
         image_ids = self._ids[rows]
         paths = self.store.fetch_paths_for_ids(image_ids)
@@ -154,7 +163,7 @@ class DeviceIndex:
     def _search_binary(self, query, k, filter_folders):
         qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.int8)
         mask = (
-            self._folder_mask(filter_folders, self._bin_ids)
+            self._folder_mask(filter_folders, self._bin_ids, self._bin_matrix.shape[1])
             if filter_folders
             else None
         )

@@ -352,15 +352,15 @@ def _layer_stack(key, cfg, dtype) -> Params:
     ok, ob = stack_dense(keys[3], d, d)
     f1k, f1b = stack_dense(keys[4], d, f)
     f2k, f2b = stack_dense(keys[5], f, d)
-    ones = jnp.ones((n, d), dtype)
-    zeros = jnp.zeros((n, d), dtype)
+    # NOTE: each leaf gets its own array — aliased buffers break donation
+    # (donate_argnums would hand the same buffer to XLA twice).
     return {
-        "ln1_scale": ones, "ln1_bias": zeros,
+        "ln1_scale": jnp.ones((n, d), dtype), "ln1_bias": jnp.zeros((n, d), dtype),
         "q_kernel": qk, "q_bias": qb,
         "k_kernel": kk, "k_bias": kb,
         "v_kernel": vk, "v_bias": vb,
         "o_kernel": ok, "o_bias": ob,
-        "ln2_scale": ones, "ln2_bias": zeros,
+        "ln2_scale": jnp.ones((n, d), dtype), "ln2_bias": jnp.zeros((n, d), dtype),
         "fc1_kernel": f1k, "fc1_bias": f1b,
         "fc2_kernel": f2k, "fc2_bias": f2b,
     }

@@ -26,24 +26,24 @@ import numpy as np
 @functools.partial(jax.jit, static_argnames=("k",))
 def binary_topk(
     query_bits: jnp.ndarray,
-    matrix_bits: jnp.ndarray,
+    matrix_bits_t: jnp.ndarray,
     k: int,
     mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """query_bits (Q, D) int8 {0,1}; matrix_bits (N, D) int8 {0,1}.
+    """query_bits (Q, D) int8 {0,1}; matrix_bits_t (D, N) int8 {0,1}
+    (feature-major, same transposed layout as tpuclip.ops.topk).
 
     Returns (matches (Q,k) int32, idx (Q,k) int32), descending, ties to the
     lowest index. matches/D is the reference's similarity score
     (image_database.py:1621-1624).
     """
-    n = matrix_bits.shape[0]
+    n = matrix_bits_t.shape[1]
     k_eff = min(k, n) if n > 0 else 0
     if k_eff == 0:
         q = query_bits.shape[0]
         return jnp.zeros((q, 0), jnp.int32), jnp.zeros((q, 0), jnp.int32)
-    scores = jax.lax.dot_general(
-        query_bits.astype(jnp.int8), matrix_bits.astype(jnp.int8),
-        dimension_numbers=(((1,), (1,)), ((), ())),
+    scores = jnp.dot(
+        query_bits.astype(jnp.int8), matrix_bits_t.astype(jnp.int8),
         preferred_element_type=jnp.int32,
     )
     if mask is not None:

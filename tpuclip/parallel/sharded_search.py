@@ -1,0 +1,113 @@
+"""Mesh-sharded brute-force search.
+
+The embedding matrix is row-sharded across the ``data`` axis; each device
+computes a local fused matmul+top-k over its shard, the (ndev × k) candidate
+sets ride one small ``all_gather`` over ICI, and every device reduces them to
+the global top-k. Communication is O(ndev·Q·k), independent of N — the scan
+itself never crosses chips.
+
+This replaces "scale" for the reference's single-host sqlite-vec scan
+(image_database.py:1567): 10M × 1152 bf16 = 23 GB fits a v5e-16 slice at
+~1.4 GB/chip.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuclip.parallel.mesh import DATA_AXIS
+from tpuclip.ops.topk import topk_xla
+
+
+def shard_matrix(matrix_t: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Place the feature-major (D, N) matrix column-sharded over the data
+    axis. N must divide evenly; callers pad zero columns and mask via
+    n_valid."""
+    return jax.device_put(matrix_t, NamedSharding(mesh, P(None, DATA_AXIS)))
+
+
+def pad_for_mesh(matrix_t, mesh: Mesh):
+    """Pad columns to a multiple of the data-axis size; returns
+    (padded, n_valid)."""
+    import numpy as np
+
+    ndev = mesh.shape[DATA_AXIS]
+    n = matrix_t.shape[1]
+    rem = (-n) % ndev
+    if rem:
+        matrix_t = np.concatenate(
+            [matrix_t, np.zeros(matrix_t.shape[:1] + (rem,), matrix_t.dtype)], axis=1
+        )
+    return matrix_t, n
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_topk(
+    queries: jnp.ndarray,
+    matrix_t: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    n_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed top-k. queries (Q, D) replicated; matrix_t (D, N)
+    column-sharded over ``data``.
+
+    Returns (scores, global_idx) each (Q, k), identical to a single-device
+    scan over the unsharded matrix (validated in tests on an 8-device CPU
+    mesh).
+    """
+    n_total = matrix_t.shape[1]
+    ndev = mesh.shape[DATA_AXIS]
+    shard_rows = n_total // ndev
+    k_eff = min(k, n_total)
+
+    def local(q, m_shard, n_valid):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_rows
+        s, i = topk_xla(q, m_shard, k_eff)
+        # mask local candidates that fall past the valid row count
+        gi = i + base
+        s = jnp.where(gi < n_valid, s, -jnp.inf)
+        # gather all devices' candidates: (ndev, Q, k)
+        s_all = jax.lax.all_gather(s, DATA_AXIS)
+        i_all = jax.lax.all_gather(gi, DATA_AXIS)
+        q_count = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        top_s, pos = jax.lax.top_k(s_flat, k_eff)
+        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+        order = jnp.lexsort((top_i, -top_s), axis=-1)
+        return (
+            jnp.take_along_axis(top_s, order, axis=1),
+            jnp.take_along_axis(top_i, order, axis=1),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(queries, matrix_t, n_valid.astype(jnp.int32))
+
+
+class ShardedIndex:
+    """Convenience wrapper: host (N, D) matrix → mesh-resident sharded index
+    (stored feature-major)."""
+
+    def __init__(self, matrix, mesh: Mesh, dtype=jnp.bfloat16):
+        import numpy as np
+
+        padded, n = pad_for_mesh(np.ascontiguousarray(np.asarray(matrix).T), mesh)
+        self.mesh = mesh
+        self.n_valid = jnp.asarray(n, jnp.int32)
+        self.matrix = shard_matrix(jnp.asarray(padded, dtype=dtype), mesh)
+
+    def search(self, queries, k: int):
+        q = jnp.asarray(queries, self.matrix.dtype)
+        return sharded_topk(q, self.matrix, k, self.mesh, self.n_valid)
