@@ -119,6 +119,34 @@ def test_text_features_parity(models):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_text_features_parity_with_attention_mask(models):
+    """The reference path masks padded tokens (processor emits attention_mask,
+    HF applies it) — masked features must match too."""
+    hf, cfg, params = models
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2, TEXT_KW["vocab_size"], size=(3, 64))
+    mask = np.ones((3, 64), np.int64)
+    mask[0, 9:] = 0
+    mask[1, 30:] = 0
+    ids[0, 9:] = 1
+    ids[1, 30:] = 1
+    with torch.no_grad():
+        ref = hf.get_text_features(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).numpy()
+    ours = np.asarray(
+        siglip.text_forward(
+            params["text"], jnp.asarray(ids), cfg.text,
+            attention_mask=jnp.asarray(mask),
+        )
+    )
+    assert _cos(ours, ref) > 0.99999
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    # and masking must actually change the result vs unmasked
+    unmasked = np.asarray(siglip.text_forward(params["text"], jnp.asarray(ids), cfg.text))
+    assert _cos(ours[:2], unmasked[:2]) < 0.9999
+
+
 def test_uint8_pixel_normalization(models):
     """uint8 NHWC input must equal the rescale+normalize preprocessing."""
     hf, cfg, params = models

@@ -114,9 +114,15 @@ class ImageDatabase:
 
     def embed_texts(self, texts: List[str]) -> np.ndarray:
         """Prompted, tokenized, L2-normalized text embeddings (fp32)."""
-        ids = self.tokenizer.encode_batch([build_prompt(t) for t in texts])
+        ids, mask = self.tokenizer.encode_batch_with_mask(
+            [build_prompt(t) for t in texts]
+        )
         out = get_text_features(
-            self.params, jnp.asarray(ids), self.config, compute_dtype=self.compute_dtype
+            self.params,
+            jnp.asarray(ids),
+            self.config,
+            compute_dtype=self.compute_dtype,
+            attention_mask=jnp.asarray(mask),
         )
         return np.asarray(out, dtype=np.float32)
 

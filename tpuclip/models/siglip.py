@@ -243,23 +243,34 @@ def text_forward(
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas_attention: bool = False,
     return_hidden: bool = False,
+    attention_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Text tower → projected features (B, proj) (pre-normalization).
 
     SigLIP text contract (image_database.py:509-543): inputs are padded to
-    exactly ``cfg.max_length`` tokens, no attention mask is applied, pooling
-    takes the LAST position's hidden state, then the linear head projects it.
+    exactly ``cfg.max_length`` tokens, pooling takes the LAST position's
+    hidden state (which may be a pad token), then the linear head projects
+    it. ``attention_mask`` (B, S) of 1/0 masks padded keys — the reference
+    passes the processor's mask into ``get_text_features``
+    (image_database.py:524-536 via HF `_prepare_4d_attention_mask`), so
+    embedding compatibility requires honoring it.
     """
     ids = input_ids.astype(jnp.int32)
     tok = jnp.take(params["token_embedding"], ids, axis=0).astype(compute_dtype)
     seq = ids.shape[-1]
     pos = params["pos_embed"][:seq].astype(compute_dtype)
     x = tok + pos[None, :, :]
+    mask4d = None
+    if attention_mask is not None:
+        # (B, S) keep-mask → additive (B, 1, 1, S): 0 keep, -inf drop.
+        keep = attention_mask.astype(jnp.float32)
+        mask4d = ((1.0 - keep) * jnp.finfo(jnp.float32).min)[:, None, None, :]
     x = encoder(
         x,
         params["encoder"],
         cfg.num_heads,
         cfg.layer_norm_eps,
+        mask=mask4d,
         use_pallas_attention=use_pallas_attention,
     )
     hidden = layer_norm(
@@ -309,11 +320,13 @@ def get_text_features(
     cfg: SiglipConfig,
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas_attention: bool = False,
+    attention_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """L2-normalized text embeddings (B, embedding_dim), fp32 (eps 1e-12,
     image_database.py:540)."""
     pooled = text_forward(
-        params["text"], input_ids, cfg.text, compute_dtype, use_pallas_attention
+        params["text"], input_ids, cfg.text, compute_dtype, use_pallas_attention,
+        attention_mask=attention_mask,
     ).astype(jnp.float32)
     pooled = jax.lax.optimization_barrier(pooled)  # see get_image_features
     norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)

@@ -56,17 +56,30 @@ class TokenizerConventions:
 
 
 class Tokenizer:
-    """Fixed-length encoder. encode() returns int32 [max_length]."""
+    """Fixed-length encoder.
+
+    ``encode_with_mask`` returns (ids int32 [L], attention_mask int32 [L]) —
+    the mask flags real tokens vs padding, and MUST be fed to the text tower
+    (the reference's processor emits it and HF SiglipTextTransformer applies
+    it; unmasked features diverge far beyond the 0.999-cosine budget).
+    """
 
     vocab_size: int
 
-    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+    def encode_with_mask(self, text: str, max_length: int = MAX_LENGTH):
         raise NotImplementedError
+
+    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+        return self.encode_with_mask(text, max_length)[0]
 
     def encode_batch(self, texts: Sequence[str], max_length: int = MAX_LENGTH) -> np.ndarray:
         return np.stack([self.encode(t, max_length) for t in texts])
 
-    def _finalize(self, ids: List[int], conv: TokenizerConventions, max_length: int) -> np.ndarray:
+    def encode_batch_with_mask(self, texts: Sequence[str], max_length: int = MAX_LENGTH):
+        pairs = [self.encode_with_mask(t, max_length) for t in texts]
+        return np.stack([p[0] for p in pairs]), np.stack([p[1] for p in pairs])
+
+    def _finalize(self, ids: List[int], conv: TokenizerConventions, max_length: int):
         if conv.add_bos:
             ids = [self.bos_id] + ids
         if conv.add_eos:
@@ -74,7 +87,9 @@ class Tokenizer:
         ids = ids[:max_length]
         out = np.full((max_length,), conv.pad_id, dtype=np.int32)
         out[: len(ids)] = ids
-        return out
+        mask = np.zeros((max_length,), dtype=np.int32)
+        mask[: len(ids)] = 1
+        return out, mask
 
 
 class SentencePieceBackend(Tokenizer):
@@ -87,7 +102,7 @@ class SentencePieceBackend(Tokenizer):
         self.eos_id = self.sp.eos_id
         self.conventions = TokenizerConventions.for_model(model_name, self.sp)
 
-    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+    def encode_with_mask(self, text: str, max_length: int = MAX_LENGTH):
         ids = self.sp.encode(text)
         return self._finalize(list(ids), self.conventions, max_length)
 
@@ -99,11 +114,15 @@ class HFBackend(Tokenizer):
         self.tok = AutoTokenizer.from_pretrained(name_or_dir)
         self.vocab_size = self.tok.vocab_size
 
-    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+    def encode_with_mask(self, text: str, max_length: int = MAX_LENGTH):
         out = self.tok(
             [text], padding="max_length", max_length=max_length, truncation=True
-        )["input_ids"][0]
-        return np.asarray(out, dtype=np.int32)
+        )
+        ids = np.asarray(out["input_ids"][0], dtype=np.int32)
+        mask = np.asarray(
+            out.get("attention_mask", [[1] * len(ids)])[0], dtype=np.int32
+        )
+        return ids, mask
 
 
 class HashBackend(Tokenizer):
@@ -115,7 +134,7 @@ class HashBackend(Tokenizer):
         self.eos_id = 1
         self.conventions = TokenizerConventions(add_bos=True, add_eos=False, pad_id=0)
 
-    def encode(self, text: str, max_length: int = MAX_LENGTH) -> np.ndarray:
+    def encode_with_mask(self, text: str, max_length: int = MAX_LENGTH):
         reserved = 3
         ids = []
         for word in text.lower().split():
