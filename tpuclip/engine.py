@@ -96,10 +96,15 @@ class ImageDatabase:
     # ------------------------------------------------------------- embeddings
 
     def embed_images_uint8(self, batch_uint8: np.ndarray) -> np.ndarray:
-        """uint8 (B, S, S, 3) → L2-normalized fp32 (B, D). B is padded to the
-        configured inference batch size to keep one compiled program."""
+        """uint8 (B, S, S, 3) → L2-normalized fp32 (B, D).
+
+        Shapes are bucketed to keep compilation bounded: single images (query
+        time) run at batch 1; everything else pads to the configured
+        inference batch size — exactly two compiled programs per tower.
+        """
         b = batch_uint8.shape[0]
-        pad = self.inference_batch_size - b
+        target = 1 if b == 1 else self.inference_batch_size
+        pad = target - b
         if pad > 0:
             batch_uint8 = np.concatenate(
                 [batch_uint8, np.zeros((pad,) + batch_uint8.shape[1:], np.uint8)]

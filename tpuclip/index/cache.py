@@ -51,17 +51,19 @@ class MatrixCache:
         except (OSError, json.JSONDecodeError):
             return None
 
-    def _write_manifest(self, count: int, max_id: int, dim: int, bin_count: int, bin_max_id: int) -> None:
+    def _write_manifest(self, dim: int, full_fp, bin_fp) -> None:
         tmp = self._manifest_path.with_suffix(".tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(
                 {
                     "version": _VERSION,
-                    "count": count,
-                    "max_image_id": max_id,
                     "dim": dim,
-                    "bin_count": bin_count,
-                    "bin_max_image_id": bin_max_id,
+                    "count": full_fp[0],
+                    "max_image_id": full_fp[1],
+                    "sum_image_id": full_fp[2],
+                    "bin_count": bin_fp[0],
+                    "bin_max_image_id": bin_fp[1],
+                    "bin_sum_image_id": bin_fp[2],
                 },
                 f,
             )
@@ -102,39 +104,51 @@ class MatrixCache:
     # --------------------------------------------------------------- refresh
 
     def refresh(self) -> None:
-        count, max_id = self.store.embeddings_fingerprint()
-        bin_count, bin_max_id = self.store.binary_fingerprint()
+        full_fp = self.store.embeddings_fingerprint()  # (count, max_id, sum_id)
+        bin_fp = self.store.binary_fingerprint()
         m = self._read_manifest()
         dim = self.store.embedding_dim
 
         fresh = (
             m is not None
-            and m["count"] == count
-            and m["max_image_id"] == max_id
             and m["dim"] == dim
-            and m.get("bin_count") == bin_count
-            and m.get("bin_max_image_id") == bin_max_id
+            and (m["count"], m["max_image_id"], m.get("sum_image_id")) == full_fp
+            and (m.get("bin_count"), m.get("bin_max_image_id"), m.get("bin_sum_image_id"))
+            == bin_fp
         )
         if fresh:
             return
 
         self.cache_dir.mkdir(parents=True, exist_ok=True)
 
-        appendable = (
+        # Append-only refresh is valid only if every change since the manifest
+        # is strictly new rows past the old max id — proven by comparing the
+        # tail (count, id-sum) against the fingerprint deltas. A modified file
+        # deletes+reinserts (id churn), which fails this check and forces a
+        # full rebuild.
+        appendable = False
+        start_id = bin_start_id = 0
+        if (
             m is not None
             and m["dim"] == dim
-            and m["count"] <= count
-            and m["max_image_id"] <= max_id
-            and m.get("bin_count", 0) <= bin_count
+            and m.get("sum_image_id") is not None
             and (self.cache_dir / "vectors.f32").exists()
-        )
-        if appendable:
+        ):
             start_id = m["max_image_id"]
             bin_start_id = m.get("bin_max_image_id", 0)
+            tail_c, tail_s = self.store.tail_fingerprint("embeddings", start_id)
+            btail_c, btail_s = self.store.tail_fingerprint("binary_embeddings", bin_start_id)
+            appendable = (
+                m["count"] + tail_c == full_fp[0]
+                and m["sum_image_id"] + tail_s == full_fp[2]
+                and m.get("bin_count", 0) + btail_c == bin_fp[0]
+                and m.get("bin_sum_image_id", 0) + btail_s == bin_fp[2]
+            )
+
+        if appendable:
             mode = "ab"
         else:
-            start_id = 0
-            bin_start_id = 0
+            start_id = bin_start_id = 0
             mode = "wb"
             for name in ("vectors.f32", "ids.i64", "bits.u8", "bin_ids.i64"):
                 p = self.cache_dir / name
@@ -163,6 +177,6 @@ class MatrixCache:
         if new_rows or bin_rows or m is None:
             log(
                 f"  Matrix cache refreshed: +{new_rows} vectors, +{bin_rows} binary rows "
-                f"({count:,} total)"
+                f"({full_fp[0]:,} total)"
             )
-        self._write_manifest(count, max_id, dim, bin_count, bin_max_id)
+        self._write_manifest(dim, full_fp, bin_fp)

@@ -215,6 +215,15 @@ class MetadataStore:
                 if thumbnailer is not None:
                     thumbnailer(file_path)
 
+                # A modified file (same path, new mtime) is re-inserted via
+                # INSERT OR REPLACE, which assigns a NEW id — capture the old
+                # id so its embedding rows can be dropped instead of orphaned
+                # (orphans would occupy top-k slots; the reference's SQL JOIN
+                # hid them, a post-top-k path filter would not).
+                cursor.execute("SELECT id FROM images WHERE file_path = ?", (file_path,))
+                stale = cursor.fetchone()
+                stale_id = stale[0] if stale else None
+
                 cursor.execute(
                     """
                     INSERT OR REPLACE INTO images (file_path, last_modified, file_hash)
@@ -230,6 +239,11 @@ class MetadataStore:
                     image_id = cursor.lastrowid
                 if image_id is None:
                     continue
+                if stale_id is not None and stale_id != image_id:
+                    cursor.execute("DELETE FROM embeddings WHERE image_id = ?", (stale_id,))
+                    cursor.execute(
+                        "DELETE FROM binary_embeddings WHERE image_id = ?", (stale_id,)
+                    )
 
                 vec = np.asarray(embedding, dtype=np.float32).reshape(-1)
                 if save_full_embeddings:
@@ -358,24 +372,42 @@ class MetadataStore:
         finally:
             conn.close()
 
-    def embeddings_fingerprint(self) -> Tuple[int, int]:
-        """(row_count, max_image_id) of the embeddings table — the staleness
-        stamp for the packed matrix cache. Append-only workload, so this pair
-        changes iff new vectors were committed."""
+    def embeddings_fingerprint(self) -> Tuple[int, int, int]:
+        """(row_count, max_image_id, sum_image_id) of the embeddings table —
+        the staleness stamp for the packed matrix cache. The id-sum term
+        catches replace-style changes (modified files delete the stale id and
+        insert a new one, leaving the count unchanged)."""
         conn = connect(self.db_path)
         try:
             row = conn.execute(
-                "SELECT COUNT(*), COALESCE(MAX(image_id), 0) FROM embeddings"
+                "SELECT COUNT(*), COALESCE(MAX(image_id), 0), "
+                "COALESCE(SUM(image_id), 0) FROM embeddings"
             ).fetchone()
-            return int(row[0]), int(row[1])
+            return int(row[0]), int(row[1]), int(row[2])
         finally:
             conn.close()
 
-    def binary_fingerprint(self) -> Tuple[int, int]:
+    def binary_fingerprint(self) -> Tuple[int, int, int]:
         conn = connect(self.db_path)
         try:
             row = conn.execute(
-                "SELECT COUNT(*), COALESCE(MAX(image_id), 0) FROM binary_embeddings"
+                "SELECT COUNT(*), COALESCE(MAX(image_id), 0), "
+                "COALESCE(SUM(image_id), 0) FROM binary_embeddings"
+            ).fetchone()
+            return int(row[0]), int(row[1]), int(row[2])
+        finally:
+            conn.close()
+
+    def tail_fingerprint(self, table: str, min_image_id: int) -> Tuple[int, int]:
+        """(count, sum_image_id) of rows with image_id > min_image_id —
+        used to prove a cache refresh can be append-only."""
+        assert table in ("embeddings", "binary_embeddings")
+        conn = connect(self.db_path)
+        try:
+            row = conn.execute(
+                f"SELECT COUNT(*), COALESCE(SUM(image_id), 0) FROM {table} "
+                "WHERE image_id > ?",
+                (min_image_id,),
             ).fetchone()
             return int(row[0]), int(row[1])
         finally:

@@ -51,13 +51,17 @@ def find_local_checkpoint(model_name: str, model_cache_dir: Optional[str]) -> Op
         snapshots = sorted(hub.iterdir(), key=lambda p: p.stat().st_mtime, reverse=True)
         candidates.extend(snapshots)
     for c in candidates:
-        if c.is_dir() and (c / "config.json").exists():
+        if c.is_dir() and ((c / "config.json").exists() or (c / "tpuclip.json").exists()):
             return c
     return None
 
 
 def load_checkpoint_dir(model_dir: str, model_name: Optional[str] = None) -> Tuple[SiglipConfig, Params]:
-    """Load (config, params) from an HF-layout directory."""
+    """Load (config, params) from a tpuclip-native or HF-layout directory."""
+    from tpuclip.models.checkpoint import is_tpuclip_checkpoint, load_checkpoint
+
+    if is_tpuclip_checkpoint(model_dir):
+        return load_checkpoint(model_dir)
     with open(Path(model_dir) / "config.json", "r", encoding="utf-8") as f:
         hf_cfg = json.load(f)
     name = model_name or hf_cfg.get("_name_or_path") or str(model_dir)

@@ -168,6 +168,17 @@ def scan_directory(
             )
         state["processed"] += len(batch)
 
+    # Opt-in device tracing behind the same --profile flag: the wall-clock
+    # timers show host time; a perfetto trace under TPUCLIP_TRACE_DIR shows
+    # the device/host overlap (SURVEY.md §5 tracing upgrade).
+    import os as _os
+
+    trace_dir = _os.environ.get("TPUCLIP_TRACE_DIR") if profile else None
+    if trace_dir:
+        import jax as _jax
+
+        _jax.profiler.start_trace(trace_dir)
+
     interrupted = False
     try:
         pending_embed = None  # (future embeddings device array, items)
@@ -240,6 +251,11 @@ def scan_directory(
         )
         log("You can resume by running the same command - already processed images will be skipped.")
     finally:
+        if trace_dir:
+            import jax as _jax
+
+            _jax.profiler.stop_trace()
+            log(f"  Device trace written to {trace_dir}")
         if pbar:
             pbar.close()
         conn.close()
