@@ -87,6 +87,61 @@ def bench_query_latency(
     return per_query_ms, "pallas" if use_pallas else "xla"
 
 
+def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
+    """int8 quantized search mode (TPUCLIP_SEARCH_PRECISION=int8)."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import (
+        INT8_TILE_N,
+        quantize_matrix_t,
+        quantize_query,
+        topk_int8_pallas,
+        topk_int8_xla,
+    )
+
+    rng = np.random.default_rng(0)
+    host = rng.standard_normal((d, n)).astype(np.float32)
+    padded, n_valid_int = pad_matrix_t(host, tile_n=INT8_TILE_N)
+    mq_host, scales_host = quantize_matrix_t(padded)
+    matrix = jnp.asarray(mq_host)
+    scales = jnp.asarray(scales_host)
+    n_valid = jnp.asarray(n_valid_int, jnp.int32)
+    use_pallas = jax.default_backend() == "tpu"
+
+    qs_host = rng.standard_normal((chain, 1, d)).astype(np.float32)
+    q_list = [quantize_query(qs_host[i]) for i in range(chain)]
+    qi = jnp.asarray(np.stack([a for a, _ in q_list]))
+    qsc = jnp.asarray(np.array([b for _, b in q_list], np.float32))
+    matrix.block_until_ready()
+
+    import jax as _jax
+
+    @_jax.jit
+    def chained(qi, qsc, matrix, scales):
+        def step(carry, inp):
+            q, s = inp
+            q = q + (carry * 0.0).astype(q.dtype)
+            if use_pallas:
+                sc, ix = topk_int8_pallas(q, matrix, scales, s, k, n_valid=n_valid)
+            else:
+                sc, ix = topk_int8_xla(q, matrix, scales, s, k, n_valid=n_valid)
+            return jnp.max(sc).astype(jnp.int32), (sc, ix)
+
+        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.int32), (qi, qsc))
+        return outs
+
+    out = chained(qi, qsc, matrix, scales)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(qi, qsc, matrix, scales)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / chain)
+    return float(np.percentile(np.array(samples), 50) * 1000)
+
+
 def bench_indexing_throughput(jax, batch=64, iters=4):
     """SO400M image-tower forward throughput (device-side ceiling for scan)."""
     import jax.numpy as jnp
@@ -135,6 +190,14 @@ def main():
         result["vs_baseline"] = round(10.0 / per_query_ms, 2)  # >1.0 beats the 10ms target
         result["backend"] = backend
         result["kernel"] = impl
+        try:
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
+            result["int8_p50_ms"] = round(
+                bench_query_latency_int8(jax, n, chain=chain), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            result["int8_error"] = str(e)[:200]
         try:
             if os.environ.get("TPUCLIP_BENCH_SKIP_INDEXING") == "1":
                 raise RuntimeError("skipped by env")

@@ -177,6 +177,19 @@ def test_binary_only_mode(tree, tmp_path):
     assert all(0.0 <= s <= 1.0 for _, s in results)
 
 
+def test_int8_precision_index(db, tree):
+    """int8 search mode must return the same top results on this tiny DB."""
+    from tpuclip.index.search import DeviceIndex
+
+    exact = db.search("a red square", k=5, show_duplicates=True)
+    idx8 = DeviceIndex(db.store, precision="int8")
+    q = db._get_text_embedding("a red square")
+    got = idx8.search(q, 5)
+    assert [p for p, _ in got] == [p for p, _ in exact]
+    for (_, s8), (_, se) in zip(got, exact):
+        assert abs(s8 - se) < 0.02
+
+
 def test_gallery_generation(db, tmp_path):
     results = db.search("a red square", k=3, show_duplicates=True)
     out = tmp_path / "g.html"

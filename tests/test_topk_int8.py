@@ -1,0 +1,75 @@
+"""int8 quantized search: score accuracy and top-k recall vs exact fp32."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpuclip.ops.topk import topk_xla
+from tpuclip.ops.topk_int8 import (
+    quantize_matrix_t,
+    quantize_query,
+    topk_int8_pallas,
+    topk_int8_xla,
+)
+
+
+def _unit_rows(rng, n, d):
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    matrix = _unit_rows(rng, 20_000, 128)
+    queries = _unit_rows(rng, 8, 128)
+    return matrix, queries
+
+
+def test_int8_scores_close_to_exact(data):
+    matrix, queries = data
+    mt = matrix.T.copy()
+    mq, scales = quantize_matrix_t(mt)
+    qi, qs = quantize_query(queries[0:1])
+    s, i = topk_int8_xla(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(qs), 10
+    )
+    exact = matrix @ queries[0]
+    approx = np.asarray(s[0])
+    got = exact[np.asarray(i[0])]
+    np.testing.assert_allclose(approx, got, atol=0.01)  # quantization error bound
+
+
+def test_int8_topk_recall(data):
+    """recall@20 of the int8 scan vs the exact scan must be ~1."""
+    matrix, queries = data
+    mt = matrix.T.copy()
+    mq, scales = quantize_matrix_t(mt)
+    hits = total = 0
+    for q in queries:
+        _, exact_i = topk_xla(jnp.asarray(q[None]), jnp.asarray(mt), 20)
+        qi, qs = quantize_query(q[None])
+        _, int8_i = topk_int8_xla(
+            jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(qs), 20
+        )
+        hits += len(set(np.asarray(exact_i[0])) & set(np.asarray(int8_i[0])))
+        total += 20
+    assert hits / total >= 0.95, f"recall@20 = {hits / total}"
+
+
+def test_int8_pallas_matches_xla(data):
+    matrix, queries = data
+    n, d = 4096, 128  # pre-padded size
+    mt = matrix[:n].T.copy()
+    mq, scales = quantize_matrix_t(mt)
+    qi, qs = quantize_query(queries[:2])
+    sp, ip = topk_int8_pallas(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(qs),
+        13, tile_n=1024, interpret=True,
+    )
+    sx, ix = topk_int8_xla(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(qs), 13
+    )
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sx), rtol=1e-6)

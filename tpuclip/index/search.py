@@ -39,11 +39,20 @@ class DeviceIndex:
         store: MetadataStore,
         matrix_dtype=None,
         device=None,
+        precision: Optional[str] = None,
     ):
+        import os
+
         self.store = store
         self.cache = MatrixCache(store)
         self.matrix_dtype = matrix_dtype or _default_matrix_dtype()
         self.device = device
+        # "bf16" (default) = exact-within-bf16 scan; "int8" = per-vector
+        # symmetric quantization, ~2x faster and half the HBM (recall@20
+        # ~=1.0 on unit-norm embeddings; see tests/test_topk_int8.py).
+        self.precision = precision or os.environ.get("TPUCLIP_SEARCH_PRECISION", "bf16")
+        self._scales: Optional[jnp.ndarray] = None
+        self._q_matrix: Optional[jnp.ndarray] = None
         self._ids: Optional[np.ndarray] = None  # row -> image_id
         self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
         self._n_valid: Optional[jnp.ndarray] = None
@@ -67,13 +76,25 @@ class DeviceIndex:
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
             # tpuclip.ops.topk layout/padding notes).
-            mt, n_valid = pad_matrix_t(np.ascontiguousarray(np.asarray(vectors).T))
-            self._matrix = jax.device_put(
-                jnp.asarray(mt, dtype=self.matrix_dtype), self.device
-            )
+            if self.precision == "int8":
+                from tpuclip.ops.topk_int8 import INT8_TILE_N, quantize_matrix_t
+
+                mt, n_valid = pad_matrix_t(
+                    np.ascontiguousarray(np.asarray(vectors).T), tile_n=INT8_TILE_N
+                )
+                q, scales = quantize_matrix_t(mt)
+                self._matrix = jax.device_put(jnp.asarray(q), self.device)
+                self._scales = jax.device_put(jnp.asarray(scales), self.device)
+            else:
+                mt, n_valid = pad_matrix_t(np.ascontiguousarray(np.asarray(vectors).T))
+                self._matrix = jax.device_put(
+                    jnp.asarray(mt, dtype=self.matrix_dtype), self.device
+                )
+                self._scales = None
             self._n_valid = jnp.asarray(n_valid, jnp.int32)
         else:
             self._matrix = None
+            self._scales = None
             self._n_valid = None
 
         bin_ids, packed = self.cache.load_binary()
@@ -141,13 +162,33 @@ class DeviceIndex:
         return []
 
     def _search_full(self, query, k, filter_folders):
-        q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
         mask = (
             self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])
             if filter_folders
             else None
         )
-        scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
+        if self.precision == "int8":
+            from tpuclip.ops.topk_int8 import (
+                quantize_query,
+                topk_int8_pallas,
+                topk_int8_xla,
+            )
+
+            qi, qs = quantize_query(np.asarray(query, np.float32).reshape(1, -1))
+            if mask is None and jax.default_backend() == "tpu" and k <= 128:
+                scores, rows = topk_int8_pallas(
+                    jnp.asarray(qi), self._matrix, self._scales,
+                    jnp.asarray(qs, jnp.float32), k, n_valid=self._n_valid,
+                )
+            else:
+                scores, rows = topk_int8_xla(
+                    jnp.asarray(qi), self._matrix, self._scales,
+                    jnp.asarray(qs, jnp.float32), k,
+                    n_valid=self._n_valid, mask=mask,
+                )
+        else:
+            q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
+            scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
         scores = np.asarray(scores[0])
         rows = np.asarray(rows[0])
         valid = np.isfinite(scores) & (rows < len(self._ids))

@@ -1,0 +1,192 @@
+"""int8 quantized fused search.
+
+The bf16 scan is HBM-bandwidth-bound (the matrix is read once per query), so
+halving bytes halves latency: vectors quantize to symmetric per-vector int8
+(unit-norm rows → scales are near-uniform), the MXU computes exact int32
+dots, and scores rescale in fp32. Measured ranking agreement with the bf16
+scan is validated in tests (top-k recall on random unit vectors); this is an
+opt-in serving mode (`TPUCLIP_SEARCH_PRECISION=int8`), bf16 remains default.
+
+Layout matches tpuclip.ops.topk: matrix transposed (D, N), padded columns,
+n_valid masking, (score desc, idx asc) ordering.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuclip.ops.topk import DEFAULT_TILE_N, _final_merge
+
+_NEG_INF = float("-inf")
+
+
+def quantize_matrix_t(matrix_t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(D, N) float → (int8 (D, N), scales (N,) float32), symmetric per-column."""
+    m = np.asarray(matrix_t, np.float32)
+    scales = np.abs(m).max(axis=0) / 127.0
+    scales = np.where(scales == 0, 1.0, scales).astype(np.float32)
+    q = np.clip(np.rint(m / scales[None, :]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_query(q: np.ndarray) -> Tuple[np.ndarray, float]:
+    q = np.asarray(q, np.float32)
+    scale = float(np.abs(q).max() / 127.0) or 1.0
+    qi = np.clip(np.rint(q / scale), -127, 127).astype(np.int8)
+    return qi, scale
+
+
+def _int8_topk_kernel(
+    q_ref, m_ref, scales_ref, meta_ref, scores_ref, idx_ref,
+    *, k: int, k_pad: int, tile_n: int, out_rows: int,
+):
+    """q_ref (Qp, D) int8; m_ref (D, TILE_N) int8; scales_ref (1, TILE_N) f32;
+    meta_ref SMEM [(1,1) n_valid int32]; outputs (out_rows, k_pad).
+
+    Qp is padded to the int8 sublane count (32) for the matmul, but the VPU
+    top-k loop only runs over the first ``out_rows`` rows — the padding rows
+    otherwise quadruple the reduction work, which dominates the per-tile
+    cost once the scan is near the bandwidth roofline.
+    """
+    tile_idx = pl.program_id(0)
+    base = tile_idx * tile_n
+
+    acc = jax.lax.dot_general(
+        q_ref[:], m_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc[:out_rows].astype(jnp.float32) * scales_ref[0, :][None, :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    n_valid = meta_ref[0, 0]
+    scores = jnp.where(col < n_valid, scores, _NEG_INF)
+
+    bcol = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    s = scores
+    cols_s, cols_i = [], []
+    for _ in range(k):
+        best = jnp.max(s, axis=1)
+        best_idx = jnp.min(jnp.where(s == best[:, None], bcol, tile_n), axis=1)
+        cols_s.append(best)
+        cols_i.append(best_idx + base)
+        s = jnp.where(bcol == best_idx[:, None], _NEG_INF, s)
+    out_s = jnp.stack(cols_s, axis=1)
+    out_i = jnp.stack(cols_i, axis=1)
+    if k_pad > k:
+        pad = ((0, 0), (0, k_pad - k))
+        out_s = jnp.pad(out_s, pad, constant_values=_NEG_INF)
+        out_i = jnp.pad(out_i, pad, constant_values=jnp.iinfo(jnp.int32).max)
+    scores_ref[:] = out_s
+    idx_ref[:] = out_i
+
+
+INT8_TILE_N = 4096  # half the bytes of bf16 → a 2x tile fits double-buffered
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def topk_int8_pallas(
+    q_int8: jnp.ndarray,       # (Q, D) int8
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8, pre-padded to tile multiple
+    scales: jnp.ndarray,       # (N,) float32 (padded width)
+    q_scale: jnp.ndarray,      # () float32
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    tile_n: int = INT8_TILE_N,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    q_count, d = q_int8.shape
+    n = matrix_int8_t.shape[1]
+    if n_valid is None:
+        n_valid = jnp.asarray(n, jnp.int32)
+    k_eff = min(k, n) if n > 0 else 0
+    if k_eff == 0:
+        return (
+            jnp.zeros((q_count, 0), jnp.float32),
+            jnp.zeros((q_count, 0), jnp.int32),
+        )
+
+    tile = min(tile_n, n)
+    assert n % tile == 0, "matrix must be pre-padded to the tile size"
+    num_tiles = n // tile
+
+    # int8 sublane tiling is 32; pad queries accordingly. Outputs only carry
+    # the fp32-sublane-aligned real rows.
+    q_pad = (-q_count) % 32
+    if q_pad:
+        q_int8 = jnp.pad(q_int8, ((0, q_pad), (0, 0)))
+    qp = q_int8.shape[0]
+    out_rows = min(qp, max(8, -(-q_count // 8) * 8))
+
+    meta = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+    scales2d = scales.reshape(1, -1)
+
+    k_pad = -(-k_eff // 128) * 128
+    kernel = functools.partial(
+        _int8_topk_kernel, k=k_eff, k_pad=k_pad, tile_n=tile, out_rows=out_rows
+    )
+    scores, idx = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((out_rows, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_rows, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, num_tiles * k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((out_rows, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=n * d + qp * d + n * 4,
+            transcendentals=0,
+        ),
+    )(q_int8, matrix_int8_t, scales2d, meta)
+
+    merged_s, merged_i = _final_merge(scores, idx, k_eff)
+    return merged_s[:q_count] * q_scale, merged_i[:q_count]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_int8_xla(
+    q_int8, matrix_int8_t, scales, q_scale, k, n_valid=None, mask=None
+):
+    """XLA path (CPU tests / masked searches)."""
+    n = matrix_int8_t.shape[1]
+    k_eff = min(k, n) if n > 0 else 0
+    if k_eff == 0:
+        return (
+            jnp.zeros((q_int8.shape[0], 0), jnp.float32),
+            jnp.zeros((q_int8.shape[0], 0), jnp.int32),
+        )
+    acc = jax.lax.dot_general(
+        q_int8, matrix_int8_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * scales[None, :]
+    if mask is not None:
+        scores = scores + mask[None, :]
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        scores = jnp.where(col < n_valid, scores, _NEG_INF)
+    top_s, top_i = jax.lax.top_k(scores, k_eff)
+    order = jnp.lexsort((top_i, -top_s), axis=-1)
+    return (
+        jnp.take_along_axis(top_s, order, axis=1) * q_scale,
+        jnp.take_along_axis(top_i, order, axis=1).astype(jnp.int32),
+    )
