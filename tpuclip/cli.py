@@ -198,6 +198,27 @@ def build_parser() -> argparse.ArgumentParser:
     search_parser.add_argument("--profile", action="store_true", help="Show performance profiling information for search")
     search_parser.add_argument("--show-duplicates", action="store_true", help="Show duplicate images in results (default: filtered)")
     search_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
+
+    # Beyond the reference surface: checkpoint conversion + fine-tuning.
+    convert_parser = subparsers.add_parser(
+        "convert", help="Convert an HF-layout checkpoint to the tpuclip-native format"
+    )
+    convert_parser.add_argument("src", help="Source checkpoint directory (HF layout) or model name in the cache")
+    convert_parser.add_argument("dst", help="Destination directory for the tpuclip checkpoint")
+    convert_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory for name lookups")
+
+    train_parser = subparsers.add_parser(
+        "train", help="Contrastive fine-tuning on (image, sidecar-caption) pairs"
+    )
+    train_parser.add_argument("data", help="Directory of images with sidecar .txt captions")
+    train_parser.add_argument("--output", required=True, help="Output directory for checkpoints")
+    train_parser.add_argument("--model", default=None, help="Model preset name")
+    train_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+    train_parser.add_argument("--steps", type=int, default=100, help="Training steps")
+    train_parser.add_argument("--batch-size", type=int, default=16, help="Global batch size")
+    train_parser.add_argument("--lr", type=float, default=1e-5, help="Learning rate")
+    train_parser.add_argument("--resume", default=None, help="Orbax train-state directory to resume from")
+    train_parser.add_argument("--seed", type=int, default=0, help="Shuffle seed")
     return parser
 
 
@@ -528,8 +549,44 @@ def main(argv: Optional[List[str]] = None) -> None:
         _run_scan(args, paths)
     elif args.mode == "search":
         _run_search(args, paths)
+    elif args.mode == "convert":
+        _run_convert(args)
+    elif args.mode == "train":
+        from tpuclip.models.configs import DEFAULT_MODEL
+        from tpuclip.pipelines.train import train
+
+        train(
+            args.data,
+            model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
+            model_cache_dir=args.model_cache or None,
+            output_dir=args.output,
+            steps=args.steps,
+            batch_size=args.batch_size,
+            learning_rate=args.lr,
+            resume=args.resume,
+            seed=args.seed,
+        )
     else:
         parser.print_help()
+
+
+def _run_convert(args) -> None:
+    from pathlib import Path as _Path
+
+    from tpuclip.models.checkpoint import save_checkpoint
+    from tpuclip.models.loader import find_local_checkpoint, load_checkpoint_dir
+
+    src = args.src
+    if not _Path(src).is_dir():
+        located = find_local_checkpoint(src, args.model_cache)
+        if located is None:
+            log(f"[X] Error: {src} is neither a directory nor a cached model name")
+            sys.exit(2)
+        src = str(located)
+    log(f"Converting {src} ...")
+    cfg, params = load_checkpoint_dir(src, model_name=args.src if "/" in args.src else None)
+    save_checkpoint(args.dst, params, cfg)
+    log(f"[OK] Wrote tpuclip checkpoint: {args.dst} ({cfg.name})")
 
 
 if __name__ == "__main__":
