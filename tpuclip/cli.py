@@ -177,6 +177,11 @@ def build_parser() -> argparse.ArgumentParser:
     scan_parser.add_argument("--exclude", action="append", help="Exclude directory path (can be used multiple times)")
     scan_parser.add_argument("--binary-only", action="store_true", help="Only save binary embeddings (space-efficient mode)")
     scan_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
+    scan_parser.add_argument(
+        "--fast-decode", action="store_true",
+        help="JPEG DCT-domain fast decode (3-8x faster on large photos; "
+        "pixels differ slightly from a full decode)",
+    )
 
     search_parser = subparsers.add_parser("search", help="Search for similar images")
     search_parser.add_argument("query", nargs="?", help="Text query or image file path (optional if using --interactive)")
@@ -219,6 +224,16 @@ def build_parser() -> argparse.ArgumentParser:
     train_parser.add_argument("--lr", type=float, default=1e-5, help="Learning rate")
     train_parser.add_argument("--resume", default=None, help="Orbax train-state directory to resume from")
     train_parser.add_argument("--seed", type=int, default=0, help="Shuffle seed")
+
+    serve_parser = subparsers.add_parser(
+        "serve", help="HTTP search server (resident model + HBM index)"
+    )
+    serve_parser.add_argument("--db", default=None, help="Database path")
+    serve_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    serve_parser.add_argument("--host", default="127.0.0.1", help="Bind host")
+    serve_parser.add_argument("--port", type=int, default=8000, help="Bind port")
+    serve_parser.add_argument("--model", default=None, help="Model preset name")
+    serve_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
     return parser
 
 
@@ -261,6 +276,8 @@ def _make_engine(db_path: str, args):
 
 def _run_scan(args, paths) -> None:
     log("Starting scan mode...\n")
+    if getattr(args, "fast_decode", False):
+        os.environ["TPUCLIP_FAST_DECODE"] = "1"
     db_path = _require_db_path(args, paths)
     log("Initializing database connection and loading model...")
     db = _make_engine(db_path, args)
@@ -551,6 +568,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         _run_search(args, paths)
     elif args.mode == "convert":
         _run_convert(args)
+    elif args.mode == "serve":
+        from tpuclip.serve import run_serve
+
+        run_serve(args, paths)
     elif args.mode == "train":
         from tpuclip.models.configs import DEFAULT_MODEL
         from tpuclip.pipelines.train import train

@@ -161,6 +161,53 @@ class DeviceIndex:
             return self._search_binary(query, k, filter_folders)
         return []
 
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        k: int,
+        filter_folders: Optional[Sequence[str]] = None,
+    ) -> List[List[Tuple[str, float]]]:
+        """Top-k for Q queries in ONE device pass (the matrix is read once for
+        the whole batch — amortizes the scan across concurrent queries)."""
+        self.refresh()
+        if self._matrix is None or len(queries) == 0:
+            return [self.search(q, k, filter_folders) for q in np.atleast_2d(queries)]
+        q = jnp.asarray(np.asarray(queries, np.float32).reshape(len(queries), -1))
+        mask = (
+            self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])
+            if filter_folders
+            else None
+        )
+        if self.precision == "int8":
+            from tpuclip.ops.topk_int8 import topk_int8_xla
+
+            scales = np.abs(np.asarray(q)).max(axis=1, keepdims=True) / 127.0
+            scales = np.where(scales == 0, 1.0, scales)
+            qi = np.clip(np.rint(np.asarray(q) / scales), -127, 127).astype(np.int8)
+            # per-row query scales folded in after the shared-scale kernel
+            scores, rows = topk_int8_xla(
+                jnp.asarray(qi), self._matrix, self._scales,
+                jnp.asarray(1.0, jnp.float32), k, n_valid=self._n_valid, mask=mask,
+            )
+            scores = np.asarray(scores) * scales
+        else:
+            scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
+            scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out = []
+        for qi_row in range(len(queries)):
+            valid = np.isfinite(scores[qi_row]) & (rows[qi_row] < len(self._ids))
+            image_ids = self._ids[rows[qi_row][valid]]
+            paths = self.store.fetch_paths_for_ids(image_ids)
+            out.append(
+                [
+                    (paths[int(i)], float(s))
+                    for i, s in zip(image_ids, scores[qi_row][valid])
+                    if int(i) in paths
+                ]
+            )
+        return out
+
     def _search_full(self, query, k, filter_folders):
         mask = (
             self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])

@@ -39,9 +39,20 @@ def supported_extensions(include_pdf: Optional[bool] = None) -> set:
     return exts
 
 
-def load_image(image_path: str) -> Optional[Image.Image]:
+def load_image(
+    image_path: str, draft_size: Optional[int] = None
+) -> Optional[Image.Image]:
     """Load an RGB PIL image, or None on any failure (containment:
-    a bad file must never kill a scan, image_database.py:439-441)."""
+    a bad file must never kill a scan, image_database.py:439-441).
+
+    ``draft_size``: opt-in JPEG fast path — libjpeg DCT-domain scaling
+    decodes directly at >= (draft_size, draft_size) instead of full
+    resolution, typically 3-8x faster for multi-megapixel photos. Pixel
+    values differ slightly from a full decode (different downsampling
+    chain), so it is NOT used by default; enable with
+    ``TPUCLIP_FAST_DECODE=1`` / ``scan --fast-decode`` when byte-level
+    preprocessing parity with the reference does not matter.
+    """
     try:
         file_ext = Path(image_path).suffix.lower()
         if file_ext == ".pdf":
@@ -62,7 +73,12 @@ def load_image(image_path: str) -> Optional[Image.Image]:
             except Exception as pdf_error:  # noqa: BLE001
                 safe_print_path("Error converting PDF ", image_path, pdf_error)
                 return None
-        return Image.open(image_path).convert("RGB")
+        img = Image.open(image_path)
+        if draft_size is not None and img.format == "JPEG":
+            # Request a decode at >=2x the target in each dimension; the
+            # final bicubic resize then still downsamples (never upsamples).
+            img.draft("RGB", (draft_size * 2, draft_size * 2))
+        return img.convert("RGB")
     except Exception as e:  # noqa: BLE001
         safe_print_path("Error loading ", image_path, e)
         return None

@@ -48,8 +48,13 @@ class Batch:
     valid: np.ndarray  # bool (B,) — True where pixels are a real decode
 
 
+def _fast_decode_enabled() -> bool:
+    return os.environ.get("TPUCLIP_FAST_DECODE", "") in ("1", "true", "yes")
+
+
 def _decode_one(path: str, last_modified: float, image_size: int, with_hash: bool) -> DecodedImage:
-    img = load_image(path)
+    draft = image_size if _fast_decode_enabled() else None
+    img = load_image(path, draft_size=draft)
     pixels = resize_to_uint8(img, image_size) if img is not None else None
     file_hash = None
     if with_hash and pixels is not None:

@@ -1,0 +1,164 @@
+"""HTTP serving mode.
+
+The reference's only resident-serving mode is the interactive terminal
+session (image_database.py:2026-2299). For production deployment this module
+wraps the same engine in a small threaded HTTP server (stdlib only):
+
+  GET  /health            → {"status": "ok", ...}
+  GET  /stats             → index sizes, model, backend
+  POST /search            → body {"query": str, "k": int?, "query2": str?,
+                            "weights": [w1, w2]?, "negative": str?,
+                            "negative_weight": float?, "folders": [str]?,
+                            "show_duplicates": bool?}
+                            (query strings support the same mini-language as
+                            the REPL: "a + b", "a - b", "image:<path>")
+
+The model and the HBM-resident index stay warm across requests; request
+handling is serialized through a lock (single-chip engine; scale-out is DP
+replicas behind a load balancer, one engine per chip).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from tpuclip.cli import parse_interactive_line
+from tpuclip.utils.logging import log
+
+
+def make_handler(engine, lock: threading.Lock):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log(f"  [serve] {self.address_string()} {fmt % args}")
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/health":
+                self._json(200, {"status": "ok", "model": engine.model_name})
+                return
+            if self.path == "/stats":
+                full, binary = engine.store.count_embeddings()
+                self._json(
+                    200,
+                    {
+                        "images": engine.store.count_images(),
+                        "full_embeddings": full,
+                        "binary_embeddings": binary,
+                        "embedding_dim": engine.embedding_dim,
+                        "model": engine.model_name,
+                        "db_path": engine.db_path,
+                    },
+                )
+                return
+            self._json(404, {"error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/search":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            query = req.get("query")
+            if not query or not isinstance(query, str):
+                self._json(400, {"error": "missing 'query' string"})
+                return
+
+            cmd = parse_interactive_line(query, req.get("negative_weight", 0.5))
+            if cmd.kind != "search":
+                self._json(400, {"error": f"not a search query ({cmd.kind})"})
+                return
+            spec = cmd.search
+            if req.get("negative") is not None:
+                spec.negative_query = req["negative"]
+            if req.get("query2") is not None:
+                spec.query2 = req["query2"]
+
+            try:
+                with lock:
+                    results = engine.search(
+                        spec.query,
+                        k=int(req.get("k", 10)),
+                        is_image_path=spec.is_image,
+                        query2=spec.query2,
+                        is_image_path2=spec.is_image2,
+                        weights=tuple(req.get("weights", (0.5, 0.5))),
+                        negative_query=spec.negative_query,
+                        negative_is_image=spec.negative_is_image,
+                        negative_weight=float(req.get("negative_weight", 0.5)),
+                        negative_queries=spec.negative_queries,
+                        negative_is_images=spec.negative_is_images,
+                        negative_weights=spec.negative_weights,
+                        filter_folders=req.get("folders"),
+                        show_duplicates=bool(req.get("show_duplicates", False)),
+                    )
+            except Exception as e:  # noqa: BLE001 - requests must not kill the server
+                self._json(500, {"error": str(e)})
+                return
+            self._json(
+                200,
+                {
+                    "query": query,
+                    "results": [
+                        {"path": p, "similarity": round(s, 6)} for p, s in results
+                    ],
+                },
+            )
+
+    return Handler
+
+
+class SearchServer:
+    """Threaded HTTP server around a resident engine."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000):
+        self._lock = threading.Lock()
+        self.httpd = ThreadingHTTPServer((host, port), make_handler(engine, self._lock))
+        self.host, self.port = self.httpd.server_address[:2]
+
+    def serve_forever(self) -> None:
+        log(f"Serving on http://{self.host}:{self.port} (POST /search, GET /health, /stats)")
+        try:
+            self.httpd.serve_forever()
+        except KeyboardInterrupt:
+            log("\nShutting down.")
+        finally:
+            self.httpd.server_close()
+
+    def start_background(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def run_serve(args, paths) -> None:
+    """CLI entry: load the engine once, serve until interrupted."""
+    import os
+    import sys
+
+    from tpuclip.cli import _make_engine, _require_db_path
+
+    db_path = _require_db_path(args, paths)
+    if not os.path.exists(db_path):
+        log(f"[X] Error: Database file does not exist: {db_path}")
+        sys.exit(2)
+    engine = _make_engine(db_path, args)
+    engine.index.refresh()  # warm the HBM index before accepting traffic
+    SearchServer(engine, args.host, args.port).serve_forever()
