@@ -116,6 +116,41 @@ def test_train_step_runs_and_decreases_loss(mesh8):
     assert int(state.step) == 5
 
 
+def test_mesh_sharded_device_index(mesh8, tmp_path):
+    """End-to-end: DeviceIndex(mesh=...) serves identical results to the
+    single-device index, including folder filters."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(7)
+    store = MetadataStore(str(tmp_path / "m.db"), embedding_dim=64)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    batch = [
+        (f"/data/{'a' if i % 2 else 'b'}/img{i}.jpg", 1.0 * i, f"h{i}", vecs[i])
+        for i in range(300)
+    ]
+    store.commit_with_retry(cur, conn, batch, save_full_embeddings=True)
+    conn.close()
+
+    q = rng.standard_normal(64).astype(np.float32)
+    single = DeviceIndex(store).search(q, 9)
+    sharded = DeviceIndex(store, mesh=mesh8, matrix_dtype=jnp.float32).search(q, 9)
+    assert [p for p, _ in sharded] == [p for p, _ in single]
+
+    f_single = DeviceIndex(store).search(q, 9, filter_folders=["/data/a"])
+    f_sharded = DeviceIndex(store, mesh=mesh8, matrix_dtype=jnp.float32).search(
+        q, 9, filter_folders=["/data/a"]
+    )
+    assert [p for p, _ in f_sharded] == [p for p, _ in f_single]
+    assert all("/data/a/" in p for p, _ in f_sharded)
+
+
 def test_param_shardings_cover_tree(mesh4x2):
     cfg = get_config("tpuclip/test-tiny")
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -182,6 +182,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="JPEG DCT-domain fast decode (3-8x faster on large photos; "
         "pixels differ slightly from a full decode)",
     )
+    scan_parser.add_argument("--num-shards", type=int, default=1, help="Multi-worker indexing: total workers")
+    scan_parser.add_argument("--shard-index", type=int, default=0, help="Multi-worker indexing: this worker's shard")
 
     search_parser = subparsers.add_parser("search", help="Search for similar images")
     search_parser.add_argument("query", nargs="?", help="Text query or image file path (optional if using --interactive)")
@@ -234,6 +236,12 @@ def build_parser() -> argparse.ArgumentParser:
     serve_parser.add_argument("--port", type=int, default=8000, help="Bind port")
     serve_parser.add_argument("--model", default=None, help="Model preset name")
     serve_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+
+    merge_parser = subparsers.add_parser(
+        "merge", help="Merge shard databases (from sharded scans) into one"
+    )
+    merge_parser.add_argument("dst", help="Destination database path")
+    merge_parser.add_argument("srcs", nargs="+", help="Source shard database paths")
     return parser
 
 
@@ -290,6 +298,8 @@ def _run_scan(args, paths) -> None:
         limit=args.limit,
         exclude_paths=args.exclude if args.exclude else None,
         save_full_embeddings=not args.binary_only,
+        num_shards=args.num_shards,
+        shard_index=args.shard_index,
     )
 
 
@@ -572,6 +582,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         from tpuclip.serve import run_serve
 
         run_serve(args, paths)
+    elif args.mode == "merge":
+        from tpuclip.pipelines.merge import merge_databases
+
+        merge_databases(args.dst, args.srcs)
     elif args.mode == "train":
         from tpuclip.models.configs import DEFAULT_MODEL
         from tpuclip.pipelines.train import train

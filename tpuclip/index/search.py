@@ -40,6 +40,7 @@ class DeviceIndex:
         matrix_dtype=None,
         device=None,
         precision: Optional[str] = None,
+        mesh=None,
     ):
         import os
 
@@ -47,6 +48,18 @@ class DeviceIndex:
         self.cache = MatrixCache(store)
         self.matrix_dtype = matrix_dtype or _default_matrix_dtype()
         self.device = device
+        # Mesh-sharded index: the float matrix column-shards over the 'data'
+        # axis and every search is a distributed top-k (ICI candidate merge).
+        # Opt-in via mesh= or TPUCLIP_SHARDED_INDEX=1 (auto-mesh over all
+        # devices); single-chip behavior is unchanged.
+        if mesh is None and os.environ.get("TPUCLIP_SHARDED_INDEX") == "1":
+            import jax as _jax
+
+            if len(_jax.devices()) > 1:
+                from tpuclip.parallel.mesh import make_mesh
+
+                mesh = make_mesh()
+        self.mesh = mesh
         # "bf16" (default) = exact-within-bf16 scan; "int8" = per-vector
         # symmetric quantization, ~2x faster and half the HBM (recall@20
         # ~=1.0 on unit-norm embeddings; see tests/test_topk_int8.py).
@@ -76,7 +89,21 @@ class DeviceIndex:
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
             # tpuclip.ops.topk layout/padding notes).
-            if self.precision == "int8":
+            if self.mesh is not None:
+                from tpuclip.parallel.mesh import DATA_AXIS
+                from tpuclip.parallel.sharded_search import pad_for_mesh, shard_matrix
+
+                ndev = self.mesh.shape[DATA_AXIS]
+                # pad to a multiple of both the kernel tile and the mesh
+                mt, n_valid = pad_matrix_t(
+                    np.ascontiguousarray(np.asarray(vectors).T),
+                    tile_n=2048 * ndev,
+                )
+                self._matrix = shard_matrix(
+                    jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
+                )
+                self._scales = None
+            elif self.precision == "int8":
                 from tpuclip.ops.topk_int8 import INT8_TILE_N, quantize_matrix_t
 
                 mt, n_valid = pad_matrix_t(
@@ -214,7 +241,16 @@ class DeviceIndex:
             if filter_folders
             else None
         )
-        if self.precision == "int8":
+        if self.mesh is not None:
+            from tpuclip.parallel.sharded_search import sharded_topk
+
+            q = jnp.asarray(
+                np.asarray(query, np.float32).reshape(1, -1), self._matrix.dtype
+            )
+            scores, rows = sharded_topk(
+                q, self._matrix, k, self.mesh, self._n_valid, mask=mask
+            )
+        elif self.precision == "int8":
             from tpuclip.ops.topk_int8 import (
                 quantize_query,
                 topk_int8_pallas,

@@ -46,31 +46,27 @@ def pad_for_mesh(matrix_t, mesh: Mesh):
     return matrix_t, n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
-def sharded_topk(
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
+def _sharded_topk_impl(
     queries: jnp.ndarray,
     matrix_t: jnp.ndarray,
     k: int,
     mesh: Mesh,
     n_valid: jnp.ndarray,
+    mask: jnp.ndarray,
+    has_mask: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Distributed top-k. queries (Q, D) replicated; matrix_t (D, N)
-    column-sharded over ``data``.
-
-    Returns (scores, global_idx) each (Q, k), identical to a single-device
-    scan over the unsharded matrix (validated in tests on an 8-device CPU
-    mesh).
-    """
     n_total = matrix_t.shape[1]
     ndev = mesh.shape[DATA_AXIS]
-    shard_rows = n_total // ndev
+    shard_cols = n_total // ndev
     k_eff = min(k, n_total)
 
-    def local(q, m_shard, n_valid):
+    def local(q, m_shard, n_valid, mask_shard):
         my = jax.lax.axis_index(DATA_AXIS)
-        base = my * shard_rows
-        s, i = topk_xla(q, m_shard, k_eff)
-        # mask local candidates that fall past the valid row count
+        base = my * shard_cols
+        local_mask = mask_shard[0] if has_mask else None
+        s, i = topk_xla(q, m_shard, k_eff, mask=local_mask)
+        # mask local candidates that fall past the valid column count
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
         # gather all devices' candidates: (ndev, Q, k)
@@ -90,10 +86,33 @@ def sharded_topk(
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(None, DATA_AXIS), P()),
+        in_specs=(P(), P(None, DATA_AXIS), P(), P(None, DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, matrix_t, n_valid.astype(jnp.int32))
+    )(queries, matrix_t, n_valid.astype(jnp.int32), mask)
+
+
+def sharded_topk(
+    queries: jnp.ndarray,
+    matrix_t: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    n_valid: jnp.ndarray,
+    mask=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed top-k. queries (Q, D) replicated; matrix_t (D, N)
+    column-sharded over ``data``; optional additive ``mask`` (N,) (folder
+    filters), sharded alongside the matrix.
+
+    Returns (scores, global_idx) each (Q, k), identical to a single-device
+    scan over the unsharded matrix (validated on an 8-device CPU mesh).
+    """
+    has_mask = mask is not None
+    if mask is None:
+        mask = jnp.zeros((1, matrix_t.shape[1]), jnp.float32)
+    else:
+        mask = jnp.reshape(mask, (1, -1)).astype(jnp.float32)
+    return _sharded_topk_impl(queries, matrix_t, k, mesh, n_valid, mask, has_mask)
 
 
 class ShardedIndex:
@@ -108,6 +127,6 @@ class ShardedIndex:
         self.n_valid = jnp.asarray(n, jnp.int32)
         self.matrix = shard_matrix(jnp.asarray(padded, dtype=dtype), mesh)
 
-    def search(self, queries, k: int):
+    def search(self, queries, k: int, mask=None):
         q = jnp.asarray(queries, self.matrix.dtype)
-        return sharded_topk(q, self.matrix, k, self.mesh, self.n_valid)
+        return sharded_topk(q, self.matrix, k, self.mesh, self.n_valid, mask=mask)

@@ -31,6 +31,14 @@ from tpuclip.utils.logging import banner, log
 from tpuclip.utils.profiling import StepTimers
 
 
+def shard_of_folder(folder: str, num_shards: int) -> int:
+    """Deterministic folder→shard assignment for multi-worker indexing."""
+    import hashlib
+
+    h = hashlib.md5(str(folder).encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "little") % num_shards
+
+
 def scan_directory(
     engine,
     root_dir: str,
@@ -40,6 +48,8 @@ def scan_directory(
     limit: Optional[int] = None,
     exclude_paths: Optional[List[str]] = None,
     save_full_embeddings: bool = True,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> None:
     try:
         from tqdm import tqdm
@@ -81,6 +91,13 @@ def scan_directory(
 
     folders = group_by_folder(image_files)
     log(f"  Grouped into {len(folders):,} directories")
+    if num_shards > 1:
+        # Multi-worker DP indexing: each worker owns a deterministic subset
+        # of folders (writing to its own DB; merge with `tpuclip merge`).
+        folders = [
+            (d, fs) for d, fs in folders if shard_of_folder(str(d), num_shards) == shard_index
+        ]
+        log(f"  Shard {shard_index}/{num_shards}: {len(folders):,} folders assigned")
     if not folders:
         log("\n[X] No image files found!")
         return
