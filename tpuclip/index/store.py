@@ -271,6 +271,13 @@ class MetadataStore:
                     )
             except sqlite3.IntegrityError:
                 continue  # skip duplicates (image_database.py:1200)
+            except sqlite3.OperationalError as e:
+                if "locked" in str(e).lower() or "busy" in str(e).lower():
+                    # Must reach commit_with_retry's backoff loop — swallowing
+                    # it here would silently drop the row under contention.
+                    raise
+                safe_print_path("Error committing ", file_path, e)
+                continue
             except Exception as e:  # noqa: BLE001 - containment, keep scanning
                 safe_print_path("Error committing ", file_path, e)
                 continue
