@@ -73,3 +73,20 @@ def test_int8_pallas_matches_xla(data):
     )
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
     np.testing.assert_allclose(np.asarray(sp), np.asarray(sx), rtol=1e-6)
+
+
+def test_binary_topk_packed_matches_unpacked():
+    """Packed popcount path must equal the int8-matmul path exactly."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.hamming import binary_topk, binary_topk_packed, pack_bits_to_words
+
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, (3000, 1152), dtype=np.uint8)
+    qbits = rng.integers(0, 2, (2, 1152), dtype=np.uint8)
+    s1, i1 = binary_topk(jnp.asarray(qbits.astype(np.int8)), jnp.asarray(bits.T.astype(np.int8)), 15)
+    s2, i2 = binary_topk_packed(
+        jnp.asarray(pack_bits_to_words(qbits)), jnp.asarray(pack_bits_to_words(bits)), 15
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))

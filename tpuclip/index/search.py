@@ -3,9 +3,9 @@
 Replaces the reference's per-query SQL scan (image_database.py:1559-1629):
 the packed embedding matrix is uploaded to device HBM once per session (or
 after index growth) and every query is a fused matmul+top-k. The binary path
-(binary-only databases) uploads unpacked {0,1} int8 sign bits and scores with
-one int8 MXU matmul — exact integer parity with the reference's
-``dot(query_bits, cand_bits) / dim``.
+(binary-only databases) keeps sign bits PACKED on device (1 bit/dim — 144
+bytes/row at 1152-d) and scores with VPU AND+popcount — exact integer parity
+with the reference's ``dot(query_bits, cand_bits) / dim``.
 
 Folder filters become additive score masks built from SQLite LIKE-prefix id
 sets (image_database.py:1513-1529 semantics); masks are cached per filter
@@ -22,7 +22,6 @@ import numpy as np
 
 from tpuclip.index.cache import MatrixCache
 from tpuclip.index.store import MetadataStore
-from tpuclip.ops.hamming import binary_topk
 from tpuclip.ops.topk import cosine_topk, pad_matrix_t
 from tpuclip.utils.logging import log
 
@@ -70,7 +69,7 @@ class DeviceIndex:
         self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
         self._n_valid: Optional[jnp.ndarray] = None
         self._bin_ids: Optional[np.ndarray] = None
-        self._bin_matrix: Optional[jnp.ndarray] = None  # (N, D) int8 on device
+        self._bin_matrix: Optional[jnp.ndarray] = None  # (N, W) packed uint32 words
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
 
@@ -127,9 +126,14 @@ class DeviceIndex:
         bin_ids, packed = self.cache.load_binary()
         self._bin_ids = bin_ids
         if len(bin_ids):
-            bits = np.unpackbits(np.asarray(packed), axis=-1)[:, : self.store.embedding_dim]
+            # Packed words stay packed on device: 1 bit/dim in HBM; scoring
+            # is AND+popcount (tpuclip.ops.hamming.binary_topk_packed).
+            words = np.asarray(packed)
+            pad = (-words.shape[-1]) % 4
+            if pad:
+                words = np.pad(words, ((0, 0), (0, pad)))
             self._bin_matrix = jax.device_put(
-                jnp.asarray(bits.T, dtype=jnp.int8), self.device
+                jnp.asarray(words.view(np.uint32)), self.device
             )
         else:
             self._bin_matrix = None
@@ -285,13 +289,18 @@ class DeviceIndex:
         ]
 
     def _search_binary(self, query, k, filter_folders):
-        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.int8)
+        from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
+
+        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.uint8)
+        qwords = pack_bits_to_words(qbits)
         mask = (
-            self._folder_mask(filter_folders, self._bin_ids, self._bin_matrix.shape[1])
+            self._folder_mask(filter_folders, self._bin_ids, self._bin_matrix.shape[0])
             if filter_folders
             else None
         )
-        matches, rows = binary_topk(jnp.asarray(qbits), self._bin_matrix, k, mask=mask)
+        matches, rows = binary_topk_packed(
+            jnp.asarray(qwords), self._bin_matrix, k, mask=mask
+        )
         matches = np.asarray(matches[0])
         rows = np.asarray(rows[0])
         valid = matches > np.iinfo(np.int32).min

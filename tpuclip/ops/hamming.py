@@ -30,12 +30,13 @@ def binary_topk(
     k: int,
     mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """query_bits (Q, D) int8 {0,1}; matrix_bits_t (D, N) int8 {0,1}
-    (feature-major, same transposed layout as tpuclip.ops.topk).
+    """Unpacked path: query_bits (Q, D) int8 {0,1}; matrix_bits_t (D, N) int8
+    {0,1} (feature-major). One int8 MXU matmul, exact int32 accumulation.
 
     Returns (matches (Q,k) int32, idx (Q,k) int32), descending, ties to the
     lowest index. matches/D is the reference's similarity score
-    (image_database.py:1621-1624).
+    (image_database.py:1621-1624). Prefer :func:`binary_topk_packed` for
+    device residency (16x less HBM).
     """
     n = matrix_bits_t.shape[1]
     k_eff = min(k, n) if n > 0 else 0
@@ -54,6 +55,47 @@ def binary_topk(
         jnp.take_along_axis(top_scores, order, axis=1),
         jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def binary_topk_packed(
+    query_words: jnp.ndarray,
+    matrix_words: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed path: query_words (Q, W) uint32/int32 packed bits;
+    matrix_words (N, W) — 1 bit/dimension in HBM (144 B/row at 1152-d,
+    vs 1152 B unpacked). matches = popcount(q & row) per row, exactly the
+    reference's binary dot (image_database.py:1621); VPU ``bitwise_count``
+    does the counting. Same ordering semantics as the other kernels.
+    """
+    n = matrix_words.shape[0]
+    k_eff = min(k, n) if n > 0 else 0
+    if k_eff == 0:
+        q = query_words.shape[0]
+        return jnp.zeros((q, 0), jnp.int32), jnp.zeros((q, 0), jnp.int32)
+    anded = jnp.bitwise_and(query_words[:, None, :], matrix_words[None, :, :])
+    scores = jnp.sum(jnp.bitwise_count(anded).astype(jnp.int32), axis=-1)  # (Q, N)
+    if mask is not None:
+        scores = jnp.where(mask[None, :] < 0, jnp.iinfo(jnp.int32).min, scores)
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    order = jnp.lexsort((top_idx, -top_scores), axis=-1)
+    return (
+        jnp.take_along_axis(top_scores, order, axis=1),
+        jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
+    )
+
+
+def pack_bits_to_words(bits01: np.ndarray) -> np.ndarray:
+    """(N, D) uint8 {0,1} → (N, ceil(D/32)) uint32 words (np.packbits order,
+    zero-padded). Queries and matrices must both come through here so the
+    bit order cancels in AND+popcount."""
+    packed = np.packbits(np.atleast_2d(bits01).astype(np.uint8), axis=-1)
+    pad = (-packed.shape[-1]) % 4
+    if pad:
+        packed = np.pad(packed, ((0, 0), (0, pad)))
+    return packed.view(np.uint32)
 
 
 _POPCOUNT_TABLE = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
