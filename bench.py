@@ -142,7 +142,10 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
     return float(np.percentile(np.array(samples), 50) * 1000)
 
 
-def bench_indexing_throughput(jax, batch=64, iters=4):
+def bench_indexing_throughput(jax, batch=16, iters=16):
+    # batch 16 measured fastest on v5e (sweep 16→256: 659/574/572/488/477
+    # img/s) — small batches keep activations in VMEM; this also matches the
+    # reference's default inference batch (image_database.py:1904).
     """SO400M image-tower forward throughput (device-side ceiling for scan)."""
     import jax.numpy as jnp
 
@@ -184,7 +187,17 @@ def main():
     try:
         jax = _tpu_jax()
         backend = jax.default_backend()
-        per_query_ms, impl = bench_query_latency(jax)
+        # the dev TPU tunnel is intermittently slow to come up — retry once
+        last_err = None
+        for attempt in range(2):
+            try:
+                per_query_ms, impl = bench_query_latency(jax)
+                break
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                time.sleep(15)
+        else:
+            raise last_err  # type: ignore[misc]
         result["n_vectors"] = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
         result["value"] = round(per_query_ms, 3)
         result["vs_baseline"] = round(10.0 / per_query_ms, 2)  # >1.0 beats the 10ms target
