@@ -64,7 +64,6 @@ class DeviceIndex:
         # ~=1.0 on unit-norm embeddings; see tests/test_topk_int8.py).
         self.precision = precision or os.environ.get("TPUCLIP_SEARCH_PRECISION", "bf16")
         self._scales: Optional[jnp.ndarray] = None
-        self._q_matrix: Optional[jnp.ndarray] = None
         self._ids: Optional[np.ndarray] = None  # row -> image_id
         self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
         self._n_valid: Optional[jnp.ndarray] = None
@@ -90,7 +89,7 @@ class DeviceIndex:
             # tpuclip.ops.topk layout/padding notes).
             if self.mesh is not None:
                 from tpuclip.parallel.mesh import DATA_AXIS
-                from tpuclip.parallel.sharded_search import pad_for_mesh, shard_matrix
+                from tpuclip.parallel.sharded_search import shard_matrix
 
                 ndev = self.mesh.shape[DATA_AXIS]
                 # pad to a multiple of both the kernel tile and the mesh

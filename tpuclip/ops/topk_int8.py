@@ -22,7 +22,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpuclip.ops.topk import DEFAULT_TILE_N, _final_merge
+from tpuclip.ops.topk import _final_merge
 
 _NEG_INF = float("-inf")
 

@@ -23,7 +23,6 @@ import optax
 from tpuclip.models.configs import SiglipConfig
 from tpuclip.models.siglip import text_forward, vision_forward
 from tpuclip.parallel.mesh import DATA_AXIS
-from tpuclip.parallel.sharding import param_shardings
 
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

@@ -10,7 +10,6 @@ matrix cache rebuilds lazily on next search.
 
 from __future__ import annotations
 
-import sqlite3
 from typing import List
 
 from tpuclip.index.store import MetadataStore, connect

@@ -23,8 +23,6 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
-
 from tpuclip.cli import parse_interactive_line
 from tpuclip.utils.logging import log
 
