@@ -103,3 +103,25 @@ def test_malformed_json(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_embed_endpoint(server):
+    status, body = _post(server, "/embed", {"texts": ["red", "blue"]})
+    assert status == 200
+    assert body["dim"] == 64
+    import numpy as np
+
+    e = np.array(body["text_embeddings"])
+    assert e.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(e, axis=1), 1.0, rtol=1e-4)
+    status, body = _post(server, "/embed", {})
+    assert status == 400
+
+
+def test_search_batch_endpoint(server):
+    status, body = _post(server, "/search_batch", {"queries": ["red", "green", "blue"], "k": 2})
+    assert status == 200
+    assert len(body["results"]) == 3
+    assert all(len(r) == 2 for r in body["results"])
+    status, _ = _post(server, "/search_batch", {"queries": "notalist"})
+    assert status == 400

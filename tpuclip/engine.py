@@ -118,10 +118,21 @@ class ImageDatabase:
         return np.asarray(out[:b], dtype=np.float32)
 
     def embed_texts(self, texts: List[str]) -> np.ndarray:
-        """Prompted, tokenized, L2-normalized text embeddings (fp32)."""
+        """Prompted, tokenized, L2-normalized text embeddings (fp32).
+
+        Batch dims are bucketed to powers of two (pad rows masked out and
+        sliced off) so arbitrary request sizes reuse a handful of compiled
+        programs instead of compiling per length.
+        """
+        b = len(texts)
         ids, mask = self.tokenizer.encode_batch_with_mask(
             [build_prompt(t) for t in texts]
         )
+        bucket = 1 << max(0, (b - 1)).bit_length()
+        if bucket > b:
+            pad = bucket - b
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
         out = get_text_features(
             self.params,
             jnp.asarray(ids),
@@ -129,7 +140,7 @@ class ImageDatabase:
             compute_dtype=self.compute_dtype,
             attention_mask=jnp.asarray(mask),
         )
-        return np.asarray(out, dtype=np.float32)
+        return np.asarray(out[:b], dtype=np.float32)
 
     # Reference-surface methods (image_database.py:443-543) -------------------
 

@@ -60,15 +60,24 @@ def make_handler(engine, lock: threading.Lock):
                 return
             self._json(404, {"error": "not found"})
 
+        def _read_json(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            return json.loads(self.rfile.read(length) or b"{}")
+
         def do_POST(self):  # noqa: N802
-            if self.path != "/search":
-                self._json(404, {"error": "not found"})
-                return
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                req = self._read_json()
             except (ValueError, json.JSONDecodeError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
+                return
+            if self.path == "/embed":
+                self._handle_embed(req)
+                return
+            if self.path == "/search_batch":
+                self._handle_search_batch(req)
+                return
+            if self.path != "/search":
+                self._json(404, {"error": "not found"})
                 return
             query = req.get("query")
             if not query or not isinstance(query, str):
@@ -115,6 +124,57 @@ def make_handler(engine, lock: threading.Lock):
                     ],
                 },
             )
+
+        def _handle_embed(self, req) -> None:
+            """Raw embeddings for integrations: {"texts": [...]} and/or
+            {"images": [paths...]} → L2-normalized fp32 vectors."""
+            texts = req.get("texts") or []
+            images = req.get("images") or []
+            if not texts and not images:
+                self._json(400, {"error": "provide 'texts' and/or 'images'"})
+                return
+            try:
+                out = {}
+                with lock:
+                    if texts:
+                        out["text_embeddings"] = engine.embed_texts(list(texts)).tolist()
+                    if images:
+                        embs = []
+                        for p in images:
+                            e = engine._get_image_embedding(str(p))
+                            embs.append(e.tolist() if e is not None else None)
+                        out["image_embeddings"] = embs
+                out["dim"] = engine.embedding_dim
+                self._json(200, out)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+        def _handle_search_batch(self, req) -> None:
+            """{"queries": [str...], "k": int?} → per-query results; all text
+            queries embed in one tower pass and scan the matrix once."""
+            queries = req.get("queries")
+            if not queries or not isinstance(queries, list):
+                self._json(400, {"error": "missing 'queries' list"})
+                return
+            k = int(req.get("k", 10))
+            try:
+                with lock:
+                    vecs = engine.embed_texts([str(q) for q in queries])
+                    engine.index.refresh()
+                    batches = engine.index.search_batch(
+                        vecs, k, filter_folders=req.get("folders")
+                    )
+                self._json(
+                    200,
+                    {
+                        "results": [
+                            [{"path": p, "similarity": round(s, 6)} for p, s in rs]
+                            for rs in batches
+                        ]
+                    },
+                )
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
 
     return Handler
 
