@@ -272,6 +272,13 @@ class DeviceIndex:
                     jnp.asarray(qs, jnp.float32), k,
                     n_valid=self._n_valid, mask=mask,
                 )
+        elif mask is None:
+            from tpuclip.ops.topk import cosine_topk_single_fetch
+
+            q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
+            scores, rows = cosine_topk_single_fetch(
+                q, self._matrix, k, n_valid=self._n_valid
+            )
         else:
             q = jnp.asarray(np.asarray(query, np.float32).reshape(1, -1))
             scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)

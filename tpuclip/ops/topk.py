@@ -231,6 +231,44 @@ def pad_matrix_t(matrix_t, tile_n: int = DEFAULT_TILE_N):
     return matrix_t, n
 
 
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def _cosine_topk_packed(queries, matrix_t, k, n_valid, use_pallas):
+    if use_pallas:
+        s, i = topk_pallas(queries, matrix_t, k, n_valid=n_valid)
+    else:
+        s, i = topk_xla(queries, matrix_t, k, n_valid=n_valid)
+    # One host fetch instead of two: int32 indices bitcast into the float
+    # payload. Matters when each device→host transfer has fixed latency
+    # (remote-attached TPUs); harmless elsewhere.
+    return jnp.stack([s, jax.lax.bitcast_convert_type(i, jnp.float32)], axis=0)
+
+
+def cosine_topk_single_fetch(
+    queries: jnp.ndarray,
+    matrix_t: jnp.ndarray,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    use_pallas: Optional[bool] = None,
+) -> Tuple["np.ndarray", "np.ndarray"]:  # noqa: F821 - numpy outputs
+    """Unmasked top-k with scores+indices returned in ONE device fetch."""
+    import numpy as np
+
+    if use_pallas is None:
+        use_pallas = (
+            k <= 128
+            and jax.default_backend() == "tpu"
+            and matrix_t.shape[1] >= DEFAULT_TILE_N
+        )
+    if n_valid is None:
+        n_valid = jnp.asarray(matrix_t.shape[1], jnp.int32)
+    packed = np.asarray(
+        _cosine_topk_packed(queries, matrix_t, k, n_valid, bool(use_pallas))
+    )
+    scores = packed[0]
+    idx = packed[1].view(np.int32)
+    return scores, idx
+
+
 def cosine_topk(
     queries: jnp.ndarray,
     matrix_t: jnp.ndarray,

@@ -55,8 +55,32 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_optimizer(learning_rate: float = 1e-5, weight_decay: float = 1e-4):
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+def make_optimizer(
+    learning_rate: float = 1e-5,
+    weight_decay: float = 1e-4,
+    warmup_steps: int = 0,
+    total_steps: Optional[int] = None,
+    grad_clip_norm: Optional[float] = 1.0,
+):
+    """AdamW with optional global-norm clipping and warmup(+cosine) schedule —
+    the standard contrastive fine-tuning recipe."""
+    if warmup_steps > 0 or total_steps is not None:
+        if total_steps is not None and total_steps > warmup_steps:
+            schedule = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=learning_rate,
+                warmup_steps=max(1, warmup_steps),
+                decay_steps=total_steps,
+            )
+        else:
+            schedule = optax.linear_schedule(0.0, learning_rate, max(1, warmup_steps))
+    else:
+        schedule = learning_rate
+    parts = []
+    if grad_clip_norm is not None:
+        parts.append(optax.clip_by_global_norm(grad_clip_norm))
+    parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    return optax.chain(*parts)
 
 
 def make_train_step(

@@ -123,7 +123,11 @@ def train(
         params = shard_params(params, mesh)
         log(f"Mesh: {dict(mesh.shape)}")
 
-    opt = make_optimizer(learning_rate=learning_rate)
+    opt = make_optimizer(
+        learning_rate=learning_rate,
+        warmup_steps=min(100, max(1, steps // 10)),
+        total_steps=steps,
+    )
     state = init_train_state(params, opt)
     if resume:
         state = restore_train_state(resume, template=state)
