@@ -90,3 +90,39 @@ def test_binary_topk_packed_matches_unpacked():
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
+    """DeviceIndex int8 mode with re-ranking must return exactly the fp32
+    brute-force ordering."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(11)
+    n, d, k = 5000, 64, 10
+    vecs = _unit_rows(rng, n, d)
+    store = MetadataStore(str(tmp_path / "r.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    store.commit_with_retry(
+        cur, conn,
+        [(f"/d/{i}.jpg", float(i), "h", vecs[i]) for i in range(n)],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    idx = DeviceIndex(store, precision="int8")
+    assert idx.rerank
+    for qi in range(5):
+        q = _unit_rows(rng, 1, d)[0]
+        got = idx.search(q, k)
+        scores = vecs @ q
+        order = np.lexsort((np.arange(n), -scores))[:k]
+        expected_paths = [f"/d/{i}.jpg" for i in order]
+        assert [p for p, _ in got] == expected_paths
+        np.testing.assert_allclose(
+            [s for _, s in got], scores[order], rtol=1e-5, atol=1e-6
+        )

@@ -60,9 +60,13 @@ class DeviceIndex:
                 mesh = make_mesh()
         self.mesh = mesh
         # "bf16" (default) = exact-within-bf16 scan; "int8" = per-vector
-        # symmetric quantization, ~2x faster and half the HBM (recall@20
-        # ~=1.0 on unit-norm embeddings; see tests/test_topk_int8.py).
+        # symmetric quantization, ~2x faster and half the HBM. int8 results
+        # are exact-ified by default via a host re-rank: the device returns a
+        # 4k-deep shortlist and the true fp32 scores come from a ~1 MB gather
+        # out of the memmapped matrix cache (self._host_vectors).
         self.precision = precision or os.environ.get("TPUCLIP_SEARCH_PRECISION", "bf16")
+        self.rerank = os.environ.get("TPUCLIP_SEARCH_RERANK", "1") != "0"
+        self._host_vectors = None  # fp32 memmap, row-aligned with _ids
         self._scales: Optional[jnp.ndarray] = None
         self._ids: Optional[np.ndarray] = None  # row -> image_id
         self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
@@ -83,6 +87,7 @@ class DeviceIndex:
             return
         ids, vectors = self.cache.load()
         self._ids = ids
+        self._host_vectors = vectors if len(ids) else None
         if len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
@@ -260,18 +265,24 @@ class DeviceIndex:
                 topk_int8_xla,
             )
 
+            # With re-ranking (default), pull a deeper shortlist from the
+            # quantized scan; exact fp32 ordering comes from the host memmap.
+            do_rerank = self.rerank and self._host_vectors is not None
+            k_short = max(4 * k, 64) if do_rerank else k
             qi, qs = quantize_query(np.asarray(query, np.float32).reshape(1, -1))
-            if mask is None and jax.default_backend() == "tpu" and k <= 128:
+            if mask is None and jax.default_backend() == "tpu" and k_short <= 128:
                 scores, rows = topk_int8_pallas(
                     jnp.asarray(qi), self._matrix, self._scales,
-                    jnp.asarray(qs, jnp.float32), k, n_valid=self._n_valid,
+                    jnp.asarray(qs, jnp.float32), k_short, n_valid=self._n_valid,
                 )
             else:
                 scores, rows = topk_int8_xla(
                     jnp.asarray(qi), self._matrix, self._scales,
-                    jnp.asarray(qs, jnp.float32), k,
+                    jnp.asarray(qs, jnp.float32), k_short,
                     n_valid=self._n_valid, mask=mask,
                 )
+            if do_rerank:
+                scores, rows = self._exact_rerank(query, scores, rows, k)
         elif mask is None:
             from tpuclip.ops.topk import cosine_topk_single_fetch
 
@@ -293,6 +304,27 @@ class DeviceIndex:
             for i, s in zip(image_ids, scores)
             if int(i) in paths
         ]
+
+    def _exact_rerank(self, query, scores, rows, k):
+        """Exact fp32 rescoring of a quantized shortlist.
+
+        Gathers the shortlisted rows from the memmapped fp32 matrix
+        (~k_short x D x 4 bytes of page-cached reads) and re-sorts by true
+        dot product — quantized modes return exact rankings at shortlist
+        recall (~1.0 at 4x depth).
+        """
+        srows = np.asarray(rows[0])
+        sscores = np.asarray(scores[0])
+        valid = np.isfinite(sscores) & (srows >= 0) & (srows < len(self._ids))
+        srows = srows[valid]
+        if len(srows) == 0:
+            return scores, rows
+        q = np.asarray(query, np.float32).reshape(-1)
+        exact = np.asarray(self._host_vectors[srows], np.float32) @ q
+        order = np.lexsort((srows, -exact))[:k]
+        out_s = exact[order][None, :]
+        out_r = srows[order][None, :]
+        return out_s, out_r
 
     def _search_binary(self, query, k, filter_folders):
         from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
