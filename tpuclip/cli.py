@@ -242,6 +242,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     merge_parser.add_argument("dst", help="Destination database path")
     merge_parser.add_argument("srcs", nargs="+", help="Source shard database paths")
+
+    dup_parser = subparsers.add_parser(
+        "duplicates", help="Find all near-duplicate clusters in a database"
+    )
+    dup_parser.add_argument("--db", default=None, help="Database path")
+    dup_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    dup_parser.add_argument("--tolerance", type=int, default=2, help="Hamming tolerance in bits (default: 2)")
     return parser
 
 
@@ -586,6 +593,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         from tpuclip.pipelines.merge import merge_databases
 
         merge_databases(args.dst, args.srcs)
+    elif args.mode == "duplicates":
+        from tpuclip.pipelines.duplicates import report_duplicates
+
+        db_path = _require_db_path(args, paths)
+        if not os.path.exists(db_path):
+            log(f"[X] Error: Database file does not exist: {db_path}")
+            sys.exit(2)
+        report_duplicates(db_path, tolerance_bits=args.tolerance)
     elif args.mode == "train":
         from tpuclip.models.configs import DEFAULT_MODEL
         from tpuclip.pipelines.train import train
