@@ -86,3 +86,14 @@ def test_help_without_mode(env, capsys):
     main([])
     out = capsys.readouterr().out
     assert "scan" in out and "search" in out
+
+
+def test_classify_command(env, capsys):
+    from PIL import Image as _Image
+
+    img = env / "imgs" / "red.jpg"
+    main(["classify", str(img), "--labels", "a red square, a green square, a blue square"])
+    out = capsys.readouterr().out
+    assert "Zero-shot classification" in out
+    assert out.count("%") >= 6  # three labels, two percentages each
+    assert "a red square" in out

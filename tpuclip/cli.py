@@ -249,6 +249,14 @@ def build_parser() -> argparse.ArgumentParser:
     dup_parser.add_argument("--db", default=None, help="Database path")
     dup_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
     dup_parser.add_argument("--tolerance", type=int, default=2, help="Hamming tolerance in bits (default: 2)")
+
+    classify_parser = subparsers.add_parser(
+        "classify", help="Zero-shot classification of one image against labels"
+    )
+    classify_parser.add_argument("image", help="Image file path")
+    classify_parser.add_argument("--labels", required=True, help="Comma-separated label list")
+    classify_parser.add_argument("--model", default=None, help="Model preset name")
+    classify_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
     return parser
 
 
@@ -593,6 +601,19 @@ def main(argv: Optional[List[str]] = None) -> None:
         from tpuclip.pipelines.merge import merge_databases
 
         merge_databases(args.dst, args.srcs)
+    elif args.mode == "classify":
+        from tpuclip.models.configs import DEFAULT_MODEL
+        from tpuclip.pipelines.classify import run_classify
+
+        labels = [l.strip() for l in args.labels.split(",") if l.strip()]
+        if not labels:
+            log("[X] Error: --labels must contain at least one label")
+            sys.exit(2)
+        run_classify(
+            args.image, labels,
+            model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
+            model_cache_dir=args.model_cache or None,
+        )
     elif args.mode == "duplicates":
         from tpuclip.pipelines.duplicates import report_duplicates
 
