@@ -18,7 +18,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
-import time
+import os
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -122,8 +122,6 @@ def scan_directory(
     log(f"  Processing {len(folders):,} folders...")
     pbar = tqdm(total=total_found, desc="Processing images", unit="img", unit_scale=True) if tqdm else None
 
-    import os
-
     def pending_files() -> Iterator[Tuple[str, float]]:
         """Yield (path, mtime) for files that still need embedding, folder by
         folder, honoring sampling / resume / limit semantics.
@@ -188,17 +186,15 @@ def scan_directory(
     # Opt-in device tracing behind the same --profile flag: the wall-clock
     # timers show host time; a perfetto trace under TPUCLIP_TRACE_DIR shows
     # the device/host overlap (SURVEY.md §5 tracing upgrade).
-    import os as _os
-
-    trace_dir = _os.environ.get("TPUCLIP_TRACE_DIR") if profile else None
+    trace_dir = os.environ.get("TPUCLIP_TRACE_DIR") if profile else None
     if trace_dir:
         import jax as _jax
 
         _jax.profiler.start_trace(trace_dir)
 
     interrupted = False
+    pending_embed = None  # (dispatched embeddings device array, items, valid)
     try:
-        pending_embed = None  # (future embeddings device array, items)
         def drain(pe):
             """Block on a dispatched embed and stage rows for commit."""
             emb_dev, items, valid = pe
