@@ -205,6 +205,7 @@ def build_parser() -> argparse.ArgumentParser:
     search_parser.add_argument("--profile", action="store_true", help="Show performance profiling information for search")
     search_parser.add_argument("--show-duplicates", action="store_true", help="Show duplicate images in results (default: filtered)")
     search_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
+    search_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision: bf16 (default) or int8 quantized scan with exact re-rank")
 
     # Beyond the reference surface: checkpoint conversion + fine-tuning.
     convert_parser = subparsers.add_parser(
@@ -236,6 +237,7 @@ def build_parser() -> argparse.ArgumentParser:
     serve_parser.add_argument("--port", type=int, default=8000, help="Bind port")
     serve_parser.add_argument("--model", default=None, help="Model preset name")
     serve_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+    serve_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision")
 
     merge_parser = subparsers.add_parser(
         "merge", help="Merge shard databases (from sharded scans) into one"
@@ -283,6 +285,8 @@ def _make_engine(db_path: str, args):
     from tpuclip.engine import ImageDatabase
     from tpuclip.models.configs import DEFAULT_MODEL
 
+    if getattr(args, "precision", None):
+        os.environ["TPUCLIP_SEARCH_PRECISION"] = args.precision
     model_cache = args.model_cache if args.model_cache else None
     return ImageDatabase(
         db_path,
