@@ -125,3 +125,12 @@ def test_search_batch_endpoint(server):
     assert all(len(r) == 2 for r in body["results"])
     status, _ = _post(server, "/search_batch", {"queries": "notalist"})
     assert status == 400
+
+
+def test_stats_metrics_counters(server):
+    _post(server, "/search", {"query": "metric probe", "k": 1})
+    status, body = _get(server, "/stats")
+    assert status == 200
+    assert body["requests"] >= 1
+    assert body["searches"] >= 1
+    assert "search_p50_ms" in body

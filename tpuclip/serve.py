@@ -27,7 +27,41 @@ from tpuclip.cli import parse_interactive_line
 from tpuclip.utils.logging import log
 
 
-def make_handler(engine, lock: threading.Lock):
+class ServerMetrics:
+    """Cumulative request metrics surfaced at /stats (the reference exports
+    no metrics at all — SURVEY.md §5 observability)."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.errors = 0
+        self.search_latencies_ms: list = []
+
+    def record(self, ok: bool, latency_ms: float = None) -> None:
+        with self.lock:
+            self.requests += 1
+            if not ok:
+                self.errors += 1
+            if latency_ms is not None:
+                self.search_latencies_ms.append(latency_ms)
+                if len(self.search_latencies_ms) > 10_000:
+                    del self.search_latencies_ms[:5_000]
+
+    def snapshot(self) -> dict:
+        import numpy as np
+
+        with self.lock:
+            lat = list(self.search_latencies_ms)
+            out = {"requests": self.requests, "errors": self.errors,
+                   "searches": len(lat)}
+        if lat:
+            arr = np.array(lat)
+            out["search_p50_ms"] = round(float(np.percentile(arr, 50)), 2)
+            out["search_p90_ms"] = round(float(np.percentile(arr, 90)), 2)
+        return out
+
+
+def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
             log(f"  [serve] {self.address_string()} {fmt % args}")
@@ -46,17 +80,16 @@ def make_handler(engine, lock: threading.Lock):
                 return
             if self.path == "/stats":
                 full, binary = engine.store.count_embeddings()
-                self._json(
-                    200,
-                    {
-                        "images": engine.store.count_images(),
-                        "full_embeddings": full,
-                        "binary_embeddings": binary,
-                        "embedding_dim": engine.embedding_dim,
-                        "model": engine.model_name,
-                        "db_path": engine.db_path,
-                    },
-                )
+                payload = {
+                    "images": engine.store.count_images(),
+                    "full_embeddings": full,
+                    "binary_embeddings": binary,
+                    "embedding_dim": engine.embedding_dim,
+                    "model": engine.model_name,
+                    "db_path": engine.db_path,
+                }
+                payload.update(metrics.snapshot())
+                self._json(200, payload)
                 return
             self._json(404, {"error": "not found"})
 
@@ -94,6 +127,9 @@ def make_handler(engine, lock: threading.Lock):
             if req.get("query2") is not None:
                 spec.query2 = req["query2"]
 
+            import time as _time
+
+            t0 = _time.perf_counter()
             try:
                 with lock:
                     results = engine.search(
@@ -113,8 +149,10 @@ def make_handler(engine, lock: threading.Lock):
                         show_duplicates=bool(req.get("show_duplicates", False)),
                     )
             except Exception as e:  # noqa: BLE001 - requests must not kill the server
+                metrics.record(ok=False)
                 self._json(500, {"error": str(e)})
                 return
+            metrics.record(ok=True, latency_ms=(_time.perf_counter() - t0) * 1000)
             self._json(
                 200,
                 {
@@ -184,7 +222,10 @@ class SearchServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000):
         self._lock = threading.Lock()
-        self.httpd = ThreadingHTTPServer((host, port), make_handler(engine, self._lock))
+        self.metrics = ServerMetrics()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(engine, self._lock, self.metrics)
+        )
         self.host, self.port = self.httpd.server_address[:2]
 
     def serve_forever(self) -> None:
