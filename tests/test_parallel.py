@@ -151,6 +151,35 @@ def test_mesh_sharded_device_index(mesh8, tmp_path):
     assert all("/data/a/" in p for p, _ in f_sharded)
 
 
+def test_mesh_sharded_int8_index(mesh8, tmp_path):
+    """Sharded int8 + exact rerank must match the fp32 brute-force order."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(8)
+    n, d, k = 500, 64, 9
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store = MetadataStore(str(tmp_path / "i8.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    store.commit_with_retry(
+        conn.cursor(), conn,
+        [(f"/d/{i}.jpg", float(i), "h", vecs[i]) for i in range(n)],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    idx = DeviceIndex(store, mesh=mesh8, precision="int8")
+    q = rng.standard_normal(d).astype(np.float32)
+    got = idx.search(q, k)
+    scores = vecs @ q
+    order = np.lexsort((np.arange(n), -scores))[:k]
+    assert [p for p, _ in got] == [f"/d/{i}.jpg" for i in order]
+
+
 def test_param_shardings_cover_tree(mesh4x2):
     cfg = get_config("tpuclip/test-tiny")
     params = init_params(jax.random.PRNGKey(0), cfg)

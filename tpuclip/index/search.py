@@ -93,6 +93,8 @@ class DeviceIndex:
             # tile so the per-query path never copies the matrix (see
             # tpuclip.ops.topk layout/padding notes).
             if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
                 from tpuclip.parallel.mesh import DATA_AXIS
                 from tpuclip.parallel.sharded_search import shard_matrix
 
@@ -102,10 +104,19 @@ class DeviceIndex:
                     np.ascontiguousarray(np.asarray(vectors).T),
                     tile_n=2048 * ndev,
                 )
-                self._matrix = shard_matrix(
-                    jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
-                )
-                self._scales = None
+                if self.precision == "int8":
+                    from tpuclip.ops.topk_int8 import quantize_matrix_t
+
+                    q, scales = quantize_matrix_t(mt)
+                    self._matrix = shard_matrix(jnp.asarray(q), self.mesh)
+                    self._scales = jax.device_put(
+                        jnp.asarray(scales), NamedSharding(self.mesh, P(DATA_AXIS))
+                    )
+                else:
+                    self._matrix = shard_matrix(
+                        jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
+                    )
+                    self._scales = None
             elif self.precision == "int8":
                 from tpuclip.ops.topk_int8 import INT8_TILE_N, quantize_matrix_t
 
@@ -250,14 +261,29 @@ class DeviceIndex:
             else None
         )
         if self.mesh is not None:
-            from tpuclip.parallel.sharded_search import sharded_topk
+            if self.precision == "int8":
+                from tpuclip.ops.topk_int8 import quantize_query
+                from tpuclip.parallel.sharded_search import sharded_topk_int8
 
-            q = jnp.asarray(
-                np.asarray(query, np.float32).reshape(1, -1), self._matrix.dtype
-            )
-            scores, rows = sharded_topk(
-                q, self._matrix, k, self.mesh, self._n_valid, mask=mask
-            )
+                do_rerank = self.rerank and self._host_vectors is not None
+                k_short = max(4 * k, 64) if do_rerank else k
+                qi, qs = quantize_query(np.asarray(query, np.float32).reshape(1, -1))
+                scores, rows = sharded_topk_int8(
+                    jnp.asarray(qi), self._matrix, self._scales,
+                    jnp.asarray(qs, jnp.float32), k_short, self.mesh,
+                    self._n_valid, mask=mask,
+                )
+                if do_rerank:
+                    scores, rows = self._exact_rerank(query, scores, rows, k)
+            else:
+                from tpuclip.parallel.sharded_search import sharded_topk
+
+                q = jnp.asarray(
+                    np.asarray(query, np.float32).reshape(1, -1), self._matrix.dtype
+                )
+                scores, rows = sharded_topk(
+                    q, self._matrix, k, self.mesh, self._n_valid, mask=mask
+                )
         elif self.precision == "int8":
             from tpuclip.ops.topk_int8 import (
                 quantize_query,

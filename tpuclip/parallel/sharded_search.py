@@ -115,6 +115,64 @@ def sharded_topk(
     return _sharded_topk_impl(queries, matrix_t, k, mesh, n_valid, mask, has_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
+def _sharded_topk_int8_impl(
+    q_int8, matrix_int8_t, scales, q_scale, k, mesh, n_valid, mask, has_mask
+):
+    n_total = matrix_int8_t.shape[1]
+    ndev = mesh.shape[DATA_AXIS]
+    shard_cols = n_total // ndev
+    k_eff = min(k, n_total)
+
+    from tpuclip.ops.topk_int8 import topk_int8_xla
+
+    def local(q, m_shard, sc_shard, qs, n_valid, mask_shard):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_cols
+        local_mask = mask_shard[0] if has_mask else None
+        s, i = topk_int8_xla(q, m_shard, sc_shard[0], qs, k_eff, mask=local_mask)
+        gi = i + base
+        s = jnp.where(gi < n_valid, s, -jnp.inf)
+        s_all = jax.lax.all_gather(s, DATA_AXIS)
+        i_all = jax.lax.all_gather(gi, DATA_AXIS)
+        q_count = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        top_s, pos = jax.lax.top_k(s_flat, k_eff)
+        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+        order = jnp.lexsort((top_i, -top_s), axis=-1)
+        return (
+            jnp.take_along_axis(top_s, order, axis=1),
+            jnp.take_along_axis(top_i, order, axis=1),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, DATA_AXIS), P(None, DATA_AXIS), P(), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q_int8, matrix_int8_t, scales, q_scale, n_valid.astype(jnp.int32), mask)
+
+
+def sharded_topk_int8(
+    q_int8, matrix_int8_t, scales, q_scale, k, mesh, n_valid, mask=None
+):
+    """Distributed int8 top-k: int8 matrix + per-column scales column-sharded
+    over ``data``; same candidate-merge as the float path. Pair with
+    DeviceIndex's exact host re-rank for fp32-exact results at
+    ~0.7 GB/chip per 10M 1152-d vectors on a v5e-16."""
+    has_mask = mask is not None
+    if mask is None:
+        mask = jnp.zeros((1, matrix_int8_t.shape[1]), jnp.float32)
+    else:
+        mask = jnp.reshape(mask, (1, -1)).astype(jnp.float32)
+    scales2d = jnp.reshape(scales, (1, -1))
+    return _sharded_topk_int8_impl(
+        q_int8, matrix_int8_t, scales2d, q_scale, k, mesh, n_valid, mask, has_mask
+    )
+
+
 class ShardedIndex:
     """Convenience wrapper: host (N, D) matrix → mesh-resident sharded index
     (stored feature-major)."""
