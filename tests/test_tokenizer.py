@@ -149,3 +149,18 @@ def test_truncation():
     long_text = " ".join(["word"] * 200)
     out = tok.encode(long_text)
     assert out.shape == (MAX_LENGTH,)
+
+
+def test_siglip1_canonicalization(tmp_path):
+    """v1 backend strips punctuation like HF SiglipTokenizer.canonicalize_text;
+    v2 (Gemma) does not."""
+    from tpuclip.text.tokenizer import canonicalize_text
+
+    assert canonicalize_text("a red car, parked!  (outside)") == "a red car parked outside"
+    m = _make_unigram_model()
+    path = tmp_path / "tokenizer.model"
+    path.write_bytes(sp.serialize_model(m))
+    v1 = SentencePieceBackend(str(path), model_name="google/siglip-base-patch16-224")
+    np.testing.assert_array_equal(v1.encode("ab!!!"), v1.encode("ab"))
+    v2 = SentencePieceBackend(str(path), model_name="google/siglip2-base-patch16-224")
+    assert not np.array_equal(v2.encode("ab!!!"), v2.encode("ab"))

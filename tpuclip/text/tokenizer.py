@@ -42,17 +42,31 @@ class TokenizerConventions:
     add_bos: bool
     add_eos: bool
     pad_id: int
+    canonicalize: bool = False  # SigLIP v1: strip punctuation pre-encode
 
     @staticmethod
     def for_model(model_name: str, sp_model=None) -> "TokenizerConventions":
         if "siglip2" in model_name:
-            # Gemma tokenizer: BOS prepended, pad with <pad>=0.
+            # Gemma tokenizer: BOS prepended, pad with <pad>=0, no
+            # canonicalization.
             return TokenizerConventions(add_bos=True, add_eos=False, pad_id=0)
-        # SigLIP v1 sentencepiece tokenizer: EOS appended, pad with eos/pad id.
+        # SigLIP v1 sentencepiece tokenizer: punctuation canonicalized away
+        # (HF SiglipTokenizer.canonicalize_text, after big_vision's prompt
+        # engineering), EOS appended, pad with eos/pad id.
         pad = 1
         if sp_model is not None:
             pad = sp_model.pad_id if sp_model.pad_id >= 0 else sp_model.eos_id
-        return TokenizerConventions(add_bos=False, add_eos=True, pad_id=pad)
+        return TokenizerConventions(add_bos=False, add_eos=True, pad_id=pad, canonicalize=True)
+
+
+def canonicalize_text(text: str) -> str:
+    """SigLIP v1 canonicalization: drop punctuation, collapse whitespace
+    (matches HF SiglipTokenizer.canonicalize_text / big_vision)."""
+    import re
+    import string
+
+    text = text.translate(str.maketrans("", "", string.punctuation))
+    return re.sub(r"\s+", " ", text).strip()
 
 
 class Tokenizer:
@@ -103,6 +117,8 @@ class SentencePieceBackend(Tokenizer):
         self.conventions = TokenizerConventions.for_model(model_name, self.sp)
 
     def encode_with_mask(self, text: str, max_length: int = MAX_LENGTH):
+        if self.conventions.canonicalize:
+            text = canonicalize_text(text)
         ids = self.sp.encode(text)
         return self._finalize(list(ids), self.conventions, max_length)
 
