@@ -15,7 +15,7 @@ from typing import List, Tuple
 import numpy as np
 
 from tpuclip.index.store import MetadataStore
-from tpuclip.ops.hamming import hamming_distance_packed, pack_bits
+from tpuclip.ops.hamming import pack_bits
 from tpuclip.utils.logging import log
 
 DEFAULT_TOLERANCE_BITS = 2
@@ -42,24 +42,21 @@ def filter_duplicates(
             packed_rows.append(pack_bits(bits))
             packed_items.append((file_path, similarity))
 
-    duplicates_removed = 0
-    chosen: List[int] = []  # indices into packed_items of cluster champions
-    for i, (file_path, similarity) in enumerate(packed_items):
-        match = -1
-        for ci, champ_idx in enumerate(chosen):
-            d = int(hamming_distance_packed(packed_rows[i], packed_rows[champ_idx]))
-            if d <= tolerance_bits:
-                match = ci
-                break
-        if match < 0:
-            chosen.append(i)
-        else:
-            champ_idx = chosen[match]
-            if similarity > packed_items[champ_idx][1]:
-                chosen[match] = i  # better member becomes the champion
-            duplicates_removed += 1
+    if packed_items:
+        # Champion clustering runs in the native library when built (C++
+        # popcount, tpuclip/native/hamming.cc) with an identical numpy
+        # fallback inside tpuclip.native.
+        from tpuclip import native
 
-    filtered = kept + [packed_items[i] for i in chosen]
+        rows = np.stack(packed_rows)
+        sims = np.array([s for _, s in packed_items], np.float32)
+        champions = native.dedup_champions(rows, sims, tolerance_bits)
+        champion_order = list(dict.fromkeys(int(c) for c in champions))
+        duplicates_removed = len(packed_items) - len(champion_order)
+        filtered = kept + [packed_items[i] for i in champion_order]
+    else:
+        duplicates_removed = 0
+        filtered = kept
     if duplicates_removed > 0:
         log(f"Filtered out {duplicates_removed} duplicate(s) (tolerance: {tolerance_bits} bits)")
     filtered.sort(key=lambda x: x[1], reverse=True)
