@@ -164,3 +164,58 @@ def test_siglip1_canonicalization(tmp_path):
     np.testing.assert_array_equal(v1.encode("ab!!!"), v1.encode("ab"))
     v2 = SentencePieceBackend(str(path), model_name="google/siglip2-base-patch16-224")
     assert not np.array_equal(v2.encode("ab!!!"), v2.encode("ab"))
+
+
+def test_unigram_property_roundtrip():
+    """Property test on a realistic random vocab: every Viterbi segmentation
+    must exactly tile the normalized text, and piece ids must round-trip."""
+    import random
+
+    rnd = random.Random(0)
+    m = sp.SentencePieceModel(model_type=sp.UNIGRAM)
+    for piece, score, t in [("<pad>", 0.0, 3), ("<eos>", 0.0, 3), ("<bos>", 0.0, 3), ("<unk>", 0.0, 2)]:
+        m.pieces.append(piece); m.scores.append(score); m.types.append(t)
+    alphabet = "abcdefgh ▁"
+    # single characters guarantee lattice connectivity
+    for ch in "abcdefgh▁":
+        m.pieces.append(ch); m.scores.append(-8.0 - rnd.random()); m.types.append(1)
+    # 1000 random multi-char pieces
+    seen = set(m.pieces)
+    while len(m.pieces) < 1000:
+        ln = rnd.randint(2, 6)
+        p = "".join(rnd.choice("abcdefgh") for _ in range(ln))
+        if rnd.random() < 0.4:
+            p = "▁" + p
+        if p in seen:
+            continue
+        seen.add(p)
+        m.pieces.append(p); m.scores.append(-2.0 - 6.0 * rnd.random()); m.types.append(1)
+    m.unk_id, m.bos_id, m.eos_id, m.pad_id = 3, 2, 1, 0
+    m.finalize()
+
+    # serializer round trip at this scale
+    m2 = sp.parse_model(sp.serialize_model(m))
+    assert m2.pieces == m.pieces
+
+    for _trial in range(50):
+        text = "".join(rnd.choice("abcdefgh  ") for _ in range(rnd.randint(1, 60)))
+        norm = m.normalize(text)
+        pieces = m.encode(text, out_type="piece")
+        assert "".join(pieces) == norm, (text, pieces)
+        ids = m.encode(text)
+        assert len(ids) == len(pieces)
+        # every id maps back to its piece (no unk needed: alphabet covered)
+        assert all(m.pieces[i] == p for i, p in zip(ids, pieces))
+        # Viterbi optimality spot-check: total score >= greedy-longest-match score
+        total = sum(m.scores[i] for i in ids)
+        g_pieces, pos = [], 0
+        while pos < len(norm):
+            for ln in range(min(6, len(norm) - pos), 0, -1):
+                cand = norm[pos:pos + ln]
+                if cand in m.piece_to_id and m.types[m.piece_to_id[cand]] == 1:
+                    g_pieces.append(m.piece_to_id[cand]); pos += ln
+                    break
+            else:
+                raise AssertionError("greedy got stuck")
+        greedy_total = sum(m.scores[i] for i in g_pieces)
+        assert total >= greedy_total - 1e-9
