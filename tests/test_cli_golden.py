@@ -97,3 +97,13 @@ def test_classify_command(env, capsys):
     assert "Zero-shot classification" in out
     assert out.count("%") >= 6  # three labels, two percentages each
     assert "a red square" in out
+
+
+def test_info_command(env, capsys):
+    main(["scan", str(env / "imgs"), "--db-name", "infod", "--inference-batch-size", "4"])
+    capsys.readouterr()
+    main(["info", "--db-name", "infod"])
+    out = capsys.readouterr().out
+    assert "Images:            3" in out
+    assert "Full embeddings:   3" in out
+    assert "Embedding dim:     64" in out

@@ -199,3 +199,14 @@ def test_gallery_generation(db, tmp_path):
     assert "Similarity:" in html
     assert "localexplorer:" in html
     assert html.count('class="result-item"') == len(results)
+
+
+def test_text_embedding_cache(db):
+    a = db._get_text_embedding("cache probe")
+    b = db._get_text_embedding("cache probe")
+    np.testing.assert_array_equal(a, b)
+    # cached copies must be independent (callers mutate query vectors in the
+    # negative-prompt algebra)
+    a[: 4] = 0
+    c = db._get_text_embedding("cache probe")
+    assert not np.array_equal(a[:4], c[:4])

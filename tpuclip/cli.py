@@ -259,6 +259,10 @@ def build_parser() -> argparse.ArgumentParser:
     classify_parser.add_argument("--labels", required=True, help="Comma-separated label list")
     classify_parser.add_argument("--model", default=None, help="Model preset name")
     classify_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+
+    info_parser = subparsers.add_parser("info", help="Show database summary (no model load)")
+    info_parser.add_argument("--db", default=None, help="Database path")
+    info_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
     return parser
 
 
@@ -618,6 +622,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
             model_cache_dir=args.model_cache or None,
         )
+    elif args.mode == "info":
+        _run_info(args, paths)
     elif args.mode == "duplicates":
         from tpuclip.pipelines.duplicates import report_duplicates
 
@@ -643,6 +649,40 @@ def main(argv: Optional[List[str]] = None) -> None:
         )
     else:
         parser.print_help()
+
+
+def _run_info(args, paths) -> None:
+    """DB summary without loading the model (fast operator tool)."""
+    import sqlite3
+
+    from tpuclip.index.store import MetadataStore
+
+    db_path = _require_db_path(args, paths)
+    if not os.path.exists(db_path):
+        log(f"[X] Error: Database file does not exist: {db_path}")
+        sys.exit(2)
+    store = MetadataStore(db_path)
+    dim = store.stored_embedding_dim()
+    full, binary = store.count_embeddings()
+    images = store.count_images()
+    size_mb = os.path.getsize(db_path) / 1e6
+    log(f"Database: {db_path} ({size_mb:.1f} MB)")
+    log(f"  Images:            {images:,}")
+    log(f"  Full embeddings:   {full:,}")
+    log(f"  Binary embeddings: {binary:,}")
+    log(f"  Embedding dim:     {dim or 'unknown'}")
+    conn = sqlite3.connect(db_path)
+    try:
+        newest = conn.execute("SELECT MAX(created_at) FROM images").fetchone()[0]
+        log(f"  Last insert:       {newest or '-'}")
+    finally:
+        conn.close()
+    cache_dir = Path(str(db_path) + ".cache")
+    if cache_dir.exists():
+        cache_mb = sum(f.stat().st_size for f in cache_dir.iterdir()) / 1e6
+        log(f"  Matrix cache:      {cache_mb:.1f} MB ({cache_dir})")
+    else:
+        log("  Matrix cache:      not built (first search will build it)")
 
 
 def _run_convert(args) -> None:

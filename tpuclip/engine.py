@@ -86,6 +86,8 @@ class ImageDatabase:
             vocab_size=self.config.text.vocab_size,
         )
 
+        self._text_cache: dict = {}
+
         log("\nInitializing database...")
         self.store = MetadataStore(self.db_path, embedding_dim=self.embedding_dim)
         self.store.init_schema()
@@ -174,8 +176,20 @@ class ImageDatabase:
             return [None] * len(image_paths)
 
     def _get_text_embedding(self, text: str) -> np.ndarray:
-        """Lowercase + template + 64-token pad contract (image_database.py:509-543)."""
-        return self.embed_texts([text])[0]
+        """Lowercase + template + 64-token pad contract (image_database.py:509-543).
+
+        Session-scoped LRU: interactive sessions and the HTTP server repeat
+        query terms constantly (negatives especially); embedding text is pure
+        so caching is free accuracy-wise.
+        """
+        cached = self._text_cache.get(text)
+        if cached is not None:
+            return cached.copy()
+        emb = self.embed_texts([text])[0]
+        if len(self._text_cache) >= 256:
+            self._text_cache.pop(next(iter(self._text_cache)))
+        self._text_cache[text] = emb
+        return emb.copy()
 
     # ------------------------------------------------------------- pipelines
 

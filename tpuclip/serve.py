@@ -93,8 +93,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
                 return
             self._json(404, {"error": "not found"})
 
+        MAX_BODY = 4 << 20  # 4 MiB request cap
+
         def _read_json(self):
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.MAX_BODY:
+                raise ValueError(f"request body too large ({length} bytes)")
             return json.loads(self.rfile.read(length) or b"{}")
 
         def do_POST(self):  # noqa: N802
