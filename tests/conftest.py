@@ -7,10 +7,15 @@ substitute for a fake backend (SURVEY.md §4.5). Must be set before jax import.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# TPUCLIP_TEST_TPU=1 runs the suite on the real device backend instead of the
+# virtual 8-CPU mesh (multi-device tests then skip; see mesh8 fixture).
+_USE_REAL_DEVICE = os.environ.get("TPUCLIP_TEST_TPU") == "1"
+
+if not _USE_REAL_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TPUCLIP_QUIET", "1")
 os.environ.setdefault("TPUCLIP_INIT", "random")
 
@@ -20,7 +25,8 @@ os.environ.setdefault("TPUCLIP_INIT", "random")
 # instantiated).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_REAL_DEVICE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
