@@ -36,3 +36,13 @@ def tmp_home(tmp_path, monkeypatch):
     """Point all default output paths at a temp dir."""
     monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path))
     return tmp_path
+
+
+import pytest as _pytest  # noqa: E402
+
+# Strict fp32-oracle tests assume CPU matmul arithmetic; on real devices the
+# default-precision f32 matmuls flip near-ties. Compiled-kernel correctness
+# on hardware is validated separately by scripts/tpu_validate.py.
+cpu_only = _pytest.mark.skipif(
+    _USE_REAL_DEVICE, reason="fp32-exact oracle test (see scripts/tpu_validate.py for on-device validation)"
+)

@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 
 import jax
+
+from conftest import cpu_only
 import jax.numpy as jnp
 
 from tpuclip.ops.attention import fused_attention
@@ -17,6 +19,7 @@ def _oracle(q, k, v):
     return np.einsum("bhqk,bkhd->bqhd", w, v)
 
 
+@cpu_only
 @pytest.mark.parametrize("b,s,h,dh", [(2, 16, 4, 72), (1, 64, 4, 16), (3, 32, 2, 128)])
 def test_fused_attention_matches_oracle(b, s, h, dh):
     rng = np.random.default_rng(0)

@@ -4,6 +4,8 @@ import numpy as np
 import pytest
 
 import jax
+
+from conftest import cpu_only
 import jax.numpy as jnp
 
 from tpuclip.ops.topk import cosine_topk, topk_pallas, topk_xla
@@ -24,6 +26,7 @@ def _oracle(queries, matrix, k, mask=None):
     return out_s, out_i
 
 
+@cpu_only
 @pytest.mark.parametrize("n,k", [(100, 10), (1000, 20), (5000, 7)])
 def test_topk_xla_matches_oracle(n, k):
     rng = np.random.default_rng(0)
@@ -45,6 +48,7 @@ def test_topk_xla_with_mask():
     np.testing.assert_array_equal(np.asarray(i), ei)
 
 
+@cpu_only
 @pytest.mark.parametrize("n,k,qn", [(512, 10, 1), (2048, 20, 3), (3000, 5, 8), (700, 13, 2)])
 def test_topk_pallas_interpret_matches_oracle(n, k, qn):
     """Pallas kernel in interpreter mode (CPU) vs oracle, incl. ragged N."""
