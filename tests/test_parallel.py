@@ -25,12 +25,15 @@ from tpuclip.parallel.training import (
 
 @pytest.fixture(scope="module")
 def mesh8():
-    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
     return make_mesh(model_parallelism=1)
 
 
 @pytest.fixture(scope="module")
 def mesh4x2():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
     return make_mesh(model_parallelism=2)
 
 

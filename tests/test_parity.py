@@ -13,6 +13,8 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
 import jax  # noqa: E402
+
+from conftest import cpu_only  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from tpuclip.models import configs as C  # noqa: E402
@@ -89,6 +91,7 @@ def _cos(a, b):
     )
 
 
+@cpu_only
 def test_image_features_parity(models):
     hf, cfg, params = models
     rng = np.random.default_rng(1)
@@ -105,6 +108,7 @@ def test_image_features_parity(models):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+@cpu_only
 def test_text_features_parity(models):
     hf, cfg, params = models
     rng = np.random.default_rng(2)
@@ -119,6 +123,7 @@ def test_text_features_parity(models):
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
+@cpu_only
 def test_text_features_parity_with_attention_mask(models):
     """The reference path masks padded tokens (processor emits attention_mask,
     HF applies it) — masked features must match too."""
@@ -147,6 +152,7 @@ def test_text_features_parity_with_attention_mask(models):
     assert _cos(ours[:2], unmasked[:2]) < 0.9999
 
 
+@cpu_only
 def test_uint8_pixel_normalization(models):
     """uint8 NHWC input must equal the rescale+normalize preprocessing."""
     hf, cfg, params = models
