@@ -51,6 +51,51 @@ def test_sharded_search_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_search_pallas_local_kernel(mesh8):
+    """Fused Pallas kernel per shard (interpret mode on the CPU mesh) must
+    match the XLA local path and the single-device scan exactly."""
+    from tpuclip.parallel.sharded_search import pad_for_mesh, shard_matrix, sharded_topk
+
+    rng = np.random.default_rng(5)
+    n, d, k = 4100, 128, 11  # ragged: padding tail lands in the last shard
+    matrix = rng.standard_normal((n, d)).astype(np.float32)
+    queries = rng.standard_normal((2, d)).astype(np.float32)
+
+    # pad columns to 512 * ndev so each shard is tile-aligned for tile_n=512
+    ndev = 8
+    mt = np.ascontiguousarray(matrix.T)
+    rem = (-mt.shape[1]) % (512 * ndev)
+    mt_padded = np.concatenate([mt, np.zeros((d, rem), np.float32)], axis=1)
+    dev_matrix = shard_matrix(jnp.asarray(mt_padded), mesh8)
+    nv = jnp.asarray(n, jnp.int32)
+
+    import functools
+
+    import tpuclip.ops.topk as topk_mod
+
+    orig = topk_mod.topk_pallas
+
+    def small_tile(q, m, kk, n_valid=None, tile_n=None, interpret=False):
+        return orig(q, m, kk, n_valid=n_valid, tile_n=512, interpret=interpret)
+
+    topk_mod.topk_pallas = small_tile
+    try:
+        s_p, i_p = sharded_topk(
+            jnp.asarray(queries), dev_matrix, k, mesh8, nv,
+            use_pallas=True, interpret=True,
+        )
+    finally:
+        topk_mod.topk_pallas = orig
+    s_x, i_x = sharded_topk(
+        jnp.asarray(queries), dev_matrix, k, mesh8, nv, use_pallas=False
+    )
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-5, atol=1e-6)
+
+    s_ref, i_ref = topk_xla(jnp.asarray(queries), jnp.asarray(matrix.T), k)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
+
+
 def test_sharded_search_ragged_rows(mesh8):
     """Row count not divisible by the mesh: zero-padding must not leak."""
     rng = np.random.default_rng(1)

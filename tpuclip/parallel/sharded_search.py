@@ -46,7 +46,9 @@ def pad_for_mesh(matrix_t, mesh: Mesh):
     return matrix_t, n
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "has_mask", "use_pallas", "interpret")
+)
 def _sharded_topk_impl(
     queries: jnp.ndarray,
     matrix_t: jnp.ndarray,
@@ -55,6 +57,8 @@ def _sharded_topk_impl(
     n_valid: jnp.ndarray,
     mask: jnp.ndarray,
     has_mask: bool,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n_total = matrix_t.shape[1]
     ndev = mesh.shape[DATA_AXIS]
@@ -65,7 +69,14 @@ def _sharded_topk_impl(
         my = jax.lax.axis_index(DATA_AXIS)
         base = my * shard_cols
         local_mask = mask_shard[0] if has_mask else None
-        s, i = topk_xla(q, m_shard, k_eff, mask=local_mask)
+        if use_pallas and not has_mask:
+            # fused kernel per shard; n_valid translated to local columns
+            local_nv = jnp.clip(n_valid - base, 0, shard_cols)
+            from tpuclip.ops.topk import topk_pallas
+
+            s, i = topk_pallas(q, m_shard, k_eff, n_valid=local_nv, interpret=interpret)
+        else:
+            s, i = topk_xla(q, m_shard, k_eff, mask=local_mask)
         # mask local candidates that fall past the valid column count
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
@@ -99,20 +110,39 @@ def sharded_topk(
     mesh: Mesh,
     n_valid: jnp.ndarray,
     mask=None,
+    use_pallas: bool = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed top-k. queries (Q, D) replicated; matrix_t (D, N)
     column-sharded over ``data``; optional additive ``mask`` (N,) (folder
     filters), sharded alongside the matrix.
 
+    ``use_pallas`` runs the fused kernel per shard (auto on TPU for
+    tile-aligned unmasked shards; XLA elsewhere — both paths validated
+    identical on an 8-device CPU mesh).
+
     Returns (scores, global_idx) each (Q, k), identical to a single-device
-    scan over the unsharded matrix (validated on an 8-device CPU mesh).
+    scan over the unsharded matrix.
     """
     has_mask = mask is not None
+    ndev = mesh.shape[DATA_AXIS]
+    shard_cols = matrix_t.shape[1] // max(ndev, 1)
+    if use_pallas is None:
+        use_pallas = (
+            not has_mask
+            and k <= 128
+            and jax.default_backend() == "tpu"
+            and shard_cols >= 2048
+            and shard_cols % 2048 == 0
+        )
     if mask is None:
         mask = jnp.zeros((1, matrix_t.shape[1]), jnp.float32)
     else:
         mask = jnp.reshape(mask, (1, -1)).astype(jnp.float32)
-    return _sharded_topk_impl(queries, matrix_t, k, mesh, n_valid, mask, has_mask)
+    return _sharded_topk_impl(
+        queries, matrix_t, k, mesh, n_valid, mask, has_mask,
+        use_pallas=bool(use_pallas), interpret=interpret,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
