@@ -68,3 +68,19 @@ def test_consumer_early_break_does_not_hang(files):
     gen = prefetch_batches(iter(files), batch_size=2, image_size=16)
     next(gen)
     gen.close()  # generator closed mid-stream; producer thread must exit
+
+
+def test_process_pool_decode_matches_threads(files, tmp_path):
+    """TPUCLIP_DECODE_PROCS / num_procs>0 must produce identical batches
+    (pixels, hashes, order, failure slots) via spawned worker processes."""
+    bad = tmp_path / "bad2.png"
+    bad.write_bytes(b"still not an image")
+    mixed = files[:3] + [(str(bad), 0.0)] + files[3:6]
+    ref = list(prefetch_batches(iter(mixed), batch_size=4, image_size=16))
+    got = list(prefetch_batches(iter(mixed), batch_size=4, image_size=16, num_procs=2))
+    assert len(got) == len(ref)
+    for rb, gb in zip(ref, got):
+        np.testing.assert_array_equal(rb.pixels, gb.pixels)
+        assert rb.valid.tolist() == gb.valid.tolist()
+        assert [i.path for i in rb.items] == [i.path for i in gb.items]
+        assert [i.file_hash for i in rb.items] == [i.file_hash for i in gb.items]

@@ -182,6 +182,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="JPEG DCT-domain fast decode (3-8x faster on large photos; "
         "pixels differ slightly from a full decode)",
     )
+    scan_parser.add_argument("--decode-procs", type=int, default=None, help="Decode in N worker processes instead of threads (for many-core hosts where Python overhead caps the thread pool)")
     scan_parser.add_argument("--num-shards", type=int, default=1, help="Multi-worker indexing: total workers")
     scan_parser.add_argument("--shard-index", type=int, default=0, help="Multi-worker indexing: this worker's shard")
 
@@ -323,6 +324,7 @@ def _run_scan(args, paths) -> None:
         save_full_embeddings=not args.binary_only,
         num_shards=args.num_shards,
         shard_index=args.shard_index,
+        decode_procs=args.decode_procs,
     )
 
 

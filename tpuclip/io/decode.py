@@ -82,3 +82,25 @@ def load_image(
     except Exception as e:  # noqa: BLE001
         safe_print_path("Error loading ", image_path, e)
         return None
+
+
+def load_image_bytes(
+    data: bytes, image_path: str, draft_size: Optional[int] = None
+) -> Optional[Image.Image]:
+    """``load_image`` for already-read raster bytes (same containment and
+    draft semantics; PDFs must go through ``load_image``).
+
+    Lets the scan pipeline read each file exactly once — the same bytes feed
+    SHA-256 and the decoder — instead of the reference's separate hash read
+    (image_database.py:346-352 after :408).
+    """
+    import io
+
+    try:
+        img = Image.open(io.BytesIO(data))
+        if draft_size is not None and img.format == "JPEG":
+            img.draft("RGB", (draft_size * 2, draft_size * 2))
+        return img.convert("RGB")
+    except Exception as e:  # noqa: BLE001
+        safe_print_path("Error loading ", image_path, e)
+        return None

@@ -11,6 +11,13 @@ thread pool decodes and resizes ahead of the device, and a bounded queue of
   compilation, no shape polymorphism.
 - PIL decode/resize release the GIL in their C cores, so threads scale to
   physical cores without multiprocessing overhead.
+- On hosts where per-image *Python* overhead (not the C cores) becomes the
+  bottleneck at high core counts, a process pool sidesteps the GIL entirely:
+  set ``TPUCLIP_DECODE_PROCS=N`` (or ``--decode-procs N``) to decode in N
+  spawned worker processes. Workers import only PIL/numpy/hashlib — never
+  jax — so spawn is cheap and cannot double-initialize the accelerator. The
+  decoded (224,224,3) uint8 arrays are ~150 KB each, so IPC pickling costs
+  ~25 MB/s even at 10k img/min — negligible.
 - The queue depth bounds host memory (depth × batch × 224² × 3 bytes).
 - File hashing rides the same worker task as decode (the bytes are already
   hot in the page cache), removing the reference's separate serial hash loop
@@ -22,13 +29,13 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import Executor, ProcessPoolExecutor, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from tpuclip.io.decode import load_image
+from tpuclip.io.decode import load_image, load_image_bytes
 from tpuclip.io.hashing import file_sha256
 from tpuclip.io.preprocess import resize_to_uint8
 
@@ -54,6 +61,20 @@ def _fast_decode_enabled() -> bool:
 
 def _decode_one(path: str, last_modified: float, image_size: int, with_hash: bool) -> DecodedImage:
     draft = image_size if _fast_decode_enabled() else None
+    if with_hash and not path.lower().endswith(".pdf"):
+        # Read once: the same bytes feed the hash and the decoder (PDFs keep
+        # the two-pass path since fitz renders from the file).
+        import hashlib
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return DecodedImage(path, last_modified, None, None)
+        file_hash = hashlib.sha256(data).hexdigest()
+        img = load_image_bytes(data, path, draft_size=draft)
+        pixels = resize_to_uint8(img, image_size) if img is not None else None
+        return DecodedImage(path, last_modified, pixels, file_hash)
     img = load_image(path, draft_size=draft)
     pixels = resize_to_uint8(img, image_size) if img is not None else None
     file_hash = None
@@ -72,6 +93,24 @@ def default_workers() -> int:
     return max(2, min(32, (os.cpu_count() or 4)))
 
 
+def default_procs() -> int:
+    """Decode worker *processes*; 0 (default) = in-process thread pool."""
+    env = os.environ.get("TPUCLIP_DECODE_PROCS")
+    return max(0, int(env)) if env else 0
+
+
+def _make_decode_executor(num_workers: Optional[int], num_procs: Optional[int]) -> Executor:
+    procs = default_procs() if num_procs is None else num_procs
+    if procs > 0:
+        import multiprocessing as mp
+
+        # spawn, not fork: the parent holds a live jax runtime and decode
+        # threads; forking either is unsafe. Workers re-import only the
+        # jax-free decode modules, so spawn startup is light.
+        return ProcessPoolExecutor(max_workers=procs, mp_context=mp.get_context("spawn"))
+    return ThreadPoolExecutor(max_workers=num_workers or default_workers())
+
+
 def prefetch_batches(
     files: Iterable[Tuple[str, float]],
     batch_size: int,
@@ -80,18 +119,20 @@ def prefetch_batches(
     queue_depth: int = 4,
     with_hash: bool = True,
     stop_event: Optional[threading.Event] = None,
+    num_procs: Optional[int] = None,
 ) -> Iterator[Batch]:
-    """Yield fixed-shape decoded batches, decoding ahead on a thread pool.
+    """Yield fixed-shape decoded batches, decoding ahead of the device.
 
     ``files``: iterable of (path, last_modified). Order is preserved.
+    ``num_procs`` > 0 decodes in spawned worker processes instead of threads
+    (default: ``TPUCLIP_DECODE_PROCS`` env, else a thread pool).
     """
-    workers = num_workers or default_workers()
     out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=queue_depth)
     error_holder: List[BaseException] = []
 
     def producer() -> None:
         try:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
+            with _make_decode_executor(num_workers, num_procs) as pool:
                 pending: List = []
                 metas: List[Tuple[str, float]] = []
 

@@ -50,6 +50,7 @@ def scan_directory(
     save_full_embeddings: bool = True,
     num_shards: int = 1,
     shard_index: int = 0,
+    decode_procs: Optional[int] = None,
 ) -> None:
     try:
         from tqdm import tqdm
@@ -213,6 +214,7 @@ def scan_directory(
             batch_size=inference_batch_size,
             image_size=engine.image_size,
             with_hash=True,
+            num_procs=decode_procs,
         ):
             from tpuclip.models.siglip import get_image_features
             import jax.numpy as jnp
