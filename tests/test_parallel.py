@@ -233,3 +233,77 @@ def test_param_shardings_cover_tree(mesh4x2):
     params = init_params(jax.random.PRNGKey(0), cfg)
     specs = param_shardings(params, mesh4x2)
     assert jax.tree.structure(specs) == jax.tree.structure(params)
+
+
+def test_sharded_binary_topk_matches_single_device(mesh8):
+    """Row-sharded packed-binary scan == single-device scan, ragged rows and
+    folder masks included (VERDICT r1 item 4: binary-only DBs must search
+    identically on 1 and 8 devices)."""
+    from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
+    from tpuclip.parallel.sharded_search import sharded_binary_topk
+
+    rng = np.random.default_rng(11)
+    n, d, k = 301, 128, 9  # ragged: 301 % 8 != 0
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qbits = (rng.standard_normal((2, d)) >= 0).astype(np.uint8)
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+
+    ref_s, ref_i = binary_topk_packed(jnp.asarray(qwords), jnp.asarray(words), k)
+
+    ndev = 8
+    row_pad = (-n) % ndev
+    padded = np.pad(words, ((0, row_pad), (0, 0)))
+    got_s, got_i = sharded_binary_topk(
+        jnp.asarray(qwords), jnp.asarray(padded), k, mesh8,
+        jnp.asarray(n, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+    # masked variant: exclude even rows
+    mask = np.where(np.arange(padded.shape[0]) % 2 == 0, -np.inf, 0.0).astype(np.float32)
+    ref_ms, ref_mi = binary_topk_packed(
+        jnp.asarray(qwords), jnp.asarray(words), k, mask=jnp.asarray(mask[:n])
+    )
+    got_ms, got_mi = sharded_binary_topk(
+        jnp.asarray(qwords), jnp.asarray(padded), k, mesh8,
+        jnp.asarray(n, jnp.int32), mask=jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(np.asarray(got_ms), np.asarray(ref_ms))
+    np.testing.assert_array_equal(np.asarray(got_mi), np.asarray(ref_mi))
+
+
+def test_mesh_sharded_binary_index(mesh8, tmp_path):
+    """Binary-only DB through DeviceIndex(mesh=...) == single-device results,
+    folder filters included."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(13)
+    store = MetadataStore(str(tmp_path / "b.db"), embedding_dim=64)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    vecs = rng.standard_normal((205, 64)).astype(np.float32)
+    batch = [
+        (f"/data/{'a' if i % 2 else 'b'}/img{i}.jpg", 1.0 * i, f"h{i}", vecs[i])
+        for i in range(205)
+    ]
+    store.commit_with_retry(cur, conn, batch, save_full_embeddings=False)
+    conn.close()
+
+    q = rng.standard_normal(64).astype(np.float32)
+    single = DeviceIndex(store).search(q, 7)
+    sharded_idx = DeviceIndex(store, mesh=mesh8)
+    sharded = sharded_idx.search(q, 7)
+    assert single and [p for p, _ in sharded] == [p for p, _ in single]
+    assert [s for _, s in sharded] == [s for _, s in single]
+    assert sharded_idx.num_full == 0 and sharded_idx.num_binary == 205
+
+    f_single = DeviceIndex(store).search(q, 7, filter_folders=["/data/a"])
+    f_sharded = sharded_idx.search(q, 7, filter_folders=["/data/a"])
+    assert [p for p, _ in f_sharded] == [p for p, _ in f_single]
+    assert all("/data/a/" in p for p, _ in f_sharded)

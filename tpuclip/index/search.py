@@ -73,6 +73,7 @@ class DeviceIndex:
         self._n_valid: Optional[jnp.ndarray] = None
         self._bin_ids: Optional[np.ndarray] = None
         self._bin_matrix: Optional[jnp.ndarray] = None  # (N, W) packed uint32 words
+        self._bin_n_valid: Optional[jnp.ndarray] = None
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
 
@@ -147,11 +148,27 @@ class DeviceIndex:
             pad = (-words.shape[-1]) % 4
             if pad:
                 words = np.pad(words, ((0, 0), (0, pad)))
-            self._bin_matrix = jax.device_put(
-                jnp.asarray(words.view(np.uint32)), self.device
-            )
+            words = words.view(np.uint32)
+            self._bin_n_valid = jnp.asarray(words.shape[0], jnp.int32)
+            if self.mesh is not None:
+                # Row-shard the packed words over the data axis (zero rows
+                # pad to the mesh multiple; masked out via _bin_n_valid).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from tpuclip.parallel.mesh import DATA_AXIS
+
+                ndev = self.mesh.shape[DATA_AXIS]
+                row_pad = (-words.shape[0]) % ndev
+                if row_pad:
+                    words = np.pad(words, ((0, row_pad), (0, 0)))
+                self._bin_matrix = jax.device_put(
+                    jnp.asarray(words), NamedSharding(self.mesh, P(DATA_AXIS, None))
+                )
+            else:
+                self._bin_matrix = jax.device_put(jnp.asarray(words), self.device)
         else:
             self._bin_matrix = None
+            self._bin_n_valid = None
         self._fingerprint = fp
         self._mask_cache.clear()
         if len(ids) or len(bin_ids):
@@ -362,9 +379,17 @@ class DeviceIndex:
             if filter_folders
             else None
         )
-        matches, rows = binary_topk_packed(
-            jnp.asarray(qwords), self._bin_matrix, k, mask=mask
-        )
+        if self.mesh is not None:
+            from tpuclip.parallel.sharded_search import sharded_binary_topk
+
+            matches, rows = sharded_binary_topk(
+                jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
+                self._bin_n_valid, mask=mask,
+            )
+        else:
+            matches, rows = binary_topk_packed(
+                jnp.asarray(qwords), self._bin_matrix, k, mask=mask
+            )
         matches = np.asarray(matches[0])
         rows = np.asarray(rows[0])
         valid = matches > np.iinfo(np.int32).min

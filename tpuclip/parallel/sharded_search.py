@@ -203,6 +203,62 @@ def sharded_topk_int8(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
+def _sharded_binary_topk_impl(query_words, matrix_words, k, mesh, n_valid, mask, has_mask):
+    n_total = matrix_words.shape[0]
+    ndev = mesh.shape[DATA_AXIS]
+    shard_rows = n_total // ndev
+    k_eff = min(k, n_total)
+    sentinel = jnp.iinfo(jnp.int32).min
+
+    from tpuclip.ops.hamming import binary_topk_packed
+
+    def local(q, w_shard, n_valid, mask_shard):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_rows
+        local_mask = mask_shard[0] if has_mask else None
+        s, i = binary_topk_packed(q, w_shard, k_eff, mask=local_mask)
+        gi = i + base
+        s = jnp.where(gi < n_valid, s, sentinel)
+        s_all = jax.lax.all_gather(s, DATA_AXIS)
+        i_all = jax.lax.all_gather(gi, DATA_AXIS)
+        q_count = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        top_s, pos = jax.lax.top_k(s_flat, k_eff)
+        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+        order = jnp.lexsort((top_i, -top_s), axis=-1)
+        return (
+            jnp.take_along_axis(top_s, order, axis=1),
+            jnp.take_along_axis(top_i, order, axis=1),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query_words, matrix_words, n_valid.astype(jnp.int32), mask)
+
+
+def sharded_binary_topk(query_words, matrix_words, k, mesh, n_valid, mask=None):
+    """Distributed packed-binary top-k: (N, W) uint32 words ROW-sharded over
+    ``data`` (the packed layout is row-major, unlike the feature-major float
+    matrix); local AND+popcount scan per shard, O(ndev*Q*k) candidate merge.
+    Integer-exact parity with the single-device binary fallback
+    (image_database.py:1591-1629 semantics): padded/masked rows score as
+    int32 min and are dropped by callers."""
+    has_mask = mask is not None
+    if mask is None:
+        mask = jnp.zeros((1, matrix_words.shape[0]), jnp.float32)
+    else:
+        mask = jnp.reshape(mask, (1, -1)).astype(jnp.float32)
+    return _sharded_binary_topk_impl(
+        query_words, matrix_words, k, mesh, n_valid, mask, has_mask
+    )
+
+
 class ShardedIndex:
     """Convenience wrapper: host (N, D) matrix → mesh-resident sharded index
     (stored feature-major)."""
