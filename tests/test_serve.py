@@ -12,7 +12,7 @@ from tpuclip.serve import SearchServer
 
 
 @pytest.fixture(scope="module")
-def server(tmp_path_factory):
+def engine(tmp_path_factory):
     home = tmp_path_factory.mktemp("serve")
     imgs = home / "imgs"
     imgs.mkdir()
@@ -25,7 +25,12 @@ def server(tmp_path_factory):
         inference_batch_size=4,
     )
     eng.scan_directory(str(imgs), inference_batch_size=4)
-    srv = SearchServer(eng, host="127.0.0.1", port=0)  # ephemeral port
+    return eng
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = SearchServer(engine, host="127.0.0.1", port=0)  # ephemeral port
     srv.start_background()
     yield srv
     srv.shutdown()
@@ -134,3 +139,57 @@ def test_stats_metrics_counters(server):
     assert body["requests"] >= 1
     assert body["searches"] >= 1
     assert "search_p50_ms" in body
+
+
+
+def test_concurrent_searches_micro_batch(engine):
+    """N concurrent plain-text queries must collapse into ~1 device pass and
+    return the same results as sequential requests (VERDICT r1 item 5)."""
+    import threading
+
+    srv = SearchServer(engine, host="127.0.0.1", port=0, batch_window_ms=100)
+    srv.start_background()
+    try:
+        queries = ["a red square", "a green square", "a blue square", "a red square"]
+        # Sequential baseline (each its own batch — window only opens on
+        # arrival, so lone requests return immediately after the window).
+        baseline = {}
+        for q in set(queries):
+            status, body = _post(srv, "/search", {"query": q, "k": 3})
+            assert status == 200
+            baseline[q] = body["results"]
+        passes_before = srv.batcher.device_passes
+
+        results = [None] * len(queries)
+        errors = []
+
+        def fire(i, q):
+            try:
+                status, body = _post(srv, "/search", {"query": q, "k": 3})
+                assert status == 200, body
+                results[i] = body["results"]
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        # Barrier-release all threads at once so they land in one window.
+        barrier = threading.Barrier(len(queries))
+
+        def worker(i, q):
+            barrier.wait()
+            fire(i, q)
+
+        threads = [threading.Thread(target=worker, args=(i, q)) for i, q in enumerate(queries)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        for q, r in zip(queries, results):
+            assert r == baseline[q]
+        # 4 concurrent requests, same (k, folders) -> one search_batch pass.
+        passes = srv.batcher.device_passes - passes_before
+        assert passes <= 2, f"expected micro-batching, got {passes} device passes"
+        st = srv.batcher.stats()
+        assert st["batched_requests"] >= len(queries)
+    finally:
+        srv.shutdown()

@@ -13,15 +13,23 @@ wraps the same engine in a small threaded HTTP server (stdlib only):
                             (query strings support the same mini-language as
                             the REPL: "a + b", "a - b", "image:<path>")
 
-The model and the HBM-resident index stay warm across requests; request
-handling is serialized through a lock (single-chip engine; scale-out is DP
-replicas behind a load balancer, one engine per chip).
+The model and the HBM-resident index stay warm across requests. Plain text
+queries are MICRO-BATCHED: concurrent requests arriving within a short window
+(default 2 ms, ``TPUCLIP_BATCH_WINDOW_MS``) embed in one text-tower pass and
+scan the matrix in one ``search_batch`` device pass — N concurrent queries
+cost ~1 device pass instead of N. Complex queries (image queries, algebra,
+negatives) and non-search endpoints serialize through the engine lock as
+before (scale-out remains DP replicas behind a load balancer, one engine per
+chip).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import queue as queue_mod
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from tpuclip.cli import parse_interactive_line
 from tpuclip.utils.logging import log
@@ -61,7 +69,123 @@ class ServerMetrics:
         return out
 
 
-def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
+class _BatchItem:
+    __slots__ = ("query", "k", "folders", "show_duplicates", "event", "result", "error")
+
+    def __init__(self, query: str, k: int, folders, show_duplicates: bool):
+        self.query = query
+        self.k = k
+        self.folders = tuple(folders) if folders else None
+        self.show_duplicates = show_duplicates
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Collects concurrent plain-text searches into single device passes.
+
+    One dispatcher thread drains a queue: after the first request lands it
+    waits ``window_s`` for stragglers (bounded by ``max_batch``), embeds the
+    unique query strings in ONE text-tower pass, refreshes the index once,
+    and runs one ``search_batch`` per distinct (k, folders) group. Duplicate
+    filtering stays per-request (it is host-side SQLite work).
+    """
+
+    def __init__(self, engine, lock: threading.Lock, window_ms=None, max_batch: int = 64):
+        self.engine = engine
+        self.lock = lock
+        if window_ms is None:
+            window_ms = float(os.environ.get("TPUCLIP_BATCH_WINDOW_MS", "2"))
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.queue: "queue_mod.Queue" = queue_mod.Queue()
+        self.device_passes = 0  # scan passes actually run
+        self.batched_requests = 0
+        self._stats_lock = threading.Lock()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="tpuclip-microbatch")
+        self._thread.start()
+
+    def submit(self, query: str, k: int, folders, show_duplicates: bool, timeout: float = 60.0):
+        item = _BatchItem(query, k, folders, show_duplicates)
+        self.queue.put(item)
+        if not item.event.wait(timeout):
+            raise TimeoutError("search timed out in the batching queue")
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def shutdown(self) -> None:
+        self.queue.put(None)
+        self._thread.join(timeout=5.0)
+
+    def _loop(self) -> None:
+        while True:
+            first = self.queue.get()
+            if first is None:
+                return
+            items = [first]
+            deadline = time.perf_counter() + self.window_s
+            stop = False
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self.queue.get(timeout=remaining)
+                except queue_mod.Empty:
+                    break
+                if nxt is None:
+                    stop = True
+                    break
+                items.append(nxt)
+            self._process(items)
+            if stop:
+                return
+
+    def _process(self, items) -> None:
+        import numpy as np
+
+        from tpuclip.index.dedup import filter_duplicates
+
+        try:
+            with self.lock:
+                texts = sorted({it.query for it in items})
+                vec_by_text = dict(zip(texts, self.engine.embed_texts(texts)))
+                self.engine.index.refresh()
+                groups: dict = {}
+                for it in items:
+                    groups.setdefault((it.k, it.folders), []).append(it)
+                passes = 0
+                for (k, folders), group in groups.items():
+                    vecs = np.stack([vec_by_text[it.query] for it in group])
+                    batches = self.engine.index.search_batch(
+                        vecs, k, filter_folders=list(folders) if folders else None
+                    )
+                    passes += 1
+                    for it, results in zip(group, batches):
+                        if not it.show_duplicates and results:
+                            results = filter_duplicates(self.engine.store, results, tolerance_bits=2)
+                        it.result = results
+            with self._stats_lock:
+                self.device_passes += passes
+                self.batched_requests += len(items)
+        except Exception as e:  # noqa: BLE001 - fan the failure out, keep serving
+            for it in items:
+                it.error = e
+        finally:
+            for it in items:
+                it.event.set()
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return {
+                "batched_requests": self.batched_requests,
+                "device_passes": self.device_passes,
+            }
+
+
+def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: MicroBatcher = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through our logger
             log(f"  [serve] {self.address_string()} {fmt % args}")
@@ -89,6 +213,8 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
                     "db_path": engine.db_path,
                 }
                 payload.update(metrics.snapshot())
+                if batcher is not None:
+                    payload.update(batcher.stats())
                 self._json(200, payload)
                 return
             self._json(404, {"error": "not found"})
@@ -134,6 +260,40 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
             import time as _time
 
             t0 = _time.perf_counter()
+            # Plain text queries ride the micro-batching queue: concurrent
+            # requests share one tower pass + one matrix scan.
+            simple = (
+                batcher is not None
+                and not spec.is_image
+                and spec.query2 is None
+                and req.get("query2") is None
+                and spec.negative_query is None
+                and req.get("negative") is None
+                and not getattr(spec, "negative_queries", None)
+            )
+            if simple:
+                try:
+                    results = batcher.submit(
+                        spec.query,
+                        int(req.get("k", 10)),
+                        req.get("folders"),
+                        bool(req.get("show_duplicates", False)),
+                    )
+                except Exception as e:  # noqa: BLE001
+                    metrics.record(ok=False)
+                    self._json(500, {"error": str(e)})
+                    return
+                metrics.record(ok=True, latency_ms=(_time.perf_counter() - t0) * 1000)
+                self._json(
+                    200,
+                    {
+                        "query": query,
+                        "results": [
+                            {"path": p, "similarity": round(s, 6)} for p, s in results
+                        ],
+                    },
+                )
+                return
             try:
                 with lock:
                     results = engine.search(
@@ -224,11 +384,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics):
 class SearchServer:
     """Threaded HTTP server around a resident engine."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000):
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8000, batch_window_ms=None):
         self._lock = threading.Lock()
         self.metrics = ServerMetrics()
+        self.batcher = MicroBatcher(engine, self._lock, window_ms=batch_window_ms)
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(engine, self._lock, self.metrics)
+            (host, port), make_handler(engine, self._lock, self.metrics, self.batcher)
         )
         self.host, self.port = self.httpd.server_address[:2]
 
@@ -240,6 +401,7 @@ class SearchServer:
             log("\nShutting down.")
         finally:
             self.httpd.server_close()
+            self.batcher.shutdown()
 
     def start_background(self) -> threading.Thread:
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
@@ -249,6 +411,7 @@ class SearchServer:
     def shutdown(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+        self.batcher.shutdown()
 
 
 def run_serve(args, paths) -> None:
