@@ -219,3 +219,86 @@ def test_unigram_property_roundtrip():
                 raise AssertionError("greedy got stuck")
         greedy_total = sum(m.scores[i] for i in g_pieces)
         assert total >= greedy_total - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# precompiled_charsmap (darts-clone trie) — VERDICT r1 item 6
+# ---------------------------------------------------------------------------
+
+
+def test_charsmap_basic_rules():
+    blob = sp.build_precompiled_charsmap({"ﬁ": "fi", "Ｅ": "E", "…": "..."})
+    cm = sp.PrecompiledCharsMap(blob)
+    assert cm.normalize("ﬁle Ｅnd…") == "file End..."
+    # unmatched characters pass through untouched, multi-byte included
+    assert cm.normalize("héllo ﬁ") == "héllo fi"
+
+
+def test_charsmap_longest_match_wins():
+    blob = sp.build_precompiled_charsmap({"a": "X", "ab": "Y", "abc": "Z"})
+    cm = sp.PrecompiledCharsMap(blob)
+    assert cm.normalize("abc") == "Z"
+    assert cm.normalize("ab") == "Y"
+    assert cm.normalize("abd") == "Yd"
+    assert cm.normalize("aa") == "XX"
+
+
+def test_charsmap_empty_replacement_deletes():
+    blob = sp.build_precompiled_charsmap({"​": "", "x": "y"})
+    cm = sp.PrecompiledCharsMap(blob)
+    assert cm.normalize("a​x") == "ay"
+
+
+def test_charsmap_property_many_rules():
+    """Random rule tables exercise the double-array layout (collisions,
+    shared prefixes, multi-byte keys)."""
+    import random
+
+    rng = random.Random(5)
+    alphabet = "abcdefgéü漢字 "
+    rules = {}
+    for _ in range(300):
+        src = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 4)))
+        rules[src] = "".join(rng.choice("XYZ09") for _ in range(rng.randint(0, 3)))
+    blob = sp.build_precompiled_charsmap(rules)
+    cm = sp.PrecompiledCharsMap(blob)
+
+    def oracle(text):
+        data = text.encode("utf-8")
+        srcs = sorted((s.encode("utf-8") for s in rules), key=len, reverse=True)
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            for s in srcs:
+                if data[i : i + len(s)] == s:
+                    out += rules[s.decode("utf-8")].encode("utf-8")
+                    i += len(s)
+                    break
+            else:
+                b = data[i]
+                step = 4 if b >= 0xF0 else 3 if b >= 0xE0 else 2 if b >= 0xC0 else 1
+                out += data[i : i + step]
+                i += step
+        return out.decode("utf-8", errors="replace")
+
+    for _ in range(50):
+        text = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+        assert cm.normalize(text) == oracle(text), text
+
+
+def test_charsmap_through_model_roundtrip(tmp_path):
+    """A model file carrying a charsmap must apply it (instead of NFKC) in
+    the full encode path, serialize/parse round-trip included."""
+    m = sp.SentencePieceModel(
+        pieces=["<unk>", "<s>", "</s>", "▁", "f", "i", "l", "e", "fi", "▁file"],
+        scores=[0.0, 0.0, 0.0, -1.0, -2.0, -2.0, -2.0, -2.0, -1.5, -0.5],
+        types=[2, 3, 3, 1, 1, 1, 1, 1, 1, 1],
+        precompiled_charsmap=sp.build_precompiled_charsmap({"ﬁ": "fi"}),
+    )
+    m.finalize()
+    path = tmp_path / "tokenizer.model"
+    path.write_bytes(sp.serialize_model(m))
+    loaded = sp.load_model(str(path))
+    assert loaded.charsmap is not None
+    # "ﬁle" → charsmap → "file" → "▁file" as one piece
+    assert loaded.encode("ﬁle", out_type="piece") == ["▁file"]

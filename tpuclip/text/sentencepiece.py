@@ -9,13 +9,13 @@ wire format) directly and implements the two relevant encoding algorithms:
 - **BPE**: iterative highest-score adjacent merge (sentencepiece flavor where
   merge priority is the merged piece's score, ties broken left-first).
 
-Normalization implemented: NFKC (when the model's normalizer is an nmt/nfkc
-variant), optional extra-whitespace collapse, dummy-prefix insertion and
-whitespace escaping to ``▁`` (U+2581). The precompiled_charsmap custom rules
-are NOT interpreted (they add a handful of NFKC exceptions); for the ASCII
-prompts this pipeline produces ("this is a photo of {query}",
-image_database.py:521) the output is identical. Byte-fallback (``<0xNN>``
-pieces) is supported for out-of-vocab characters.
+Normalization implemented: the model's ``precompiled_charsmap`` (a darts-clone
+double-array trie of byte-sequence → replacement rules — the exact rules the
+sentencepiece C++ normalizer applies, including its NFKC exceptions) when the
+model carries one; plain NFKC via unicodedata as the fallback for
+nmt/nfkc-named normalizers without a charsmap. Plus optional extra-whitespace
+collapse, dummy-prefix insertion and whitespace escaping to ``▁`` (U+2581).
+Byte-fallback (``<0xNN>`` pieces) is supported for out-of-vocab characters.
 """
 
 from __future__ import annotations
@@ -72,6 +72,142 @@ def _f32_from_bits(bits: int) -> float:
 
 
 # =============================================================================
+# precompiled_charsmap: darts-clone double-array trie of normalization rules
+# =============================================================================
+
+
+class PrecompiledCharsMap:
+    """Reader for NormalizerSpec.precompiled_charsmap.
+
+    Layout: ``<uint32 trie_bytes><darts-clone trie><replacement blob>``. Keys
+    are UTF-8 source byte sequences; each leaf value is an offset into the
+    replacement blob where the NUL-terminated normalized bytes live.
+
+    darts-clone unit fields (uint32):
+      label    = unit & 0x800000FF   (bit 31 poisons value-slot labels)
+      has_leaf = (unit >> 8) & 1
+      offset   = (unit >> 10) << ((unit & 0x200) >> 6)
+      value    = unit & 0x7FFFFFFF   (on the label-0 child slot)
+    """
+
+    def __init__(self, blob: bytes):
+        import struct
+
+        import numpy as np
+
+        (trie_bytes,) = struct.unpack("<I", blob[:4])
+        self.trie = np.frombuffer(blob[4 : 4 + trie_bytes], dtype=np.uint32)
+        self.replacements = blob[4 + trie_bytes :]
+
+    def longest_match(self, data: bytes, start: int) -> Optional[Tuple[int, int]]:
+        """Longest rule matching ``data[start:]`` → (byte_length, value)."""
+        a = self.trie
+        n = len(a)
+        if n == 0:
+            return None
+        node_pos = self._offset(int(a[0]))
+        best = None
+        for i in range(start, len(data)):
+            c = data[i]
+            p = node_pos ^ c
+            if p >= n:
+                break
+            unit = int(a[p])
+            if (unit & 0x800000FF) != c:
+                break
+            node_pos = p ^ self._offset(unit)
+            if (unit >> 8) & 1:
+                best = (i + 1 - start, int(a[node_pos]) & 0x7FFFFFFF)
+        return best
+
+    @staticmethod
+    def _offset(unit: int) -> int:
+        return (unit >> 10) << ((unit & 0x200) >> 6)
+
+    def replacement(self, value: int) -> bytes:
+        end = self.replacements.index(b"\0", value)
+        return self.replacements[value:end]
+
+    def normalize(self, text: str) -> str:
+        """Longest-match rewrite (sentencepiece Normalizer::NormalizePrefix):
+        at each position apply the longest matching rule, else copy one
+        UTF-8 character verbatim."""
+        data = text.encode("utf-8")
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            m = self.longest_match(data, i)
+            if m is not None:
+                length, value = m
+                out += self.replacement(value)
+                i += length
+            else:
+                b = data[i]
+                step = 4 if b >= 0xF0 else 3 if b >= 0xE0 else 2 if b >= 0xC0 else 1
+                out += data[i : i + step]
+                i += step
+        return out.decode("utf-8", errors="replace")
+
+
+def build_precompiled_charsmap(rules: Dict[str, str]) -> bytes:
+    """Build a charsmap blob from {source: replacement} rules (test utility —
+    real models ship theirs pre-built; this emits the same darts-clone layout
+    PrecompiledCharsMap reads)."""
+    import struct
+
+    replacements = bytearray()
+    root: Dict = {}
+    node_values: Dict[int, int] = {}
+    for src in sorted(rules):
+        offset = len(replacements)
+        replacements += rules[src].encode("utf-8") + b"\0"
+        node = root
+        for b in src.encode("utf-8"):
+            node = node.setdefault(b, {})
+        node_values[id(node)] = offset
+
+    units: Dict[int, int] = {0: 0}
+    used = {0}
+    used_bases = set()
+
+    def place(node: Dict, pos: int) -> None:
+        labels = sorted(node)
+        has_val = id(node) in node_values
+        base = 1
+        while True:
+            # Bases must be globally unique: traversal's only guard is the
+            # label check, and two nodes sharing a base would alias each
+            # other's children at base ^ label.
+            slots = [base ^ l for l in labels] + ([base] if has_val else [])
+            if base not in used_bases and all(s and s not in used for s in slots):
+                break
+            base += 1
+        used.update(slots)
+        used_bases.add(base)
+        offset = pos ^ base
+        if offset >= 1 << 21:  # keep the plain (unshifted) offset encoding
+            raise ValueError("charsmap trie too large for the test builder")
+        units[pos] = units.get(pos, 0) | (offset << 10)
+        if has_val:
+            units[base] = node_values[id(node)] | 0x80000000
+        for l in labels:
+            child_pos = base ^ l
+            unit = l
+            if id(node[l]) in node_values:
+                unit |= 0x100
+            units[child_pos] = unit
+            place(node[l], child_pos)
+
+    place(root, 0)
+    size = max(units) + 1
+    trie = bytearray(size * 4)
+    for p, u in units.items():
+        trie[p * 4 : p * 4 + 4] = struct.pack("<I", u)
+    return struct.pack("<I", len(trie)) + bytes(trie) + bytes(replacements)
+
+
+# =============================================================================
 # ModelProto parsing (sentencepiece_model.proto field numbers)
 # =============================================================================
 
@@ -97,13 +233,20 @@ class SentencePieceModel:
     escape_whitespaces: bool = True
     normalizer_name: str = "nmt_nfkc"
     byte_fallback: bool = False
+    precompiled_charsmap: bytes = b""
 
     # Derived lookup structures (built in __post_init__ / finalize)
     piece_to_id: Dict[str, int] = field(default_factory=dict)
     _byte_ids: Dict[int, int] = field(default_factory=dict)
     _max_piece_len: int = 1
+    charsmap: Optional[PrecompiledCharsMap] = None
 
     def finalize(self) -> "SentencePieceModel":
+        self.charsmap = (
+            PrecompiledCharsMap(self.precompiled_charsmap)
+            if self.precompiled_charsmap
+            else None
+        )
         self.piece_to_id = {}
         for i, p in enumerate(self.pieces):
             # first occurrence wins (duplicate pieces are possible for control)
@@ -120,7 +263,10 @@ class SentencePieceModel:
     # ---------------------------------------------------------- normalization
 
     def normalize(self, text: str) -> str:
-        if "nfkc" in self.normalizer_name:
+        if self.charsmap is not None:
+            # The model's own precompiled rules (NFKC + its exceptions).
+            text = self.charsmap.normalize(text)
+        elif "nfkc" in self.normalizer_name:
             text = unicodedata.normalize("NFKC", text)
         if self.remove_extra_whitespaces:
             text = " ".join(text.split())
@@ -260,6 +406,8 @@ def parse_model(data: bytes) -> SentencePieceModel:
             for nf, _, nv in _iter_fields(value):
                 if nf == 1:
                     m.normalizer_name = nv.decode("utf-8")
+                elif nf == 2:
+                    m.precompiled_charsmap = nv
                 elif nf == 3:
                     m.add_dummy_prefix = bool(nv)
                 elif nf == 4:
@@ -326,6 +474,8 @@ def serialize_model(m: SentencePieceModel) -> bytes:
     norm = bytearray()
     nb = m.normalizer_name.encode("utf-8")
     norm += _field(1, 2, _varint(len(nb)) + nb)
+    if m.precompiled_charsmap:
+        norm += _field(2, 2, _varint(len(m.precompiled_charsmap)) + m.precompiled_charsmap)
     norm += _field(3, 0, _varint(int(m.add_dummy_prefix)))
     norm += _field(4, 0, _varint(int(m.remove_extra_whitespaces)))
     norm += _field(5, 0, _varint(int(m.escape_whitespaces)))

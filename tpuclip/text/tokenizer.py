@@ -178,4 +178,16 @@ def load_tokenizer(
                 return HFBackend(str(d))
             except Exception as e:  # noqa: BLE001
                 print(f"Warning: HF tokenizer load failed ({e}); using hash fallback")
+    # Loud on purpose: hash ids are fine for smoke/tests but produce garbage
+    # embeddings against PRETRAINED weights — this must never be a silent
+    # downgrade (VERDICT r1 item 6).
+    from tpuclip.utils.logging import log
+
+    log(
+        f"  [WARNING] No tokenizer files found for {model_name or '<model>'}"
+        + (f" under {checkpoint_dir}" if checkpoint_dir else " (no checkpoint dir)")
+        + "; using the deterministic HASH tokenizer. Only valid for"
+        " random-weight smoke runs — real checkpoints need tokenizer.model"
+        " or tokenizer.json beside the weights."
+    )
     return HashBackend(vocab_size)
