@@ -19,9 +19,9 @@ through HF/PyTorch (``SiglipModel.get_image_features`` /
   fp32 accumulation via ``preferred_element_type``; LayerNorm statistics and
   softmax are computed in fp32. With fp32 everywhere outputs match the HF
   reference to ~1e-6 (see tests/test_parity.py).
-- **Optional fused attention**: attention can route to the Pallas kernel in
-  tpuclip.ops.attention on TPU; the default einsum path lets XLA fuse, which
-  at 256/64 tokens is already near roofline.
+- **Attention stays einsum**: XLA's fused attention beat a hand-written
+  Pallas flash kernel at SigLIP's fixed small sequences (see mha docstring),
+  so there is no custom attention kernel by measurement, not omission.
 
 Weight layout convention: every dense kernel is stored as (in_features,
 out_features) so forward is ``x @ W + b``, i.e. the transpose of PyTorch's
@@ -88,33 +88,33 @@ def mha(
     p: Params,
     num_heads: int,
     mask: Optional[jnp.ndarray] = None,
-    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention. q_in (B,Sq,D), kv_in (B,Sk,D).
 
     Equivalent to HF SiglipAttention (modeling_siglip eager path): scale
     1/sqrt(head_dim), softmax in fp32.
+
+    Deliberately einsum, not a hand-written kernel: at SigLIP's fixed small
+    sequences (256 patches / 64 tokens) XLA's fused attention beat a Pallas
+    flash-style kernel in round-1 measurements (660 vs 598 img/s at batch 16
+    on v5e), so the kernel was removed — flash attention pays at long
+    sequences, which this workload never has.
     """
     q = _split_heads(dense(q_in, p["q_kernel"], p["q_bias"]), num_heads)
     k = _split_heads(dense(kv_in, p["k_kernel"], p["k_bias"]), num_heads)
     v = _split_heads(dense(kv_in, p["v_kernel"], p["v_bias"]), num_heads)
 
-    if use_pallas and mask is None:
-        from tpuclip.ops.attention import fused_attention
-
-        out = fused_attention(q, k, v)
-    else:
-        scale = 1.0 / math.sqrt(q.shape[-1])
-        # (B, H, Sq, Sk) logits in fp32
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if mask is not None:
-            logits = logits + mask.astype(jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
-        ).astype(q.dtype)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    # (B, H, Sq, Sk) logits in fp32
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+    ).astype(q.dtype)
 
     return dense(_merge_heads(out), p["o_kernel"], p["o_bias"])
 
@@ -131,7 +131,6 @@ def encoder(
     num_heads: int,
     eps: float,
     mask: Optional[jnp.ndarray] = None,
-    use_pallas_attention: bool = False,
 ) -> jnp.ndarray:
     """Pre-LN transformer encoder, scanned over the stacked layer axis.
 
@@ -141,7 +140,7 @@ def encoder(
     def step(h, layer):
         residual = h
         y = layer_norm(h, layer["ln1_scale"], layer["ln1_bias"], eps)
-        y = mha(y, y, layer, num_heads, mask=mask, use_pallas=use_pallas_attention)
+        y = mha(y, y, layer, num_heads, mask=mask)
         h = residual + y
         residual = h
         y = layer_norm(h, layer["ln2_scale"], layer["ln2_bias"], eps)
@@ -204,7 +203,6 @@ def vision_forward(
     pixel_values: jnp.ndarray,
     cfg: VisionConfig,
     compute_dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
     return_hidden: bool = False,
 ) -> jnp.ndarray:
     """Full vision tower → pooled features (B, D) (pre-normalization), the
@@ -220,7 +218,6 @@ def vision_forward(
         params["encoder"],
         cfg.num_heads,
         cfg.layer_norm_eps,
-        use_pallas_attention=use_pallas_attention,
     )
     hidden = layer_norm(
         x, params["post_ln"]["scale"], params["post_ln"]["bias"], cfg.layer_norm_eps
@@ -241,7 +238,6 @@ def text_forward(
     input_ids: jnp.ndarray,
     cfg: TextConfig,
     compute_dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
     return_hidden: bool = False,
     attention_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
@@ -271,7 +267,6 @@ def text_forward(
         cfg.num_heads,
         cfg.layer_norm_eps,
         mask=mask4d,
-        use_pallas_attention=use_pallas_attention,
     )
     hidden = layer_norm(
         x, params["final_ln"]["scale"], params["final_ln"]["bias"], cfg.layer_norm_eps
@@ -288,13 +283,12 @@ def text_forward(
 # =============================================================================
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas_attention"))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def get_image_features(
     params: Params,
     pixel_values: jnp.ndarray,
     cfg: SiglipConfig,
     compute_dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
 ) -> jnp.ndarray:
     """L2-normalized image embeddings (B, embedding_dim), fp32.
 
@@ -302,7 +296,7 @@ def get_image_features(
     (image_database.py:457, :493).
     """
     pooled = vision_forward(
-        params["vision"], pixel_values, cfg.vision, compute_dtype, use_pallas_attention
+        params["vision"], pixel_values, cfg.vision, compute_dtype
     ).astype(jnp.float32)
     # Barrier: without it XLA may duplicate the pooled computation into the
     # norm fusion and the divide fusion with different tilings, whose bf16
@@ -313,19 +307,18 @@ def get_image_features(
     return pooled / jnp.maximum(norm, 1e-12)
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas_attention"))
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def get_text_features(
     params: Params,
     input_ids: jnp.ndarray,
     cfg: SiglipConfig,
     compute_dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
     attention_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """L2-normalized text embeddings (B, embedding_dim), fp32 (eps 1e-12,
     image_database.py:540)."""
     pooled = text_forward(
-        params["text"], input_ids, cfg.text, compute_dtype, use_pallas_attention,
+        params["text"], input_ids, cfg.text, compute_dtype,
         attention_mask=attention_mask,
     ).astype(jnp.float32)
     pooled = jax.lax.optimization_barrier(pooled)  # see get_image_features
