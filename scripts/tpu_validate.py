@@ -1,21 +1,26 @@
 #!/usr/bin/env python3
-"""On-hardware kernel validation.
+"""On-hardware kernel validation, machine-readable.
 
 The pytest suite exercises the Pallas kernels in interpreter mode on CPU;
 this script validates the COMPILED Mosaic kernels on the real chip against
-fp64/numpy oracles. Run whenever kernels change:
+fp64/numpy oracles and records the outcome as JSON so hardware regressions
+fail a stored check instead of relying on session memory. Run whenever
+kernels change:
 
-    PYTHONPATH=. python scripts/tpu_validate.py
+    PYTHONPATH=. python scripts/tpu_validate.py [--out TPU_VALIDATE_rNN.json]
 
-Last run (2026-08-16, v5e): all checks passed — bf16 fused top-k matches XLA
-indices exactly and fp64 recall 1.0 (0.998 at k=128 from bf16 near-ties);
-int8 pallas == int8 XLA exactly; packed binary exact.
+Exit code = number of failed checks. JSON shape:
+    {"backend": "...", "ok": bool, "checks": [{"name", "ok", ...metrics}]}
 """
+
+import argparse
+import json
+import time
 
 import numpy as np
 
 
-def main() -> int:
+def main(out_path: str) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +39,12 @@ def main() -> int:
     print(f"backend: {backend}")
     if backend != "tpu":
         print("WARNING: not on TPU — validating whatever backend is active")
-    failures = 0
+    checks = []
+
+    def record(name: str, ok: bool, **metrics):
+        checks.append({"name": name, "ok": bool(ok), **metrics})
+        detail = " ".join(f"{k}={v}" for k, v in metrics.items())
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {detail}")
 
     for n, q_count, k in [(50_000, 1, 20), (100_000, 3, 7), (30_000, 8, 128)]:
         m = rng.standard_normal((n, 256)).astype(np.float32)
@@ -51,10 +61,12 @@ def main() -> int:
             len(set(np.asarray(i)[r]) & set(np.argsort(-exact[:, r])[:k])) / k
             for r in range(q_count)
         ]))
-        ok = agree == 1.0 and recall >= 0.99
-        failures += not ok
-        print(f"{'PASS' if ok else 'FAIL'} pallas bf16 n={n} q={q_count} k={k}: "
-              f"idx-agree-with-xla={agree:.3f} recall-vs-fp64={recall:.3f}")
+        record(
+            f"pallas_bf16_topk_n{n}_q{q_count}_k{k}",
+            agree == 1.0 and recall >= 0.99,
+            idx_agree_with_xla=round(agree, 4),
+            recall_vs_fp64=round(recall, 4),
+        )
 
     m = rng.standard_normal((60_000, 1152)).astype(np.float32)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -65,11 +77,12 @@ def main() -> int:
             jnp.asarray(qs, jnp.float32), 20)
     s1, i1 = topk_int8_pallas(*args, n_valid=jnp.asarray(nv, jnp.int32))
     s2, i2 = topk_int8_xla(*args, n_valid=jnp.asarray(nv, jnp.int32))
-    ok = np.array_equal(np.asarray(i1), np.asarray(i2)) and np.allclose(
-        np.asarray(s1), np.asarray(s2), rtol=1e-5
+    record(
+        "int8_pallas_vs_xla",
+        np.array_equal(np.asarray(i1), np.asarray(i2))
+        and np.allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5),
+        idx_equal=bool(np.array_equal(np.asarray(i1), np.asarray(i2))),
     )
-    failures += not ok
-    print(f"{'PASS' if ok else 'FAIL'} int8 pallas == int8 xla")
 
     bits = rng.integers(0, 2, (40_000, 1152), dtype=np.uint8)
     qb = rng.integers(0, 2, (1, 1152), dtype=np.uint8)
@@ -78,13 +91,23 @@ def main() -> int:
     )
     want = bits @ qb[0].astype(np.int32)
     order = np.lexsort((np.arange(len(want)), -want))[:15]
-    ok = np.array_equal(np.asarray(i)[0], order)
-    failures += not ok
-    print(f"{'PASS' if ok else 'FAIL'} packed binary exact")
+    record("packed_binary_exact", np.array_equal(np.asarray(i)[0], order))
 
-    print("ALL PASSED" if failures == 0 else f"{failures} FAILURES")
+    failures = sum(not c["ok"] for c in checks)
+    result = {
+        "backend": backend,
+        "ok": failures == 0,
+        "failures": failures,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "checks": checks,
+    }
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+    print(("ALL PASSED" if failures == 0 else f"{failures} FAILURES") + f" -> {out_path}")
     return failures
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default="TPU_VALIDATE.json")
+    raise SystemExit(main(p.parse_args().out))

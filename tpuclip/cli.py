@@ -176,6 +176,7 @@ def build_parser() -> argparse.ArgumentParser:
     scan_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
     scan_parser.add_argument("--exclude", action="append", help="Exclude directory path (can be used multiple times)")
     scan_parser.add_argument("--binary-only", action="store_true", help="Only save binary embeddings (space-efficient mode)")
+    scan_parser.add_argument("--fp16-vectors", action="store_true", help="Store full vectors as fp16 blobs (half the DB size; search re-ranks against fp32)")
     scan_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
     scan_parser.add_argument(
         "--fast-decode", action="store_true",
@@ -264,6 +265,12 @@ def build_parser() -> argparse.ArgumentParser:
     info_parser = subparsers.add_parser("info", help="Show database summary (no model load)")
     info_parser.add_argument("--db", default=None, help="Database path")
     info_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+
+    gc_parser = subparsers.add_parser(
+        "gc", help="Remove orphaned thumbnails (hashes no database references)"
+    )
+    gc_parser.add_argument("--db", action="append", default=None, help="Database path to keep referenced (repeatable; default: every .db in the databases dir)")
+    gc_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
     return parser
 
 
@@ -310,6 +317,8 @@ def _run_scan(args, paths) -> None:
     log("Starting scan mode...\n")
     if getattr(args, "fast_decode", False):
         os.environ["TPUCLIP_FAST_DECODE"] = "1"
+    if getattr(args, "fp16_vectors", False):
+        os.environ["TPUCLIP_VECTOR_DTYPE"] = "fp16"
     db_path = _require_db_path(args, paths)
     log("Initializing database connection and loading model...")
     db = _make_engine(db_path, args)
@@ -626,6 +635,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         )
     elif args.mode == "info":
         _run_info(args, paths)
+    elif args.mode == "gc":
+        _run_gc(args, paths)
     elif args.mode == "duplicates":
         from tpuclip.pipelines.duplicates import report_duplicates
 
@@ -685,6 +696,38 @@ def _run_info(args, paths) -> None:
         log(f"  Matrix cache:      {cache_mb:.1f} MB ({cache_dir})")
     else:
         log("  Matrix cache:      not built (first search will build it)")
+    thumbs = Path(paths.thumbnails_dir)
+    if thumbs.is_dir():
+        files = [f for f in thumbs.iterdir() if f.suffix == ".jpg"]
+        thumb_mb = sum(f.stat().st_size for f in files) / 1e6
+        log(f"  Thumbnails:        {len(files):,} files, {thumb_mb:.1f} MB (reclaim orphans with `tpuclip gc`)")
+
+
+def _run_gc(args, paths) -> None:
+    """Reclaim thumbnails whose content hash no database references.
+
+    The reference never cleans its thumbnails dir (image_database.py:354-391
+    creates, nothing deletes). Safe default: keep hashes referenced by EVERY
+    .db in the configured databases dir, not just one."""
+    from tpuclip.config import list_db_files
+    from tpuclip.io.thumbnails import Thumbnailer, referenced_hashes_for_dbs
+
+    dbs = (
+        list(args.db)
+        if args.db
+        else [os.path.join(paths.db_dir, name) for name in list_db_files(paths.db_dir)]
+    )
+    dbs = [d for d in dbs if os.path.exists(d)]
+    if not dbs:
+        log("No databases found; refusing to GC (every thumbnail would look orphaned).")
+        sys.exit(2)
+    log(f"Scanning {len(dbs)} database(s) for referenced hashes...")
+    referenced = referenced_hashes_for_dbs(dbs)
+    log(f"  {len(referenced):,} referenced content hashes")
+    thumbnailer = Thumbnailer(paths.thumbnails_dir)
+    removed, reclaimed = thumbnailer.gc_orphans(referenced, dry_run=args.dry_run)
+    verb = "Would remove" if args.dry_run else "Removed"
+    log(f"{verb} {removed:,} orphaned thumbnail(s), reclaiming {reclaimed / 1e6:.1f} MB")
 
 
 def _run_convert(args) -> None:

@@ -22,6 +22,7 @@ reader during a scan (image_database.py:253).
 
 from __future__ import annotations
 
+import os
 import sqlite3
 import time
 from pathlib import Path
@@ -44,9 +45,22 @@ def connect(db_path: str, timeout: float = 30.0) -> sqlite3.Connection:
 class MetadataStore:
     """Schema management + read/write paths for one image database."""
 
-    def __init__(self, db_path: str, embedding_dim: int = EMBEDDING_DIM):
+    def __init__(
+        self,
+        db_path: str,
+        embedding_dim: int = EMBEDDING_DIM,
+        vector_dtype: Optional[str] = None,
+    ):
         self.db_path = str(db_path)
         self.embedding_dim = embedding_dim
+        # "fp32" (default, reference-compatible) or "fp16" (half the DB size;
+        # readers detect per-row by blob length, so mixed DBs stay valid and
+        # search re-ranks against the fp32-converted cache).
+        self.vector_dtype = (
+            vector_dtype or os.environ.get("TPUCLIP_VECTOR_DTYPE", "fp32")
+        ).lower()
+        if self.vector_dtype not in ("fp32", "fp16"):
+            raise ValueError(f"vector_dtype must be fp32 or fp16, got {self.vector_dtype}")
 
     # ------------------------------------------------------------------ init
 
@@ -247,12 +261,17 @@ class MetadataStore:
 
                 vec = np.asarray(embedding, dtype=np.float32).reshape(-1)
                 if save_full_embeddings:
+                    blob = (
+                        vec.astype(np.float16).tobytes()
+                        if self.vector_dtype == "fp16"
+                        else vec.tobytes()
+                    )
                     cursor.execute(
                         """
                         INSERT OR REPLACE INTO embeddings (image_id, vector)
                         VALUES (?, ?)
                         """,
-                        (image_id, vec.tobytes()),
+                        (image_id, blob),
                     )
 
                 # Binary embedding always saved if absent; same on-disk format
@@ -420,6 +439,11 @@ class MetadataStore:
         finally:
             conn.close()
 
+    def _blob_dtype(self, n_bytes: int):
+        """fp16 blobs are dim*2 bytes, fp32 dim*4 (dim from the store's
+        configured embedding_dim, which matches the DB's stored dim)."""
+        return np.float16 if n_bytes == 2 * self.embedding_dim else np.float32
+
     def iter_embeddings(
         self, min_image_id: int = 0, batch_rows: int = 8192
     ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
@@ -437,8 +461,19 @@ class MetadataStore:
                 if not rows:
                     break
                 ids = np.array([r[0] for r in rows], dtype=np.int64)
-                vecs = np.frombuffer(b"".join(r[1] for r in rows), dtype=np.float32)
-                yield ids, vecs.reshape(len(rows), -1)
+                # Per-row dtype detection by blob length: dim*4 bytes = fp32,
+                # dim*2 = fp16. Rows within one fetch usually share a dtype,
+                # so decode contiguous same-length runs in bulk.
+                lens = {len(r[1]) for r in rows}
+                if len(lens) == 1:
+                    dt = self._blob_dtype(next(iter(lens)))
+                    vecs = np.frombuffer(b"".join(r[1] for r in rows), dtype=dt).astype(np.float32)
+                    yield ids, vecs.reshape(len(rows), -1)
+                else:
+                    yield ids, np.stack([
+                        np.frombuffer(r[1], dtype=self._blob_dtype(len(r[1]))).astype(np.float32)
+                        for r in rows
+                    ])
         finally:
             conn.close()
 

@@ -90,7 +90,9 @@ def default_workers() -> int:
     env = os.environ.get("TPUCLIP_DECODE_WORKERS")
     if env:
         return max(1, int(env))
-    return max(2, min(32, (os.cpu_count() or 4)))
+    # One worker per core: a second decode thread on a 1-core host only adds
+    # context-switch overhead (measured 161 vs 191 img/s single-thread).
+    return max(1, min(32, (os.cpu_count() or 4)))
 
 
 def default_procs() -> int:

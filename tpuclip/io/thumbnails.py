@@ -61,3 +61,46 @@ class Thumbnailer:
         """Commit-time hook: thumbnail PDF/TIF/BMP only (image_database.py:1132)."""
         if needs_thumbnail(file_path):
             self.create(file_path)
+
+    def gc_orphans(self, referenced_hashes, dry_run: bool = False) -> Tuple[int, int]:
+        """Delete sha-named thumbnails whose hash no database references.
+
+        Returns (files_removed, bytes_reclaimed). The reference accumulates
+        thumbnails forever; pass the union of file_hash values across every
+        database that shares this thumbnails directory.
+        """
+        if not self.thumbnails_dir.is_dir():
+            return 0, 0
+        referenced = set(referenced_hashes)
+        removed = 0
+        reclaimed = 0
+        for f in self.thumbnails_dir.iterdir():
+            if f.suffix != ".jpg" or f.stem in referenced:
+                continue
+            size = f.stat().st_size
+            if not dry_run:
+                try:
+                    f.unlink()
+                except OSError as e:
+                    safe_print_path("Error removing thumbnail ", str(f), e)
+                    continue
+            removed += 1
+            reclaimed += size
+        return removed, reclaimed
+
+
+def referenced_hashes_for_dbs(db_paths) -> set:
+    """Union of images.file_hash across databases (for gc_orphans)."""
+    import sqlite3
+
+    hashes: set = set()
+    for db in db_paths:
+        conn = sqlite3.connect(db)
+        try:
+            rows = conn.execute(
+                "SELECT file_hash FROM images WHERE file_hash IS NOT NULL"
+            ).fetchall()
+            hashes.update(r[0] for r in rows)
+        finally:
+            conn.close()
+    return hashes
