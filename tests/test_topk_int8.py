@@ -126,3 +126,39 @@ def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
         np.testing.assert_allclose(
             [s for _, s in got], scores[order], rtol=1e-5, atol=1e-6
         )
+
+
+def test_topk_int8_batch_device_quant_matches_host_quant():
+    """topk_int8_batch (on-device per-row quantization) == the host-side
+    quantize-then-scan it replaced."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import (
+        INT8_TILE_N,
+        quantize_matrix_t,
+        topk_int8_batch,
+        topk_int8_xla,
+    )
+
+    rng = np.random.default_rng(21)
+    m = rng.standard_normal((3000, 128)).astype(np.float32)
+    mt, nv = pad_matrix_t(m.T.copy(), tile_n=INT8_TILE_N)
+    mq, scales = quantize_matrix_t(mt)
+    q = rng.standard_normal((5, 128)).astype(np.float32)
+    q[3] = 0.0  # zero query exercises the zero-scale guard
+
+    got_s, got_i = topk_int8_batch(
+        jnp.asarray(q), jnp.asarray(mq), jnp.asarray(scales), 9,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    )
+
+    qs = np.abs(q).max(axis=1, keepdims=True) / 127.0
+    qs = np.where(qs == 0, 1.0, qs)
+    qi = np.clip(np.rint(q / qs), -127, 127).astype(np.int8)
+    ref_s, ref_i = topk_int8_xla(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(1.0, jnp.float32), 9, n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s) * qs, rtol=1e-6)

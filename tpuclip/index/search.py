@@ -242,17 +242,14 @@ class DeviceIndex:
             else None
         )
         if self.precision == "int8":
-            from tpuclip.ops.topk_int8 import topk_int8_xla
+            from tpuclip.ops.topk_int8 import topk_int8_batch
 
-            scales = np.abs(np.asarray(q)).max(axis=1, keepdims=True) / 127.0
-            scales = np.where(scales == 0, 1.0, scales)
-            qi = np.clip(np.rint(np.asarray(q) / scales), -127, 127).astype(np.int8)
-            # per-row query scales folded in after the shared-scale kernel
-            scores, rows = topk_int8_xla(
-                jnp.asarray(qi), self._matrix, self._scales,
-                jnp.asarray(1.0, jnp.float32), k, n_valid=self._n_valid, mask=mask,
+            # quantize + scan + scale fold in ONE device program (no
+            # per-request host numpy — serve micro-batches hit this path)
+            scores, rows = topk_int8_batch(
+                q, self._matrix, self._scales, k, n_valid=self._n_valid, mask=mask
             )
-            scores = np.asarray(scores) * scales
+            scores = np.asarray(scores)
         else:
             scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
             scores = np.asarray(scores)

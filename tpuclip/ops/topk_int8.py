@@ -190,3 +190,20 @@ def topk_int8_xla(
         jnp.take_along_axis(top_s, order, axis=1) * q_scale,
         jnp.take_along_axis(top_i, order, axis=1).astype(jnp.int32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
+    """Batched int8 scan with ON-DEVICE per-row query quantization.
+
+    One compiled program does quantize + int8 matmul + top-k + scale fold —
+    the serve micro-batcher calls this per request group, so no host numpy
+    runs per request (round-1 quantized on host per call)."""
+    qs = jnp.max(jnp.abs(q_f32), axis=1, keepdims=True) / 127.0
+    qs = jnp.where(qs == 0, 1.0, qs)
+    qi = jnp.clip(jnp.round(q_f32 / qs), -127, 127).astype(jnp.int8)
+    s, i = topk_int8_xla(
+        qi, matrix_int8_t, scales, jnp.asarray(1.0, jnp.float32), k,
+        n_valid=n_valid, mask=mask,
+    )
+    return s * qs, i
