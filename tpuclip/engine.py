@@ -51,6 +51,9 @@ class ImageDatabase:
         compute_dtype=None,
     ):
         banner("Initializing Image Database")
+        from tpuclip.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         paths = default_paths()
         self.db_path = db_path or paths.db_path
         self.model_cache_dir = model_cache_dir if model_cache_dir is not None else paths.model_cache_dir
@@ -119,6 +122,33 @@ class ImageDatabase:
         )
         return np.asarray(out[:b], dtype=np.float32)
 
+    def embed_patches_naflex(
+        self, patches: np.ndarray, masks: np.ndarray, shapes: np.ndarray
+    ) -> np.ndarray:
+        """NaFlex path: uint8 patches (B, L, P*P*C) + masks (B, L) + patch
+        grids (B, 2) → L2-normalized fp32 (B, D). Same two-bucket shape
+        policy as embed_images_uint8."""
+        from tpuclip.models.naflex import get_image_features_naflex
+
+        b = patches.shape[0]
+        target = 1 if b == 1 else self.inference_batch_size
+        pad = target - b
+        if pad > 0:
+            patches = np.concatenate([patches, np.zeros((pad,) + patches.shape[1:], patches.dtype)])
+            pad_mask = np.zeros((pad, masks.shape[1]), masks.dtype)
+            pad_mask[:, 0] = 1  # all-masked rows would NaN the softmax
+            masks = np.concatenate([masks, pad_mask])
+            shapes = np.concatenate([shapes, np.ones((pad, 2), shapes.dtype)])
+        out = get_image_features_naflex(
+            self.params,
+            jnp.asarray(patches),
+            jnp.asarray(masks),
+            jnp.asarray(shapes),
+            self.config,
+            compute_dtype=self.compute_dtype,
+        )
+        return np.asarray(out[:b], dtype=np.float32)
+
     def embed_texts(self, texts: List[str]) -> np.ndarray:
         """Prompted, tokenized, L2-normalized text embeddings (fp32).
 
@@ -146,8 +176,24 @@ class ImageDatabase:
 
     # Reference-surface methods (image_database.py:443-543) -------------------
 
+    @property
+    def is_naflex(self) -> bool:
+        return self.config.vision.naflex
+
     def _get_image_embedding(self, image_path: str) -> Optional[np.ndarray]:
         try:
+            if self.is_naflex:
+                from tpuclip.io.decode import load_image
+                from tpuclip.io.preprocess import preprocess_naflex
+
+                img = load_image(image_path)
+                if img is None:
+                    return None
+                v = self.config.vision
+                patches, mask, shape = preprocess_naflex(img, v.patch_size, v.max_num_patches)
+                return self.embed_patches_naflex(
+                    patches[None], mask[None], np.asarray([shape], np.int32)
+                )[0].flatten()
             pixels = decode_single(image_path, self.image_size)
             if pixels is None:
                 return None
@@ -165,8 +211,24 @@ class ImageDatabase:
         if not any(img is not None for img in images):
             return [None] * len(image_paths)
         try:
-            pixels = preprocess_batch(images, self.image_size)
-            embeddings = self.embed_images_uint8(pixels)
+            if self.is_naflex:
+                from tpuclip.io.preprocess import preprocess_naflex
+
+                v = self.config.vision
+                L = v.max_num_patches
+                patches = np.zeros((len(images), L, v.patch_size**2 * 3), np.uint8)
+                masks = np.zeros((len(images), L), np.int32)
+                masks[:, 0] = 1
+                shapes = np.ones((len(images), 2), np.int32)
+                for i, img in enumerate(images):
+                    if img is not None:
+                        patches[i], masks[i], shapes[i] = preprocess_naflex(
+                            img, v.patch_size, L
+                        )
+                embeddings = self.embed_patches_naflex(patches, masks, shapes)
+            else:
+                pixels = preprocess_batch(images, self.image_size)
+                embeddings = self.embed_images_uint8(pixels)
             return [
                 embeddings[i].flatten() if images[i] is not None else None
                 for i in range(len(image_paths))

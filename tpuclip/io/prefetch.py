@@ -44,23 +44,48 @@ from tpuclip.io.preprocess import resize_to_uint8
 class DecodedImage:
     path: str
     last_modified: float
-    pixels: Optional[np.ndarray]  # uint8 (S, S, 3) or None on decode failure
+    pixels: Optional[np.ndarray]  # uint8 (S, S, 3) — or (L, P*P*C) patches in naflex mode
     file_hash: Optional[str]
+    mask: Optional[np.ndarray] = None  # naflex: (L,) 1=real patch
+    shape: Optional[Tuple[int, int]] = None  # naflex: (h, w) patch grid
 
 
 @dataclass
 class Batch:
-    pixels: np.ndarray  # uint8 (B, S, S, 3), padded
+    pixels: np.ndarray  # uint8 (B, S, S, 3) — or (B, L, P*P*C) in naflex mode
     items: List[DecodedImage]  # len <= B; items[i] corresponds to pixels[i]
     valid: np.ndarray  # bool (B,) — True where pixels are a real decode
+    masks: Optional[np.ndarray] = None  # naflex: (B, L) int32
+    shapes: Optional[np.ndarray] = None  # naflex: (B, 2) int32
 
 
 def _fast_decode_enabled() -> bool:
     return os.environ.get("TPUCLIP_FAST_DECODE", "") in ("1", "true", "yes")
 
 
-def _decode_one(path: str, last_modified: float, image_size: int, with_hash: bool) -> DecodedImage:
+def _decode_one(
+    path: str,
+    last_modified: float,
+    image_size: int,
+    with_hash: bool,
+    naflex: Optional[Tuple[int, int]] = None,
+) -> DecodedImage:
+    """``naflex``: (patch_size, max_num_patches) switches output from a
+    square resize to native-aspect patchification (io.preprocess)."""
     draft = image_size if _fast_decode_enabled() else None
+
+    def finish(img, file_hash):
+        if img is None:
+            return DecodedImage(path, last_modified, None, file_hash)
+        if naflex is not None:
+            from tpuclip.io.preprocess import preprocess_naflex
+
+            patches, mask, shape = preprocess_naflex(img, naflex[0], naflex[1])
+            return DecodedImage(path, last_modified, patches, file_hash, mask, shape)
+        return DecodedImage(
+            path, last_modified, resize_to_uint8(img, image_size), file_hash
+        )
+
     if with_hash and not path.lower().endswith(".pdf"):
         # Read once: the same bytes feed the hash and the decoder (PDFs keep
         # the two-pass path since fitz renders from the file).
@@ -72,18 +97,15 @@ def _decode_one(path: str, last_modified: float, image_size: int, with_hash: boo
         except OSError:
             return DecodedImage(path, last_modified, None, None)
         file_hash = hashlib.sha256(data).hexdigest()
-        img = load_image_bytes(data, path, draft_size=draft)
-        pixels = resize_to_uint8(img, image_size) if img is not None else None
-        return DecodedImage(path, last_modified, pixels, file_hash)
+        return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
     img = load_image(path, draft_size=draft)
-    pixels = resize_to_uint8(img, image_size) if img is not None else None
-    file_hash = None
-    if with_hash and pixels is not None:
+    out = finish(img, None)
+    if with_hash and out.pixels is not None:
         try:
-            file_hash = file_sha256(path)
+            out.file_hash = file_sha256(path)
         except OSError:
-            pixels = None
-    return DecodedImage(path, last_modified, pixels, file_hash)
+            out.pixels = None
+    return out
 
 
 def default_workers() -> int:
@@ -122,12 +144,15 @@ def prefetch_batches(
     with_hash: bool = True,
     stop_event: Optional[threading.Event] = None,
     num_procs: Optional[int] = None,
+    naflex: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Batch]:
     """Yield fixed-shape decoded batches, decoding ahead of the device.
 
     ``files``: iterable of (path, last_modified). Order is preserved.
     ``num_procs`` > 0 decodes in spawned worker processes instead of threads
     (default: ``TPUCLIP_DECODE_PROCS`` env, else a thread pool).
+    ``naflex``: (patch_size, max_num_patches) yields patchified batches with
+    masks/shapes instead of square pixel batches (still fixed-shape).
     """
     out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=queue_depth)
     error_holder: List[BaseException] = []
@@ -142,13 +167,30 @@ def prefetch_batches(
                     if not pending:
                         return
                     items = [f.result() for f in pending]
-                    pixels = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
                     valid = np.zeros((batch_size,), bool)
-                    for i, item in enumerate(items):
-                        if item.pixels is not None:
-                            pixels[i] = item.pixels
-                            valid[i] = True
-                    out_q.put(Batch(pixels=pixels, items=items, valid=valid))
+                    if naflex is not None:
+                        p, L = naflex
+                        pixels = np.zeros((batch_size, L, p * p * 3), np.uint8)
+                        masks = np.zeros((batch_size, L), np.int32)
+                        # (1,1) grid + one unmasked patch for empty slots: an
+                        # all-masked row would make the attention softmax NaN.
+                        masks[:, 0] = 1
+                        shapes = np.ones((batch_size, 2), np.int32)
+                        for i, item in enumerate(items):
+                            if item.pixels is not None:
+                                pixels[i] = item.pixels
+                                masks[i] = item.mask
+                                shapes[i] = item.shape
+                                valid[i] = True
+                        out_q.put(Batch(pixels=pixels, items=items, valid=valid,
+                                        masks=masks, shapes=shapes))
+                    else:
+                        pixels = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
+                        for i, item in enumerate(items):
+                            if item.pixels is not None:
+                                pixels[i] = item.pixels
+                                valid[i] = True
+                        out_q.put(Batch(pixels=pixels, items=items, valid=valid))
                     pending.clear()
                     metas.clear()
 
@@ -156,7 +198,7 @@ def prefetch_batches(
                     if stop_event is not None and stop_event.is_set():
                         break
                     pending.append(
-                        pool.submit(_decode_one, path, last_modified, image_size, with_hash)
+                        pool.submit(_decode_one, path, last_modified, image_size, with_hash, naflex)
                     )
                     metas.append((path, last_modified))
                     if len(pending) >= batch_size:

@@ -58,3 +58,57 @@ def normalize_reference(batch_uint8: np.ndarray) -> np.ndarray:
     to validate the fused on-device path."""
     x = batch_uint8.astype(np.float32) / 255.0
     return (x - IMAGE_MEAN) / IMAGE_STD
+
+
+# =============================================================================
+# NaFlex (SigLIP2 variable aspect/resolution) host-side patchify
+# =============================================================================
+
+
+def naflex_target_size(height: int, width: int, patch_size: int, max_num_patches: int) -> tuple:
+    """Largest patch-aligned (th, tw) preserving aspect with
+    (th/p)*(tw/p) <= max_num_patches — the exact binary search HF's
+    Siglip2ImageProcessor runs (image_processing_siglip2.py)."""
+    import math
+
+    def scaled(scale: float, size: int) -> int:
+        s = math.ceil(size * scale / patch_size) * patch_size
+        return int(max(patch_size, s))
+
+    eps = 1e-5
+    lo, hi = eps / 10, 100.0
+    while hi - lo >= eps:
+        mid = (lo + hi) / 2
+        th, tw = scaled(mid, height), scaled(mid, width)
+        if (th / patch_size) * (tw / patch_size) <= max_num_patches:
+            lo = mid
+        else:
+            hi = mid
+    return scaled(lo, height), scaled(lo, width)
+
+
+def preprocess_naflex(
+    image: Image.Image, patch_size: int, max_num_patches: int
+) -> tuple:
+    """PIL image -> (patches uint8 (L, p*p*3), pixel_mask (L,), (h, w)).
+
+    Resize is PIL BILINEAR on uint8 (Siglip2ImageProcessor's resample);
+    rescale/normalize happen on device (models/naflex.normalize_patches).
+    Padding patches are zero; L = max_num_patches.
+    """
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    th, tw = naflex_target_size(image.height, image.width, patch_size, max_num_patches)
+    resized = image.resize((tw, th), Image.Resampling.BILINEAR)
+    arr = np.asarray(resized, dtype=np.uint8)
+    h, w = th // patch_size, tw // patch_size
+    patches = (
+        arr.reshape(h, patch_size, w, patch_size, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(h * w, patch_size * patch_size * 3)
+    )
+    out = np.zeros((max_num_patches, patch_size * patch_size * 3), np.uint8)
+    out[: h * w] = patches
+    mask = np.zeros((max_num_patches,), np.int32)
+    mask[: h * w] = 1
+    return out, mask, (h, w)

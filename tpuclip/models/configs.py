@@ -27,9 +27,17 @@ class VisionConfig:
     patch_size: int = 16
     num_channels: int = 3
     layer_norm_eps: float = 1e-6
+    # NaFlex (SigLIP2 variable aspect/resolution): images are patchified
+    # host-side at native aspect into <= max_num_patches patches; position
+    # embeddings live on a sqrt(max_num_patches)-square grid and are
+    # antialias-resized per image on device (models/naflex.py).
+    naflex: bool = False
+    max_num_patches: int = 256
 
     @property
     def num_patches(self) -> int:
+        if self.naflex:
+            return self.max_num_patches
         return (self.image_size // self.patch_size) ** 2
 
     @property
@@ -119,6 +127,20 @@ PRESETS: Dict[str, SiglipConfig] = {
             num_layers=24, num_heads=16, projection_size=1024,
         ),
     ),
+    # --- SigLIP 2 NaFlex (variable aspect/resolution) ---
+    "google/siglip2-so400m-patch16-naflex": SiglipConfig(
+        name="google/siglip2-so400m-patch16-naflex",
+        vision=VisionConfig(
+            hidden_size=1152, intermediate_size=4304, num_layers=27, num_heads=16,
+            patch_size=16, naflex=True, max_num_patches=256,
+        ),
+        text=_so400m_text(256000),
+    ),
+    "google/siglip2-base-patch16-naflex": SiglipConfig(
+        name="google/siglip2-base-patch16-naflex",
+        vision=VisionConfig(patch_size=16, naflex=True, max_num_patches=256),
+        text=TextConfig(vocab_size=256000),
+    ),
     # --- SigLIP 1 (32k sentencepiece vocab) ---
     "google/siglip-base-patch16-224": SiglipConfig(
         name="google/siglip-base-patch16-224",
@@ -130,7 +152,18 @@ PRESETS: Dict[str, SiglipConfig] = {
         vision=_so400m_vision(384),
         text=_so400m_text(32000),
     ),
-    # --- tiny config for tests ---
+    # --- tiny configs for tests ---
+    "tpuclip/test-tiny-naflex": SiglipConfig(
+        name="tpuclip/test-tiny-naflex",
+        vision=VisionConfig(
+            hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+            patch_size=8, naflex=True, max_num_patches=64,
+        ),
+        text=TextConfig(
+            vocab_size=512, hidden_size=64, intermediate_size=128, num_layers=2,
+            num_heads=4, projection_size=64,
+        ),
+    ),
     "tpuclip/test-tiny": SiglipConfig(
         name="tpuclip/test-tiny",
         vision=VisionConfig(
@@ -161,6 +194,9 @@ def config_from_hf_dict(name: str, cfg: dict) -> SiglipConfig:
     """Build a SiglipConfig from an HF-style config.json dict."""
     v = cfg.get("vision_config", {})
     t = cfg.get("text_config", {})
+    # HF model_type "siglip2" (Siglip2VisionConfig) is NaFlex: it carries
+    # num_patches and patchifies host-side; plain "siglip" is fixed-res.
+    is_naflex = cfg.get("model_type") == "siglip2" or "num_patches" in v
     vision = VisionConfig(
         hidden_size=v.get("hidden_size", 768),
         intermediate_size=v.get("intermediate_size", 3072),
@@ -170,6 +206,8 @@ def config_from_hf_dict(name: str, cfg: dict) -> SiglipConfig:
         patch_size=v.get("patch_size", 16),
         num_channels=v.get("num_channels", 3),
         layer_norm_eps=v.get("layer_norm_eps", 1e-6),
+        naflex=is_naflex,
+        max_num_patches=v.get("num_patches", 256),
     )
     text = TextConfig(
         vocab_size=t.get("vocab_size", 32000),

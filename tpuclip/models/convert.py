@@ -148,11 +148,16 @@ def params_from_state_dict(sd: Mapping[str, np.ndarray], cfg: SiglipConfig) -> D
     v, t = cfg.vision, cfg.text
 
     # ---- vision embeddings -------------------------------------------------
-    conv_w = _f32(np.asarray(sd["vision_model.embeddings.patch_embedding.weight"]))
-    # (D, C, P, P) → (P, P, C, D) → (P*P*C, D)
-    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(
-        v.patch_size * v.patch_size * v.num_channels, v.hidden_size
-    ).copy()
+    patch_w = _f32(np.asarray(sd["vision_model.embeddings.patch_embedding.weight"]))
+    if v.naflex:
+        # NaFlex (Siglip2VisionEmbeddings): patch embed is nn.Linear over
+        # already-patchified pixels — (D, P*P*C) → (P*P*C, D).
+        patch_kernel = patch_w.T.copy()
+    else:
+        # Fixed-res conv: (D, C, P, P) → (P, P, C, D) → (P*P*C, D)
+        patch_kernel = patch_w.transpose(2, 3, 1, 0).reshape(
+            v.patch_size * v.patch_size * v.num_channels, v.hidden_size
+        ).copy()
 
     # ---- MAP head (torch nn.MultiheadAttention packing) --------------------
     in_proj_w = _f32(np.asarray(sd["vision_model.head.attention.in_proj_weight"]))

@@ -185,13 +185,19 @@ def patch_embed(pixel_values: jnp.ndarray, p: Params, cfg: VisionConfig) -> jnp.
     return dense(x, p["patch_kernel"], p["patch_bias"])
 
 
-def map_head(hidden: jnp.ndarray, p: Params, cfg: VisionConfig) -> jnp.ndarray:
+def map_head(
+    hidden: jnp.ndarray,
+    p: Params,
+    cfg: VisionConfig,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
     """Multihead attention pooling (SiglipMultiheadAttentionPoolingHead):
     learned probe cross-attends over patch tokens, then LN + residual MLP,
-    returning token 0."""
+    returning token 0. ``mask``: additive (B, 1, 1, S) over padded patch
+    keys (NaFlex variable-resolution batches)."""
     b = hidden.shape[0]
     probe = jnp.broadcast_to(p["probe"].astype(hidden.dtype), (b, 1, hidden.shape[-1]))
-    attn_out = mha(probe, hidden, p, cfg.num_heads)
+    attn_out = mha(probe, hidden, p, cfg.num_heads, mask=mask)
     residual = attn_out
     y = layer_norm(attn_out, p["ln_scale"], p["ln_bias"], cfg.layer_norm_eps)
     y = residual + mlp(y, p)

@@ -209,22 +209,37 @@ def scan_directory(
             if pbar:
                 pbar.update(len(items))
 
+        naflex_cfg = None
+        if getattr(engine, "is_naflex", False):
+            v = engine.config.vision
+            naflex_cfg = (v.patch_size, v.max_num_patches)
         for batch in prefetch_batches(
             pending_files(),
             batch_size=inference_batch_size,
             image_size=engine.image_size,
             with_hash=True,
             num_procs=decode_procs,
+            naflex=naflex_cfg,
         ):
-            from tpuclip.models.siglip import get_image_features
             import jax.numpy as jnp
 
             # Dispatch this batch (async), then drain the previous one while
             # the device works.
-            emb_dev = get_image_features(
-                engine.params, jnp.asarray(batch.pixels), engine.config,
-                compute_dtype=engine.compute_dtype,
-            )
+            if naflex_cfg is not None:
+                from tpuclip.models.naflex import get_image_features_naflex
+
+                emb_dev = get_image_features_naflex(
+                    engine.params, jnp.asarray(batch.pixels),
+                    jnp.asarray(batch.masks), jnp.asarray(batch.shapes),
+                    engine.config, compute_dtype=engine.compute_dtype,
+                )
+            else:
+                from tpuclip.models.siglip import get_image_features
+
+                emb_dev = get_image_features(
+                    engine.params, jnp.asarray(batch.pixels), engine.config,
+                    compute_dtype=engine.compute_dtype,
+                )
             if pending_embed is not None:
                 drain(pending_embed)
             pending_embed = (emb_dev[: len(batch.items)], batch.items, batch.valid)
