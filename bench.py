@@ -142,6 +142,58 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
     return float(np.percentile(np.array(samples), 50) * 1000)
 
 
+def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
+    """Packed-binary scan p50 (the reference's binary-only DB mode)."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.hamming import (
+        binary_topk_packed,
+        binary_topk_packed_pallas,
+        pack_bits_to_words,
+        pad_words_t,
+    )
+
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, (n, d), dtype=np.uint8)
+    words = pack_bits_to_words(bits)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        wt, nv_int = pad_words_t(words)
+        matrix = jnp.asarray(wt)
+        nv = jnp.asarray(nv_int, jnp.int32)
+    else:
+        matrix = jnp.asarray(words)
+    qwords = jnp.asarray(
+        pack_bits_to_words(rng.integers(0, 2, (chain, d), dtype=np.uint8))
+    ).reshape(chain, 1, -1)
+    matrix.block_until_ready()
+
+    import jax as _jax
+
+    @_jax.jit
+    def chained(qwords, matrix):
+        def step(carry, q):
+            q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
+            if use_pallas:
+                s, i = binary_topk_packed_pallas(q, matrix, k, n_valid=nv)
+            else:
+                s, i = binary_topk_packed(q, matrix, k)
+            return jnp.max(s).astype(jnp.uint32), (s, i)
+
+        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.uint32), qwords)
+        return outs
+
+    out = chained(qwords, matrix)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(qwords, matrix)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / chain)
+    return float(np.percentile(np.array(samples), 50) * 1000)
+
+
 def bench_indexing_throughput(jax, batch=16, iters=16):
     # batch 16 measured fastest on v5e (sweep 16→256: 659/574/572/488/477
     # img/s) — small batches keep activations in VMEM; this also matches the
@@ -306,6 +358,12 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             result["int8_error"] = str(e)[:200]
+        try:
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
+            result["binary_p50_ms"] = round(bench_binary_latency(jax, n, chain=chain), 3)
+        except Exception as e:  # noqa: BLE001
+            result["binary_error"] = str(e)[:200]
         try:
             if os.environ.get("TPUCLIP_BENCH_SKIP_INDEXING") == "1":
                 raise RuntimeError("skipped by env")

@@ -93,6 +93,19 @@ def main(out_path: str) -> int:
     order = np.lexsort((np.arange(len(want)), -want))[:15]
     record("packed_binary_exact", np.array_equal(np.asarray(i)[0], order))
 
+    from tpuclip.ops.hamming import binary_topk_packed_pallas, pad_words_t
+
+    wt, nv = pad_words_t(pack_bits_to_words(bits))
+    sp, ip = binary_topk_packed_pallas(
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt), 15,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    record(
+        "packed_binary_pallas_grouped_exact",
+        np.array_equal(np.asarray(ip)[0], order)
+        and np.array_equal(np.asarray(sp)[0], want[order]),
+    )
+
     failures = sum(not c["ok"] for c in checks)
     result = {
         "backend": backend,

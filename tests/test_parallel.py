@@ -307,3 +307,24 @@ def test_mesh_sharded_binary_index(mesh8, tmp_path):
     f_sharded = sharded_idx.search(q, 7, filter_folders=["/data/a"])
     assert [p for p, _ in f_sharded] == [p for p, _ in f_single]
     assert all("/data/a/" in p for p, _ in f_sharded)
+
+
+def test_sharded_binary_topk_tie_ordering(mesh8):
+    """Popcount ties straddling shard boundaries must resolve to the lowest
+    global index, exactly like the single-device scan."""
+    from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
+    from tpuclip.parallel.sharded_search import sharded_binary_topk
+
+    rng = np.random.default_rng(17)
+    n = 256
+    # Low-cardinality bit rows -> massive score ties across all shards.
+    bits = np.tile(rng.integers(0, 2, (4, 64), dtype=np.uint8), (n // 4, 1))
+    qbits = rng.integers(0, 2, (1, 64), dtype=np.uint8)
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+    ref_s, ref_i = binary_topk_packed(jnp.asarray(qwords), jnp.asarray(words), 16)
+    got_s, got_i = sharded_binary_topk(
+        jnp.asarray(qwords), jnp.asarray(words), 16, mesh8, jnp.asarray(n, jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))

@@ -88,3 +88,104 @@ def test_empty_matrix():
     m = np.zeros((0, 16), np.float32)
     s, i = cosine_topk(jnp.asarray(q), jnp.asarray(m.T), 10)
     assert s.shape == (1, 0) and i.shape == (1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Packed-binary streaming kernel (word-major layout)
+# ---------------------------------------------------------------------------
+
+
+def test_binary_topk_pallas_matches_oracle_interpret():
+    from tpuclip.ops.hamming import (
+        binary_topk_packed,
+        binary_topk_packed_pallas,
+        pack_bits_to_words,
+        pad_words_t,
+    )
+
+    rng = np.random.default_rng(31)
+    n, d, k = 5000, 1152, 20
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qbits = (rng.standard_normal((3, d)) >= 0).astype(np.uint8)
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+    ref_s, ref_i = binary_topk_packed(jnp.asarray(qwords), jnp.asarray(words), k)
+
+    wt, nv = pad_words_t(words, tile_n=1024)
+    got_s, got_i = binary_topk_packed_pallas(
+        jnp.asarray(qwords), jnp.asarray(wt), k,
+        n_valid=jnp.asarray(nv, jnp.int32), tile_n=1024, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_binary_topk_packed_t_matches_oracle():
+    from tpuclip.ops.hamming import (
+        binary_topk_packed,
+        binary_topk_packed_t,
+        pack_bits_to_words,
+        pad_words_t,
+    )
+
+    rng = np.random.default_rng(33)
+    n, d, k = 777, 128, 9
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qbits = (rng.standard_normal((2, d)) >= 0).astype(np.uint8)
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+    mask = np.where(np.arange(n) % 3 == 0, -np.inf, 0.0).astype(np.float32)
+    ref_s, ref_i = binary_topk_packed(
+        jnp.asarray(qwords), jnp.asarray(words), k, mask=jnp.asarray(mask)
+    )
+    wt, nv = pad_words_t(words, tile_n=256)
+    padded_mask = np.full((wt.shape[1],), -np.inf, np.float32)
+    padded_mask[:n] = mask
+    got_s, got_i = binary_topk_packed_t(
+        jnp.asarray(qwords), jnp.asarray(wt), k,
+        mask=jnp.asarray(padded_mask), n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_binary_topk_pallas_tie_ordering_interpret():
+    """Popcount scores tie constantly — ties must go to the lowest index."""
+    from tpuclip.ops.hamming import binary_topk_packed_pallas, pad_words_t
+
+    # Every row identical -> every score ties; expect indices 0..k-1.
+    words = np.tile(np.array([[0xFFFFFFFF]], np.uint32), (300, 4))
+    qwords = np.array([[0xFFFFFFFF] * 4], np.uint32)
+    wt, nv = pad_words_t(words, tile_n=128)
+    s, i = binary_topk_packed_pallas(
+        jnp.asarray(qwords), jnp.asarray(wt), 7,
+        n_valid=jnp.asarray(nv, jnp.int32), tile_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i)[0], np.arange(7))
+    np.testing.assert_array_equal(np.asarray(s)[0], np.full(7, 128))
+
+
+def test_binary_topk_q1_grouped_matches_oracle_interpret():
+    """The sublane-grouped single-query kernel must match the row-major
+    oracle exactly, ragged n_valid and tie ordering included."""
+    from tpuclip.ops.hamming import (
+        binary_topk_packed,
+        binary_topk_packed_pallas,
+        pack_bits_to_words,
+        pad_words_t,
+    )
+
+    rng = np.random.default_rng(37)
+    for n in (5000, 2048, 2049):
+        bits = (rng.standard_normal((n, 256)) >= 0).astype(np.uint8)
+        qbits = (rng.standard_normal((1, 256)) >= 0).astype(np.uint8)
+        words = pack_bits_to_words(bits)
+        qwords = pack_bits_to_words(qbits)
+        ref_s, ref_i = binary_topk_packed(jnp.asarray(qwords), jnp.asarray(words), 20)
+        wt, nv = pad_words_t(words, tile_n=1024)
+        got_s, got_i = binary_topk_packed_pallas(
+            jnp.asarray(qwords), jnp.asarray(wt), 20,
+            n_valid=jnp.asarray(nv, jnp.int32), tile_n=1024, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s), err_msg=str(n))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i), err_msg=str(n))

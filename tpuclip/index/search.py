@@ -72,8 +72,11 @@ class DeviceIndex:
         self._matrix: Optional[jnp.ndarray] = None  # (D, N_padded) on device
         self._n_valid: Optional[jnp.ndarray] = None
         self._bin_ids: Optional[np.ndarray] = None
-        self._bin_matrix: Optional[jnp.ndarray] = None  # (N, W) packed uint32 words
+        # Packed binary matrix: (N, W) "rows" layout (CPU / mesh-sharded) or
+        # word-major (W, Np) "words_t" (single-device TPU, Pallas kernel).
+        self._bin_matrix: Optional[jnp.ndarray] = None
         self._bin_n_valid: Optional[jnp.ndarray] = None
+        self._bin_layout: str = "rows"
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
 
@@ -150,7 +153,18 @@ class DeviceIndex:
                 words = np.pad(words, ((0, 0), (0, pad)))
             words = words.view(np.uint32)
             self._bin_n_valid = jnp.asarray(words.shape[0], jnp.int32)
-            if self.mesh is not None:
+            self._bin_layout = "rows"
+            if self.mesh is None and jax.default_backend() == "tpu":
+                # Word-major (W, Np) layout feeds the streaming Pallas
+                # AND+popcount kernel (reads at HBM bandwidth; the XLA
+                # lowering of the row-major einsum measured 4.4 ms/1M rows).
+                from tpuclip.ops.hamming import pad_words_t
+
+                wt, nv = pad_words_t(words)
+                self._bin_matrix = jax.device_put(jnp.asarray(wt), self.device)
+                self._bin_n_valid = jnp.asarray(nv, jnp.int32)
+                self._bin_layout = "words_t"
+            elif self.mesh is not None:
                 # Row-shard the packed words over the data axis (zero rows
                 # pad to the mesh multiple; masked out via _bin_n_valid).
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -169,6 +183,7 @@ class DeviceIndex:
         else:
             self._bin_matrix = None
             self._bin_n_valid = None
+            self._bin_layout = "rows"
         self._fingerprint = fp
         self._mask_cache.clear()
         if len(ids) or len(bin_ids):
@@ -371,8 +386,13 @@ class DeviceIndex:
 
         qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.uint8)
         qwords = pack_bits_to_words(qbits)
+        padded_n = (
+            self._bin_matrix.shape[1]
+            if self._bin_layout == "words_t"
+            else self._bin_matrix.shape[0]
+        )
         mask = (
-            self._folder_mask(filter_folders, self._bin_ids, self._bin_matrix.shape[0])
+            self._folder_mask(filter_folders, self._bin_ids, padded_n)
             if filter_folders
             else None
         )
@@ -383,6 +403,22 @@ class DeviceIndex:
                 jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
                 self._bin_n_valid, mask=mask,
             )
+        elif self._bin_layout == "words_t":
+            from tpuclip.ops.hamming import (
+                BINARY_TILE_N,
+                binary_topk_packed_pallas,
+                binary_topk_packed_t,
+            )
+
+            if mask is None and k <= 128 and padded_n >= BINARY_TILE_N and padded_n % BINARY_TILE_N == 0:
+                matches, rows = binary_topk_packed_pallas(
+                    jnp.asarray(qwords), self._bin_matrix, k, n_valid=self._bin_n_valid
+                )
+            else:
+                matches, rows = binary_topk_packed_t(
+                    jnp.asarray(qwords), self._bin_matrix, k,
+                    mask=mask, n_valid=self._bin_n_valid,
+                )
         else:
             matches, rows = binary_topk_packed(
                 jnp.asarray(qwords), self._bin_matrix, k, mask=mask

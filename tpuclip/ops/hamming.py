@@ -21,6 +21,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -79,6 +81,277 @@ def binary_topk_packed(
     scores = jnp.sum(jnp.bitwise_count(anded).astype(jnp.int32), axis=-1)  # (Q, N)
     if mask is not None:
         scores = jnp.where(mask[None, :] < 0, jnp.iinfo(jnp.int32).min, scores)
+    top_scores, top_idx = jax.lax.top_k(scores, k_eff)
+    order = jnp.lexsort((top_idx, -top_scores), axis=-1)
+    return (
+        jnp.take_along_axis(top_scores, order, axis=1),
+        jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
+    )
+
+
+# Wide tiles: the grouped q1 kernel views a (W, TILE_N) block as
+# (W, 8, TILE_N/8), and each vector op should span >= 16 vregs — at
+# TILE_N=2048 the (8, 256) working set is 2 vregs and instruction issue
+# dominates. Measured at 1M x 1152 rows on v5e: 6.33 ms (2048) ->
+# 2.34 ms (16384); 32768 fails to lower (VMEM block too large).
+BINARY_TILE_N = 16384
+_INT_SENTINEL = jnp.iinfo(jnp.int32).min
+
+
+def pad_words_t(words: np.ndarray, tile_n: int = BINARY_TILE_N):
+    """Host-side: (N, W) packed words → word-major (W, Np) padded to a tile
+    multiple. Same upload-time padding rationale as topk.pad_matrix_t.
+    Returns (words_t, n_valid)."""
+    wt = np.ascontiguousarray(words.T)
+    w, n = wt.shape
+    rem = (-n) % tile_n
+    if rem:
+        wt = np.concatenate([wt, np.zeros((w, rem), wt.dtype)], axis=1)
+    return wt, n
+
+
+def _binary_topk_kernel(
+    q_ref, m_ref, nvalid_ref, scores_ref, idx_ref, *, k: int, k_pad: int, tile_n: int
+):
+    """One grid step: AND+popcount scores for a (W, TILE_N) word tile.
+
+    The packed layout reads 1 bit/dim from HBM (36 uint32 words per 1152-d
+    row vs 1152 int8 for the unpacked MXU form — 8x fewer bytes); scoring is
+    W broadcast AND+popcount+add passes on the VPU, which at W≈36 is far
+    below the HBM read time, so the scan runs at memory bandwidth. XLA's
+    lowering of the same einsum measured 4.4 ms/1M rows (33 GB/s effective)
+    — it materializes intermediates instead of streaming.
+    """
+    base = pl.program_id(0) * tile_n
+    w_words = m_ref.shape[0]
+    qp = q_ref.shape[0]
+
+    acc = jnp.zeros((qp, tile_n), jnp.int32)
+    for j in range(w_words):  # static unroll over words (D/32)
+        qw = q_ref[:, j][:, None]  # (Qp, 1) uint32
+        mw = m_ref[j, :][None, :]  # (1, TILE_N) uint32
+        acc = acc + jax.lax.population_count(jnp.bitwise_and(qw, mw)).astype(jnp.int32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) + base
+    acc = jnp.where(col < nvalid_ref[0, 0], acc, _INT_SENTINEL)
+
+    bcol = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    s = acc
+    cols_s, cols_i = [], []
+    for _ in range(k):
+        best = jnp.max(s, axis=1)
+        best_idx = jnp.min(jnp.where(s == best[:, None], bcol, tile_n), axis=1)
+        cols_s.append(best)
+        cols_i.append(best_idx + base)
+        s = jnp.where(bcol == best_idx[:, None], _INT_SENTINEL, s)
+    out_s = jnp.stack(cols_s, axis=1)
+    out_i = jnp.stack(cols_i, axis=1)
+    if k_pad > k:
+        pad = ((0, 0), (0, k_pad - k))
+        out_s = jnp.pad(out_s, pad, constant_values=_INT_SENTINEL)
+        out_i = jnp.pad(out_i, pad, constant_values=jnp.iinfo(jnp.int32).max)
+    scores_ref[:] = out_s
+    idx_ref[:] = out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def binary_topk_packed_pallas(
+    query_words: jnp.ndarray,
+    words_t: jnp.ndarray,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    tile_n: int = BINARY_TILE_N,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming packed-binary top-k. query_words (Q, W) uint32; words_t
+    (W, Np) word-major (see pad_words_t). Same ordering semantics as
+    binary_topk_packed (score desc, ties to lowest index)."""
+    q_count, w_words = query_words.shape
+    n = words_t.shape[1]
+    if n_valid is None:
+        n_valid = jnp.asarray(n, jnp.int32)
+    k_eff = min(k, n) if n > 0 else 0
+    if k_eff == 0:
+        return (
+            jnp.zeros((q_count, 0), jnp.int32),
+            jnp.zeros((q_count, 0), jnp.int32),
+        )
+    assert n % tile_n == 0, "pad with pad_words_t at upload time"
+    if q_count == 1:
+        # Sublane-grouped single-query kernel: ~8x less VPU work (see
+        # _binary_topk_q1_kernel) — the interactive/serving case.
+        return _binary_topk_q1(
+            query_words, words_t, k_eff, n_valid, tile_n, interpret=interpret
+        )
+    num_tiles = n // tile_n
+
+    q_pad = (-q_count) % 8
+    if q_pad:
+        query_words = jnp.pad(query_words, ((0, q_pad), (0, 0)))
+    qp = query_words.shape[0]
+    nvalid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+    k_pad = -(-k_eff // 128) * 128
+
+    kernel = functools.partial(
+        _binary_topk_kernel, k=k_eff, k_pad=k_pad, tile_n=tile_n
+    )
+    scores, idx = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((qp, w_words), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_words, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qp, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp, num_tiles * k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((qp, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * qp * n * w_words,
+            bytes_accessed=n * w_words * 4 + qp * w_words * 4,
+            transcendentals=0,
+        ),
+    )(query_words, words_t, nvalid_arr)
+
+    merged_scores, merged_idx = _merge_int_candidates(scores, idx, k_eff)
+    return merged_scores[:q_count], merged_idx[:q_count]
+
+
+def _binary_topk_q1_kernel(
+    q_ref, nvalid_ref, m_ref, scores_ref, idx_ref, *, k: int, k_pad: int, tile_j: int, np8: int
+):
+    """Single-query step over a (W, 8, TILE_J) view of the word-major matrix.
+
+    The grouped view is a FREE C-order reshape of (W, Np): sublane g, lane j
+    holds original column g*Np/8 + j — so all 8 sublanes do real columns
+    even at Q=1 (the (Qp=8, TILE_N) form wastes 7/8 of the VPU on query
+    padding; measured 4.6 ms vs the HBM floor of ~0.3 ms at 1M rows). The
+    query rides in SMEM and broadcasts as scalars.
+    """
+    base_j = pl.program_id(0) * tile_j
+    w_words = m_ref.shape[0]
+
+    acc = jnp.zeros((8, tile_j), jnp.int32)
+    for w in range(w_words):  # static unroll over words (D/32)
+        acc = acc + jax.lax.population_count(
+            jnp.bitwise_and(m_ref[w], q_ref[0, w])
+        ).astype(jnp.int32)
+
+    g = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) + base_j
+    col = g * np8 + jj  # original column index
+    acc = jnp.where(col < nvalid_ref[0, 0], acc, _INT_SENTINEL)
+
+    s = acc
+    cols_s, cols_i = [], []
+    for _ in range(k):
+        best = jnp.max(s)
+        best_col = jnp.min(jnp.where(s == best, col, jnp.int32(2**31 - 1)))
+        cols_s.append(best)
+        cols_i.append(best_col)
+        s = jnp.where(col == best_col, _INT_SENTINEL, s)
+    out_s = jnp.stack(cols_s)[None, :]
+    out_i = jnp.stack(cols_i)[None, :]
+    if k_pad > k:
+        pad = ((0, 0), (0, k_pad - k))
+        out_s = jnp.pad(out_s, pad, constant_values=_INT_SENTINEL)
+        out_i = jnp.pad(out_i, pad, constant_values=jnp.iinfo(jnp.int32).max)
+    scores_ref[:] = out_s
+    idx_ref[:] = out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
+def _binary_topk_q1(
+    query_words: jnp.ndarray,
+    words_t: jnp.ndarray,
+    k: int,
+    n_valid: jnp.ndarray,
+    tile_n: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    w_words, n = words_t.shape
+    k_eff = min(k, n)
+    np8 = n // 8
+    tile_j = tile_n // 8
+    num_tiles = np8 // tile_j
+    grouped = jnp.reshape(words_t, (w_words, 8, np8))  # free: C-order view
+    q_smem = jnp.reshape(query_words, (1, w_words)).astype(jnp.uint32)
+    nvalid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+    k_pad = -(-k_eff // 128) * 128
+
+    kernel = functools.partial(
+        _binary_topk_q1_kernel, k=k_eff, k_pad=k_pad, tile_j=tile_j, np8=np8
+    )
+    scores, idx = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((w_words, 8, tile_j), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, num_tiles * k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * w_words,
+            bytes_accessed=n * w_words * 4,
+            transcendentals=0,
+        ),
+    )(q_smem, nvalid_arr, grouped)
+
+    return _merge_int_candidates(scores, idx, k_eff)
+
+
+def _merge_int_candidates(scores, idx, k_eff):
+    """Exact merge for INTEGER-scored candidates: popcount scores tie
+    heavily, and ``lax.top_k`` breaks ties by candidate position (tile
+    order), not original index — a full (score desc, idx asc) sort of the
+    small candidate buffer is required for reference-exact ordering."""
+    # Clamp the INT32_MIN sentinel before negating (its negation wraps back
+    # to INT32_MIN and would sort FIRST); real popcount scores are >= 0.
+    sort_scores = jnp.maximum(scores, -1)
+    order = jnp.lexsort((idx, -sort_scores), axis=-1)[:, :k_eff]
+    return (
+        jnp.take_along_axis(scores, order, axis=1),
+        jnp.take_along_axis(idx, order, axis=1),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def binary_topk_packed_t(
+    query_words: jnp.ndarray,
+    words_t: jnp.ndarray,
+    k: int,
+    mask: Optional[jnp.ndarray] = None,
+    n_valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA path over the word-major (W, Np) layout (masked/filtered searches
+    share the pallas kernel's resident matrix instead of re-uploading)."""
+    n = words_t.shape[1]
+    k_eff = min(k, n) if n > 0 else 0
+    if k_eff == 0:
+        q = query_words.shape[0]
+        return jnp.zeros((q, 0), jnp.int32), jnp.zeros((q, 0), jnp.int32)
+    anded = jnp.bitwise_and(query_words[:, :, None], words_t[None, :, :])
+    scores = jnp.sum(jax.lax.population_count(anded).astype(jnp.int32), axis=1)
+    if mask is not None:
+        scores = jnp.where(mask[None, :] < 0, _INT_SENTINEL, scores)
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        scores = jnp.where(col < n_valid, scores, _INT_SENTINEL)
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
     order = jnp.lexsort((top_idx, -top_scores), axis=-1)
     return (

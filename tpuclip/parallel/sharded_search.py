@@ -225,12 +225,14 @@ def _sharded_binary_topk_impl(query_words, matrix_words, k, mesh, n_valid, mask,
         q_count = q.shape[0]
         s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
         i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        top_s, pos = jax.lax.top_k(s_flat, k_eff)
-        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
-        order = jnp.lexsort((top_i, -top_s), axis=-1)
+        # Integer popcount scores tie heavily; lax.top_k breaks ties by
+        # candidate position (shard order), so a full (score desc, idx asc)
+        # sort of the small merged buffer is required for exact ordering.
+        # (Clamp the INT32_MIN sentinel before negation — it wraps.)
+        order = jnp.lexsort((i_flat, -jnp.maximum(s_flat, -1)), axis=-1)[:, :k_eff]
         return (
-            jnp.take_along_axis(top_s, order, axis=1),
-            jnp.take_along_axis(top_i, order, axis=1),
+            jnp.take_along_axis(s_flat, order, axis=1),
+            jnp.take_along_axis(i_flat, order, axis=1),
         )
 
     return jax.shard_map(
