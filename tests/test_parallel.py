@@ -328,3 +328,40 @@ def test_sharded_binary_topk_tie_ordering(mesh8):
     )
     np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s))
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+
+
+def test_dp_naflex_inference_matches_single(mesh8):
+    """NaFlex batches (patches + masks + spatial shapes) DP-shard over the
+    data axis like fixed-res pixel batches."""
+    from tpuclip.models.naflex import get_image_features_naflex
+
+    cfg = get_config("tpuclip/test-tiny-naflex")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    b, L = 16, cfg.vision.max_num_patches
+    patches = rng.integers(0, 256, size=(b, L, cfg.vision.patch_size**2 * 3), dtype=np.uint8)
+    masks = np.ones((b, L), np.int32)
+    shapes = np.empty((b, 2), np.int32)
+    for i in range(b):  # mixed aspect grids, h*w <= L, padded tails masked
+        h = int(rng.integers(1, 9))
+        w = min(L // h, int(rng.integers(1, 9)))
+        shapes[i] = (h, w)
+        masks[i, h * w :] = 0
+        masks[i, 0] = 1
+
+    single = np.asarray(
+        get_image_features_naflex(
+            params, jnp.asarray(patches), jnp.asarray(masks), jnp.asarray(shapes), cfg
+        )
+    )
+    sh = lambda spec: NamedSharding(mesh8, spec)
+    dp = np.asarray(
+        get_image_features_naflex(
+            params,
+            jax.device_put(jnp.asarray(patches), sh(P(DATA_AXIS, None, None))),
+            jax.device_put(jnp.asarray(masks), sh(P(DATA_AXIS, None))),
+            jax.device_put(jnp.asarray(shapes), sh(P(DATA_AXIS, None))),
+            cfg,
+        )
+    )
+    np.testing.assert_allclose(dp, single, rtol=1e-4, atol=1e-5)
