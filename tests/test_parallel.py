@@ -365,3 +365,59 @@ def test_dp_naflex_inference_matches_single(mesh8):
         )
     )
     np.testing.assert_allclose(dp, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_topk_k_exceeds_shard_rows(mesh8):
+    """k larger than the per-shard row count must not crash the merge
+    (review r2 finding): every path pads local candidates to k."""
+    from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
+    from tpuclip.ops.topk import topk_xla
+    from tpuclip.ops.topk_int8 import quantize_matrix_t, quantize_query, topk_int8_xla
+    from tpuclip.parallel.sharded_search import (
+        sharded_binary_topk,
+        sharded_topk,
+        sharded_topk_int8,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d, k = 24, 32, 50  # 3 rows/shard on 8 devices; k >> shard rows
+
+    # float
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((1, d)).astype(np.float32)
+    mt = np.ascontiguousarray(m.T)
+    ref_s, ref_i = topk_xla(jnp.asarray(q), jnp.asarray(mt), k)
+    got_s, got_i = sharded_topk(
+        jnp.asarray(q), jnp.asarray(mt), k, mesh8, jnp.asarray(n, jnp.int32)
+    )
+    valid = np.isfinite(np.asarray(got_s)[0])
+    np.testing.assert_array_equal(np.asarray(got_i)[0][valid], np.asarray(ref_i)[0][: valid.sum()])
+
+    # int8
+    mq, scales = quantize_matrix_t(mt)
+    qi, qs = quantize_query(q)
+    ref_s8, ref_i8 = topk_int8_xla(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(qs, jnp.float32), k
+    )
+    got_s8, got_i8 = sharded_topk_int8(
+        jnp.asarray(qi), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(qs, jnp.float32), k, mesh8, jnp.asarray(n, jnp.int32),
+    )
+    valid8 = np.isfinite(np.asarray(got_s8)[0])
+    np.testing.assert_array_equal(
+        np.asarray(got_i8)[0][valid8], np.asarray(ref_i8)[0][: valid8.sum()]
+    )
+
+    # binary
+    bits = rng.integers(0, 2, (n, 64), dtype=np.uint8)
+    words = pack_bits_to_words(bits)
+    qw = pack_bits_to_words(rng.integers(0, 2, (1, 64), dtype=np.uint8))
+    ref_bs, ref_bi = binary_topk_packed(jnp.asarray(qw), jnp.asarray(words), k)
+    got_bs, got_bi = sharded_binary_topk(
+        jnp.asarray(qw), jnp.asarray(words), k, mesh8, jnp.asarray(n, jnp.int32)
+    )
+    validb = np.asarray(got_bs)[0] > np.iinfo(np.int32).min
+    np.testing.assert_array_equal(
+        np.asarray(got_bi)[0][validb], np.asarray(ref_bi)[0][: validb.sum()]
+    )
+    np.testing.assert_array_equal(np.asarray(got_bs)[0][validb], np.asarray(ref_bs)[0][: validb.sum()])

@@ -185,7 +185,17 @@ def test_concurrent_searches_micro_batch(engine):
             t.join(timeout=60)
         assert not errors, errors
         for q, r in zip(queries, results):
-            assert r == baseline[q]
+            # Paths must match; scores compare with a small tolerance — on
+            # bf16 backends the text tower compiles per batch-size bucket and
+            # low bits differ between the batched and sequential programs.
+            assert [x["path"] for x in r] == [x["path"] for x in baseline[q]]
+            import numpy as np
+
+            np.testing.assert_allclose(
+                [x["similarity"] for x in r],
+                [x["similarity"] for x in baseline[q]],
+                atol=5e-3,
+            )
         # 4 concurrent requests, same (k, folders) -> one search_batch pass.
         passes = srv.batcher.device_passes - passes_before
         assert passes <= 2, f"expected micro-batching, got {passes} device passes"

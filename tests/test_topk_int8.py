@@ -162,3 +162,39 @@ def test_topk_int8_batch_device_quant_matches_host_quant():
     )
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s) * qs, rtol=1e-6)
+
+
+def test_search_batch_int8_reranks_like_single(tmp_path):
+    """search_batch in int8 mode must apply the same exact fp32 re-rank as
+    the single-query path (review r2 finding: the serve micro-batcher rides
+    search_batch, which previously skipped the rerank)."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(29)
+    dim = 64
+    store = MetadataStore(str(tmp_path / "r.db"), embedding_dim=dim)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    vecs = rng.standard_normal((400, dim)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    batch = [(f"/d/img{i}.jpg", 1.0 * i, f"h{i}", vecs[i]) for i in range(400)]
+    store.commit_with_retry(cur, conn, batch, save_full_embeddings=True)
+    conn.close()
+
+    idx = DeviceIndex(store, precision="int8")
+    qs = rng.standard_normal((3, dim)).astype(np.float32)
+    batched = idx.search_batch(qs, 10)
+    for row in range(3):
+        single = idx.search(qs[row], 10)
+        assert [p for p, _ in batched[row]] == [p for p, _ in single]
+        np.testing.assert_allclose(
+            [s for _, s in batched[row]], [s for _, s in single], rtol=1e-6
+        )
+        # and the exact rerank means fp32 brute-force ordering
+        exact = vecs @ qs[row]
+        want = np.argsort(-exact, kind="stable")[:10]
+        assert [p for p, _ in batched[row]] == [f"/d/img{i}.jpg" for i in want]

@@ -174,6 +174,27 @@ class ImageDatabase:
         )
         return np.asarray(out[:b], dtype=np.float32)
 
+    def embed_texts_cached(self, texts: List[str]) -> np.ndarray:
+        """Batch text embedding through the session LRU: cache hits skip the
+        tower; misses embed in ONE pass and populate the cache (the HTTP
+        micro-batcher repeats query terms constantly, same as the REPL)."""
+        out = np.empty((len(texts), self.embedding_dim), np.float32)
+        misses = []
+        for i, t in enumerate(texts):
+            cached = self._text_cache.get(t)
+            if cached is not None:
+                out[i] = cached
+            else:
+                misses.append(i)
+        if misses:
+            fresh = self.embed_texts([texts[i] for i in misses])
+            for j, i in enumerate(misses):
+                out[i] = fresh[j]
+                if len(self._text_cache) >= 256:
+                    self._text_cache.pop(next(iter(self._text_cache)))
+                self._text_cache[texts[i]] = fresh[j].copy()
+        return out
+
     # Reference-surface methods (image_database.py:443-543) -------------------
 
     @property

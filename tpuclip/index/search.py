@@ -260,11 +260,29 @@ class DeviceIndex:
             from tpuclip.ops.topk_int8 import topk_int8_batch
 
             # quantize + scan + scale fold in ONE device program (no
-            # per-request host numpy — serve micro-batches hit this path)
+            # per-request host numpy — serve micro-batches hit this path);
+            # same exact fp32 re-rank contract as the single-query path.
+            do_rerank = self.rerank and self._host_vectors is not None
+            k_short = max(4 * k, 64) if do_rerank else k
             scores, rows = topk_int8_batch(
-                q, self._matrix, self._scales, k, n_valid=self._n_valid, mask=mask
+                q, self._matrix, self._scales, k_short, n_valid=self._n_valid, mask=mask
             )
-            scores = np.asarray(scores)
+            if do_rerank:
+                qn = np.asarray(q, np.float32)
+                rs, ri = [], []
+                for row in range(len(queries)):
+                    s_r, r_r = self._exact_rerank(
+                        qn[row], np.asarray(scores[row])[None], np.asarray(rows[row])[None], k
+                    )
+                    pad = k - s_r.shape[1]
+                    if pad > 0:  # fewer than k valid candidates
+                        s_r = np.pad(s_r, ((0, 0), (0, pad)), constant_values=-np.inf)
+                        r_r = np.pad(r_r, ((0, 0), (0, pad)), constant_values=len(self._ids))
+                    rs.append(s_r[0])
+                    ri.append(r_r[0])
+                scores, rows = np.stack(rs), np.stack(ri)
+            else:
+                scores = np.asarray(scores)
         else:
             scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
             scores = np.asarray(scores)

@@ -73,15 +73,23 @@ def load_image(
             except Exception as pdf_error:  # noqa: BLE001
                 safe_print_path("Error converting PDF ", image_path, pdf_error)
                 return None
-        img = Image.open(image_path)
-        if draft_size is not None and img.format == "JPEG":
-            # Request a decode at >=2x the target in each dimension; the
-            # final bicubic resize then still downsamples (never upsamples).
-            img.draft("RGB", (draft_size * 2, draft_size * 2))
-        return img.convert("RGB")
+        return _decode_raster(image_path, draft_size)
     except Exception as e:  # noqa: BLE001
         safe_print_path("Error loading ", image_path, e)
         return None
+
+
+def _decode_raster(fp, draft_size: Optional[int]) -> Image.Image:
+    """Shared raster decode for path and in-memory sources."""
+    img = Image.open(fp)
+    if draft_size is not None and img.format == "JPEG":
+        # libjpeg picks the most aggressive DCT scale whose output still
+        # covers (draft_size, draft_size) in BOTH dims, so the final square
+        # resize never upsamples. (Requesting 2x here — an earlier
+        # conservative choice — silently disabled scaling for common
+        # 1024x768 photos: 768/2 < 448, so no scale qualified.)
+        img.draft("RGB", (draft_size, draft_size))
+    return img.convert("RGB")
 
 
 def load_image_bytes(
@@ -97,10 +105,7 @@ def load_image_bytes(
     import io
 
     try:
-        img = Image.open(io.BytesIO(data))
-        if draft_size is not None and img.format == "JPEG":
-            img.draft("RGB", (draft_size * 2, draft_size * 2))
-        return img.convert("RGB")
+        return _decode_raster(io.BytesIO(data), draft_size)
     except Exception as e:  # noqa: BLE001
         safe_print_path("Error loading ", image_path, e)
         return None

@@ -46,6 +46,17 @@ def pad_for_mesh(matrix_t, mesh: Mesh):
     return matrix_t, n
 
 
+def _pad_local_candidates(s, i, k_eff, sentinel_score):
+    """Pad a shard's local top-k to k_eff columns: when k exceeds the
+    per-shard row count the local kernels return fewer candidates, and the
+    cross-shard merge reshape expects exactly k_eff per shard."""
+    pad = k_eff - s.shape[1]
+    if pad > 0:
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=sentinel_score)
+        i = jnp.pad(i, ((0, 0), (0, pad)), constant_values=jnp.iinfo(jnp.int32).max)
+    return s, i
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "mesh", "has_mask", "use_pallas", "interpret")
 )
@@ -80,6 +91,7 @@ def _sharded_topk_impl(
         # mask local candidates that fall past the valid column count
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
+        s, gi = _pad_local_candidates(s, gi, k_eff, -jnp.inf)
         # gather all devices' candidates: (ndev, Q, k)
         s_all = jax.lax.all_gather(s, DATA_AXIS)
         i_all = jax.lax.all_gather(gi, DATA_AXIS)
@@ -163,6 +175,7 @@ def _sharded_topk_int8_impl(
         s, i = topk_int8_xla(q, m_shard, sc_shard[0], qs, k_eff, mask=local_mask)
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
+        s, gi = _pad_local_candidates(s, gi, k_eff, -jnp.inf)
         s_all = jax.lax.all_gather(s, DATA_AXIS)
         i_all = jax.lax.all_gather(gi, DATA_AXIS)
         q_count = q.shape[0]
@@ -220,20 +233,17 @@ def _sharded_binary_topk_impl(query_words, matrix_words, k, mesh, n_valid, mask,
         s, i = binary_topk_packed(q, w_shard, k_eff, mask=local_mask)
         gi = i + base
         s = jnp.where(gi < n_valid, s, sentinel)
+        s, gi = _pad_local_candidates(s, gi, k_eff, sentinel)
         s_all = jax.lax.all_gather(s, DATA_AXIS)
         i_all = jax.lax.all_gather(gi, DATA_AXIS)
         q_count = q.shape[0]
         s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
         i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        # Integer popcount scores tie heavily; lax.top_k breaks ties by
-        # candidate position (shard order), so a full (score desc, idx asc)
-        # sort of the small merged buffer is required for exact ordering.
-        # (Clamp the INT32_MIN sentinel before negation — it wraps.)
-        order = jnp.lexsort((i_flat, -jnp.maximum(s_flat, -1)), axis=-1)[:, :k_eff]
-        return (
-            jnp.take_along_axis(s_flat, order, axis=1),
-            jnp.take_along_axis(i_flat, order, axis=1),
-        )
+        # Integer popcount scores tie heavily across shards — exact
+        # (score desc, idx asc) merge shared with the tiled kernel.
+        from tpuclip.ops.hamming import _merge_int_candidates
+
+        return _merge_int_candidates(s_flat, i_flat, k_eff)
 
     return jax.shard_map(
         local,

@@ -106,7 +106,13 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._loop, daemon=True, name="tpuclip-microbatch")
         self._thread.start()
 
-    def submit(self, query: str, k: int, folders, show_duplicates: bool, timeout: float = 60.0):
+    def submit(self, query: str, k: int, folders, show_duplicates: bool, timeout: float = None):
+        if timeout is None:
+            # Generous default: the FIRST request pays the tower/search jit
+            # compile (tens of seconds cold, minutes through a remote-compile
+            # tunnel) and must not 500 on a wait the old serialized path
+            # would simply have sat out.
+            timeout = float(os.environ.get("TPUCLIP_BATCH_TIMEOUT_S", "600"))
         item = _BatchItem(query, k, folders, show_duplicates)
         self.queue.put(item)
         if not item.event.wait(timeout):
@@ -148,32 +154,40 @@ class MicroBatcher:
 
         from tpuclip.index.dedup import filter_duplicates
 
+        passes = 0
         try:
             with self.lock:
                 texts = sorted({it.query for it in items})
-                vec_by_text = dict(zip(texts, self.engine.embed_texts(texts)))
+                # LRU-aware batch embed: repeated query terms skip the tower.
+                vec_by_text = dict(zip(texts, self.engine.embed_texts_cached(texts)))
                 self.engine.index.refresh()
                 groups: dict = {}
                 for it in items:
                     groups.setdefault((it.k, it.folders), []).append(it)
-                passes = 0
                 for (k, folders), group in groups.items():
-                    vecs = np.stack([vec_by_text[it.query] for it in group])
-                    batches = self.engine.index.search_batch(
-                        vecs, k, filter_folders=list(folders) if folders else None
-                    )
-                    passes += 1
-                    for it, results in zip(group, batches):
-                        if not it.show_duplicates and results:
-                            results = filter_duplicates(self.engine.store, results, tolerance_bits=2)
-                        it.result = results
+                    # Per-group containment: one group's failure must not
+                    # discard results already computed for other groups.
+                    try:
+                        vecs = np.stack([vec_by_text[it.query] for it in group])
+                        batches = self.engine.index.search_batch(
+                            vecs, k, filter_folders=list(folders) if folders else None
+                        )
+                        passes += 1
+                        for it, results in zip(group, batches):
+                            if not it.show_duplicates and results:
+                                results = filter_duplicates(self.engine.store, results, tolerance_bits=2)
+                            it.result = results
+                    except Exception as e:  # noqa: BLE001
+                        for it in group:
+                            it.error = e
+        except Exception as e:  # noqa: BLE001 - embed/refresh failure fans out
+            for it in items:
+                if it.error is None and it.result is None:
+                    it.error = e
+        finally:
             with self._stats_lock:
                 self.device_passes += passes
                 self.batched_requests += len(items)
-        except Exception as e:  # noqa: BLE001 - fan the failure out, keep serving
-            for it in items:
-                it.error = e
-        finally:
             for it in items:
                 it.event.set()
 
