@@ -421,3 +421,98 @@ def test_sharded_topk_k_exceeds_shard_rows(mesh8):
         np.asarray(got_bi)[0][validb], np.asarray(ref_bi)[0][: validb.sum()]
     )
     np.testing.assert_array_equal(np.asarray(got_bs)[0][validb], np.asarray(ref_bs)[0][: validb.sum()])
+
+
+def test_sharded_int8_rerank_matches_full_precision(mesh8):
+    """sharded_topk_int8_rerank == unsharded full-precision scan, exactly
+    (indices AND scores): each shard rescores its int8 shortlist against its
+    local full-precision rows before the candidate merge."""
+    from tpuclip.ops.topk_int8 import quantize_matrix_t
+    from tpuclip.parallel.sharded_search import sharded_topk_int8_rerank
+
+    rng = np.random.default_rng(11)
+    n, d, k = 4096, 64, 20
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    mt = np.ascontiguousarray(rows.T)
+    mq, scales = quantize_matrix_t(mt)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    ref_s, ref_i = topk_xla(jnp.asarray(q), jnp.asarray(mt), k)
+    got_s, got_i = sharded_topk_int8_rerank(
+        jnp.asarray(q), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(rows), k, mesh8, jnp.asarray(n, jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-6)
+
+
+def test_sharded_int8_rerank_ragged_and_k_exceeds_shard(mesh8):
+    """Padded rows must not leak and k > shard_rows must not crash."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import quantize_matrix_t
+    from tpuclip.parallel.sharded_search import sharded_topk_int8_rerank
+
+    rng = np.random.default_rng(12)
+    n, d, k = 37, 32, 50
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    mt, nv = pad_matrix_t(np.ascontiguousarray(rows.T), tile_n=8)
+    mq, scales = quantize_matrix_t(mt)
+    rows_pad = np.pad(rows, ((0, mt.shape[1] - n), (0, 0)))
+    q = rng.standard_normal((1, d)).astype(np.float32)
+
+    got_s, got_i = sharded_topk_int8_rerank(
+        jnp.asarray(q), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(rows_pad), k, mesh8, jnp.asarray(nv, jnp.int32),
+    )
+    got_s, got_i = np.asarray(got_s)[0], np.asarray(got_i)[0]
+    valid = np.isfinite(got_s)
+    assert valid.sum() == n  # every real row, nothing from padding
+    exact = rows @ q[0]
+    order = np.lexsort((np.arange(n), -exact))
+    np.testing.assert_array_equal(got_i[valid], order[: valid.sum()])
+    np.testing.assert_allclose(got_s[valid], exact[order], rtol=1e-6)
+
+
+def test_mesh_sharded_int8_device_rerank_index(mesh8, tmp_path, monkeypatch):
+    """DeviceIndex(mesh, int8) with device rerank forced ON: single and
+    batched searches return the exact full-precision ordering through the
+    distributed fused program."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    rng = np.random.default_rng(13)
+    n, d, k = 500, 64, 9
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store = MetadataStore(str(tmp_path / "i8r.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    store.commit_with_retry(
+        conn.cursor(), conn,
+        [(f"/d/{i}.jpg", float(i), "h", vecs[i]) for i in range(n)],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    idx = DeviceIndex(store, mesh=mesh8, precision="int8", matrix_dtype=jnp.float32)
+    qs = rng.standard_normal((3, d)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    idx.search(qs[0], k)
+    assert idx._rows_device is not None, "sharded rerank copy must be resident"
+    batched = idx.search_batch(qs, k)
+    for row in range(3):
+        single = idx.search(qs[row], k)
+        scores = vecs @ qs[row]
+        order = np.lexsort((np.arange(n), -scores))[:k]
+        expected = [f"/d/{i}.jpg" for i in order]
+        assert [p for p, _ in single] == expected
+        assert [p for p, _ in batched[row]] == expected
+        np.testing.assert_allclose(
+            [s for _, s in single], scores[order], rtol=1e-5, atol=1e-6
+        )

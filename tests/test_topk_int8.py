@@ -128,6 +128,96 @@ def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
         )
 
 
+def test_fused_rerank_matches_full_precision_oracle(data):
+    """topk_int8_rerank_fused == the full-precision scan, exactly (indices
+    AND scores): the shortlist comes from int8 but every returned score is
+    rescored against the resident full-precision rows."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    matrix, queries = data
+    n, d, k = 8192, 128, 20
+    rows = matrix[:n]
+    mt, nv = pad_matrix_t(rows.T.copy(), tile_n=1024)
+    mq, scales = quantize_matrix_t(mt)
+    nv_arr = jnp.asarray(nv, jnp.int32)
+    ref_s, ref_i = topk_xla(
+        jnp.asarray(queries[:3]), jnp.asarray(mt), k, n_valid=nv_arr
+    )
+
+    for kwargs in (
+        dict(use_pallas=False),
+        dict(use_pallas=True, tile_n=1024, interpret=True),
+    ):
+        s, i = topk_int8_rerank_fused(
+            jnp.asarray(queries[:3]), jnp.asarray(mq), jnp.asarray(scales),
+            jnp.asarray(rows), k, shortlist=256, n_valid=nv_arr, **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+
+
+def test_fused_rerank_small_index_edge():
+    """n smaller than the shortlist and k > n: no sentinel leakage."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    rng = np.random.default_rng(3)
+    rows = _unit_rows(rng, 37, 64)
+    mt, nv = pad_matrix_t(rows.T.copy(), tile_n=256)
+    mq, scales = quantize_matrix_t(mt)
+    q = _unit_rows(rng, 1, 64)
+    s, i = topk_int8_rerank_fused(
+        jnp.asarray(q), jnp.asarray(mq), jnp.asarray(scales), jnp.asarray(rows),
+        10, shortlist=512, n_valid=jnp.asarray(nv, jnp.int32), use_pallas=False,
+    )
+    exact = rows @ q[0]
+    order = np.lexsort((np.arange(len(rows)), -exact))[:10]
+    np.testing.assert_array_equal(np.asarray(i[0]), order)
+    np.testing.assert_allclose(np.asarray(s[0]), exact[order], rtol=1e-6)
+
+
+def test_device_index_fused_rerank_matches_oracle(tmp_path, monkeypatch):
+    """DeviceIndex with device-side rerank forced ON: single and batched
+    searches return the exact full-precision ordering through the fused
+    program (the path production TPU serving takes)."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    rng = np.random.default_rng(17)
+    n, d, k = 3000, 64, 10
+    vecs = _unit_rows(rng, n, d)
+    store = MetadataStore(str(tmp_path / "f.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    store.commit_with_retry(
+        cur, conn,
+        [(f"/d/{i}.jpg", float(i), "h", vecs[i]) for i in range(n)],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    idx = DeviceIndex(store, precision="int8")
+    qs = _unit_rows(rng, 3, d)
+    idx.search(qs[0], k)
+    assert idx._rows_device is not None, "device rerank copy must be resident"
+    batched = idx.search_batch(qs, k)
+    for row in range(3):
+        single = idx.search(qs[row], k)
+        scores = vecs @ qs[row]
+        order = np.lexsort((np.arange(n), -scores))[:k]
+        expected = [f"/d/{i}.jpg" for i in order]
+        assert [p for p, _ in single] == expected
+        assert [p for p, _ in batched[row]] == expected
+        np.testing.assert_allclose(
+            [s for _, s in single], scores[order], rtol=1e-5, atol=1e-6
+        )
+
+
 def test_topk_int8_batch_device_quant_matches_host_quant():
     """topk_int8_batch (on-device per-row quantization) == the host-side
     quantize-then-scan it replaced."""

@@ -66,6 +66,14 @@ class DeviceIndex:
         # out of the memmapped matrix cache (self._host_vectors).
         self.precision = precision or os.environ.get("TPUCLIP_SEARCH_PRECISION", "bf16")
         self.rerank = os.environ.get("TPUCLIP_SEARCH_RERANK", "1") != "0"
+        # Device-side exact re-rank (int8 mode): keep a row-major full-
+        # precision copy resident so scan + shortlist + exact rescore run as
+        # ONE device program (ops/topk_int8.topk_int8_rerank_fused) instead
+        # of a host-memmap gather per query. "auto" enables it on TPU when
+        # int8 + full copies fit the HBM budget (TPUCLIP_DEVICE_RERANK_MAX_GB,
+        # default 8); force with TPUCLIP_DEVICE_RERANK=1/0.
+        self.device_rerank = os.environ.get("TPUCLIP_DEVICE_RERANK", "auto")
+        self._rows_device = None  # (N_rows, D) bf16/f32 row-major, int8 mode
         self._host_vectors = None  # fp32 memmap, row-aligned with _ids
         self._scales: Optional[jnp.ndarray] = None
         self._ids: Optional[np.ndarray] = None  # row -> image_id
@@ -92,6 +100,7 @@ class DeviceIndex:
         ids, vectors = self.cache.load()
         self._ids = ids
         self._host_vectors = vectors if len(ids) else None
+        self._rows_device = None
         if len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
@@ -116,6 +125,18 @@ class DeviceIndex:
                     self._scales = jax.device_put(
                         jnp.asarray(scales), NamedSharding(self.mesh, P(DATA_AXIS))
                     )
+                    if self.rerank and self._want_device_rerank(len(ids)):
+                        # Row-sharded full-precision copy, padded to the same
+                        # column count as the sharded int8 matrix, for the
+                        # per-shard exact rescore (sharded_topk_int8_rerank).
+                        rows = np.asarray(vectors, np.float32)
+                        row_pad = mt.shape[1] - rows.shape[0]
+                        if row_pad:
+                            rows = np.pad(rows, ((0, row_pad), (0, 0)))
+                        self._rows_device = jax.device_put(
+                            jnp.asarray(rows, dtype=self.matrix_dtype),
+                            NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                        )
                 else:
                     self._matrix = shard_matrix(
                         jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
@@ -130,6 +151,12 @@ class DeviceIndex:
                 q, scales = quantize_matrix_t(mt)
                 self._matrix = jax.device_put(jnp.asarray(q), self.device)
                 self._scales = jax.device_put(jnp.asarray(scales), self.device)
+                self._rows_device = None
+                if self.rerank and self._want_device_rerank(len(ids)):
+                    self._rows_device = jax.device_put(
+                        jnp.asarray(np.asarray(vectors), dtype=self.matrix_dtype),
+                        self.device,
+                    )
             else:
                 mt, n_valid = pad_matrix_t(np.ascontiguousarray(np.asarray(vectors).T))
                 self._matrix = jax.device_put(
@@ -191,6 +218,29 @@ class DeviceIndex:
                 f"  Index resident on {jax.default_backend()}: "
                 f"{len(ids):,} full vectors, {len(bin_ids):,} binary rows"
             )
+
+    def _want_device_rerank(self, n_rows: int) -> bool:
+        """Device re-rank gate: forced by TPUCLIP_DEVICE_RERANK=1/0, else auto
+        (TPU backend + int8-matrix-plus-full-copy under the HBM budget)."""
+        import os
+
+        if self.device_rerank == "0":
+            return False
+        if self.device_rerank == "1":
+            return True
+        if jax.default_backend() != "tpu":
+            return False
+        d = self.store.embedding_dim
+        itemsize = jnp.dtype(self.matrix_dtype).itemsize
+        ndev = 1
+        if self.mesh is not None:
+            from tpuclip.parallel.mesh import DATA_AXIS
+
+            ndev = self.mesh.shape[DATA_AXIS]
+        # per-chip bytes: both the int8 matrix and the full copy shard
+        total_gb = n_rows * d * (1 + itemsize) / ndev / 1e9
+        budget = float(os.environ.get("TPUCLIP_DEVICE_RERANK_MAX_GB", "8"))
+        return total_gb <= budget
 
     @property
     def num_full(self) -> int:
@@ -256,7 +306,33 @@ class DeviceIndex:
             if filter_folders
             else None
         )
-        if self.precision == "int8":
+        if (
+            self.precision == "int8"
+            and mask is None
+            and self._rows_device is not None
+            and self.mesh is not None
+        ):
+            from tpuclip.parallel.sharded_search import sharded_topk_int8_rerank
+
+            scores, rows = sharded_topk_int8_rerank(
+                q, self._matrix, self._scales, self._rows_device, k,
+                self.mesh, self._n_valid,
+            )
+            scores, rows = np.asarray(scores), np.asarray(rows)
+        elif (
+            self.precision == "int8"
+            and mask is None
+            and self._rows_device is not None
+            and k <= 128
+        ):
+            from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+            scores, rows = topk_int8_rerank_fused(
+                q, self._matrix, self._scales, self._rows_device, k,
+                n_valid=self._n_valid, use_pallas=jax.default_backend() == "tpu",
+            )
+            scores, rows = np.asarray(scores), np.asarray(rows)
+        elif self.precision == "int8":
             from tpuclip.ops.topk_int8 import topk_int8_batch
 
             # quantize + scan + scale fold in ONE device program (no
@@ -309,19 +385,35 @@ class DeviceIndex:
         )
         if self.mesh is not None:
             if self.precision == "int8":
-                from tpuclip.ops.topk_int8 import quantize_query
-                from tpuclip.parallel.sharded_search import sharded_topk_int8
+                if mask is None and self._rows_device is not None:
+                    # Distributed fused path: per-shard int8 scan + exact
+                    # rescore against the row-sharded full-precision copy,
+                    # one all_gather candidate merge — no host re-rank.
+                    from tpuclip.parallel.sharded_search import (
+                        sharded_topk_int8_rerank,
+                    )
 
-                do_rerank = self.rerank and self._host_vectors is not None
-                k_short = max(4 * k, 64) if do_rerank else k
-                qi, qs = quantize_query(np.asarray(query, np.float32).reshape(1, -1))
-                scores, rows = sharded_topk_int8(
-                    jnp.asarray(qi), self._matrix, self._scales,
-                    jnp.asarray(qs, jnp.float32), k_short, self.mesh,
-                    self._n_valid, mask=mask,
-                )
-                if do_rerank:
-                    scores, rows = self._exact_rerank(query, scores, rows, k)
+                    scores, rows = sharded_topk_int8_rerank(
+                        jnp.asarray(np.asarray(query, np.float32).reshape(1, -1)),
+                        self._matrix, self._scales, self._rows_device, k,
+                        self.mesh, self._n_valid,
+                    )
+                else:
+                    from tpuclip.ops.topk_int8 import quantize_query
+                    from tpuclip.parallel.sharded_search import sharded_topk_int8
+
+                    do_rerank = self.rerank and self._host_vectors is not None
+                    k_short = max(4 * k, 64) if do_rerank else k
+                    qi, qs = quantize_query(
+                        np.asarray(query, np.float32).reshape(1, -1)
+                    )
+                    scores, rows = sharded_topk_int8(
+                        jnp.asarray(qi), self._matrix, self._scales,
+                        jnp.asarray(qs, jnp.float32), k_short, self.mesh,
+                        self._n_valid, mask=mask,
+                    )
+                    if do_rerank:
+                        scores, rows = self._exact_rerank(query, scores, rows, k)
             else:
                 from tpuclip.parallel.sharded_search import sharded_topk
 
@@ -335,27 +427,38 @@ class DeviceIndex:
             from tpuclip.ops.topk_int8 import (
                 quantize_query,
                 topk_int8_pallas,
+                topk_int8_rerank_fused,
                 topk_int8_xla,
             )
 
-            # With re-ranking (default), pull a deeper shortlist from the
-            # quantized scan; exact fp32 ordering comes from the host memmap.
-            do_rerank = self.rerank and self._host_vectors is not None
-            k_short = max(4 * k, 64) if do_rerank else k
-            qi, qs = quantize_query(np.asarray(query, np.float32).reshape(1, -1))
-            if mask is None and jax.default_backend() == "tpu" and k_short <= 128:
-                scores, rows = topk_int8_pallas(
-                    jnp.asarray(qi), self._matrix, self._scales,
-                    jnp.asarray(qs, jnp.float32), k_short, n_valid=self._n_valid,
+            q2d = np.asarray(query, np.float32).reshape(1, -1)
+            if mask is None and self._rows_device is not None and k <= 128:
+                # ONE device program: int8 scan -> shortlist -> exact rescore
+                # against the resident full-precision rows (fused path).
+                scores, rows = topk_int8_rerank_fused(
+                    jnp.asarray(q2d), self._matrix, self._scales,
+                    self._rows_device, k, n_valid=self._n_valid,
+                    use_pallas=jax.default_backend() == "tpu",
                 )
             else:
-                scores, rows = topk_int8_xla(
-                    jnp.asarray(qi), self._matrix, self._scales,
-                    jnp.asarray(qs, jnp.float32), k_short,
-                    n_valid=self._n_valid, mask=mask,
-                )
-            if do_rerank:
-                scores, rows = self._exact_rerank(query, scores, rows, k)
+                # With re-ranking (default), pull a deeper shortlist from the
+                # quantized scan; exact fp32 ordering from the host memmap.
+                do_rerank = self.rerank and self._host_vectors is not None
+                k_short = max(4 * k, 64) if do_rerank else k
+                qi, qs = quantize_query(q2d)
+                if mask is None and jax.default_backend() == "tpu" and k_short <= 128:
+                    scores, rows = topk_int8_pallas(
+                        jnp.asarray(qi), self._matrix, self._scales,
+                        jnp.asarray(qs, jnp.float32), k_short, n_valid=self._n_valid,
+                    )
+                else:
+                    scores, rows = topk_int8_xla(
+                        jnp.asarray(qi), self._matrix, self._scales,
+                        jnp.asarray(qs, jnp.float32), k_short,
+                        n_valid=self._n_valid, mask=mask,
+                    )
+                if do_rerank:
+                    scores, rows = self._exact_rerank(query, scores, rows, k)
         elif mask is None:
             from tpuclip.ops.topk import cosine_topk_single_fetch
 

@@ -216,6 +216,95 @@ def sharded_topk_int8(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "shortlist", "mesh"))
+def _sharded_int8_rerank_impl(
+    q_f32, matrix_int8_t, scales, rows_full, k, shortlist, mesh, n_valid
+):
+    n_total = matrix_int8_t.shape[1]
+    ndev = mesh.shape[DATA_AXIS]
+    shard_cols = n_total // ndev
+    k_eff = min(k, n_total)
+    m_local = min(shortlist, shard_cols)
+
+    from tpuclip.ops.topk_int8 import topk_int8_xla
+
+    def local(q, m_shard, sc_shard, rows_shard, n_valid):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_cols
+        # On-device query quantization; the per-row scale is positive and
+        # rank-invariant, so the shortlist can skip it — the rescore below
+        # produces the exact returned scores anyway.
+        qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        qs = jnp.where(qs == 0, 1.0, qs)
+        qi = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        s, i = topk_int8_xla(
+            qi, m_shard, sc_shard[0], jnp.asarray(1.0, jnp.float32), m_local
+        )
+        # Exact rescore against the LOCAL full-precision rows: indices are
+        # shard-local, so no cross-shard gather — each chip touches only its
+        # own shortlist (a few hundred KB).
+        safe = jnp.clip(i, 0, shard_cols - 1)
+        gathered = rows_shard[safe]  # (Q, m_local, D)
+        exact = jnp.einsum(
+            "qmd,qd->qm",
+            gathered,
+            q.astype(rows_shard.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        gi = i + base
+        invalid = jnp.isneginf(s) | (gi >= n_valid)
+        exact = jnp.where(invalid, -jnp.inf, exact)
+        gi = jnp.where(invalid, jnp.iinfo(jnp.int32).max, gi)
+        # Per-shard exact top-k, then the usual O(ndev*Q*k) candidate merge:
+        # the global exact top-k is the merge of per-shard exact top-ks.
+        top_s, pos = jax.lax.top_k(exact, min(k_eff, m_local))
+        top_i = jnp.take_along_axis(gi, pos, axis=1)
+        top_s, top_i = _pad_local_candidates(top_s, top_i, k_eff, -jnp.inf)
+        s_all = jax.lax.all_gather(top_s, DATA_AXIS)
+        i_all = jax.lax.all_gather(top_i, DATA_AXIS)
+        q_count = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        top_s2, pos2 = jax.lax.top_k(s_flat, k_eff)
+        top_i2 = jnp.take_along_axis(i_flat, pos2, axis=1)
+        order = jnp.lexsort((top_i2, -top_s2), axis=-1)
+        return (
+            jnp.take_along_axis(top_s2, order, axis=1),
+            jnp.take_along_axis(top_i2, order, axis=1),
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+            P(DATA_AXIS, None),
+            P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(q_f32, matrix_int8_t, scales, rows_full, n_valid.astype(jnp.int32))
+
+
+def sharded_topk_int8_rerank(
+    q_f32, matrix_int8_t, scales, rows_full, k, mesh, n_valid, shortlist=512
+):
+    """Distributed fused int8 scan + exact rescore (mesh analog of
+    ops/topk_int8.topk_int8_rerank_fused): int8 matrix + scales column-sharded
+    over ``data``, the full-precision ``rows_full`` (N_padded, D) ROW-sharded
+    alongside (same padding), queries replicated. Each shard rescores its own
+    int8 shortlist against its local rows, takes an exact per-shard top-k,
+    and one all_gather merges candidates — scores returned are exact
+    full-precision dots, identical ordering to the single-device fused path.
+    """
+    scales2d = jnp.reshape(scales, (1, -1))
+    return _sharded_int8_rerank_impl(
+        q_f32, matrix_int8_t, scales2d, rows_full, k, shortlist, mesh, n_valid
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mesh", "has_mask"))
 def _sharded_binary_topk_impl(query_words, matrix_words, k, mesh, n_valid, mask, has_mask):
     n_total = matrix_words.shape[0]
