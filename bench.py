@@ -142,6 +142,57 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
     return float(np.percentile(np.array(samples), 50) * 1000)
 
 
+def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
+    """Fused int8 scan + on-device exact rescore (the production int8
+    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
+    device program returns exact full-precision scores — no host re-rank."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import (
+        INT8_TILE_N,
+        quantize_matrix_t,
+        topk_int8_rerank_fused,
+    )
+
+    rng = np.random.default_rng(0)
+    host = rng.standard_normal((d, n)).astype(np.float32)
+    padded, n_valid_int = pad_matrix_t(host, tile_n=INT8_TILE_N)
+    mq_host, scales_host = quantize_matrix_t(padded)
+    matrix = jnp.asarray(mq_host)
+    scales = jnp.asarray(scales_host)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rows = jnp.asarray(np.ascontiguousarray(host.T), dtype=dtype)
+    n_valid = jnp.asarray(n_valid_int, jnp.int32)
+    use_pallas = jax.default_backend() == "tpu"
+    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
+    jax.block_until_ready((matrix, rows))
+
+    import jax as _jax
+
+    @_jax.jit
+    def chained(queries, matrix, scales, rows):
+        def step(carry, q):
+            q = q + carry * 0.0
+            s, i = topk_int8_rerank_fused(
+                q, matrix, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas
+            )
+            return jnp.max(s), (s, i)
+
+        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+        return outs
+
+    out = chained(queries, matrix, scales, rows)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(queries, matrix, scales, rows)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / chain)
+    return float(np.percentile(np.array(samples), 50) * 1000)
+
+
 def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
     """Packed-binary scan p50 (the reference's binary-only DB mode)."""
     import jax.numpy as jnp
@@ -358,6 +409,14 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             result["int8_error"] = str(e)[:200]
+        try:
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
+            result["int8_fused_rerank_p50_ms"] = round(
+                bench_query_latency_int8_fused(jax, n, chain=chain), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            result["int8_fused_error"] = str(e)[:200]
         try:
             n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
             chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))

@@ -60,6 +60,12 @@ def chained(fn, queries):
 
 
 def main():
+    try:
+        from tpuclip.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     host = rng.standard_normal((D, N), dtype=np.float32)

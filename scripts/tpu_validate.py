@@ -84,6 +84,31 @@ def main(out_path: str) -> int:
         idx_equal=bool(np.array_equal(np.asarray(i1), np.asarray(i2))),
     )
 
+    # Fused int8 scan + exact rescore: indices AND scores must match the
+    # full-precision bf16 scan exactly (the rescore uses the same
+    # bf16-in/f32-accumulate dot as topk_pallas).
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    rows_dev = jnp.asarray(m, jnp.bfloat16)
+    qf = rng.standard_normal((2, 1152)).astype(np.float32)
+    sf, if_ = topk_int8_rerank_fused(
+        jnp.asarray(qf), jnp.asarray(mq), jnp.asarray(scales), rows_dev, 20,
+        n_valid=jnp.asarray(nv, jnp.int32), use_pallas=backend == "tpu",
+    )
+    sref, iref = topk_pallas(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(mt, jnp.bfloat16), 20,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    ) if backend == "tpu" else topk_xla(
+        jnp.asarray(qf, jnp.bfloat16), jnp.asarray(mt, jnp.bfloat16), 20,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    record(
+        "int8_fused_rerank_vs_bf16_scan",
+        np.array_equal(np.asarray(if_), np.asarray(iref))
+        and np.allclose(np.asarray(sf), np.asarray(sref), rtol=1e-5, atol=1e-6),
+        idx_equal=bool(np.array_equal(np.asarray(if_), np.asarray(iref))),
+    )
+
     bits = rng.integers(0, 2, (40_000, 1152), dtype=np.uint8)
     qb = rng.integers(0, 2, (1, 1152), dtype=np.uint8)
     s, i = binary_topk_packed(

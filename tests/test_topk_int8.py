@@ -288,3 +288,24 @@ def test_search_batch_int8_reranks_like_single(tmp_path):
         exact = vecs @ qs[row]
         want = np.argsort(-exact, kind="stable")[:10]
         assert [p for p, _ in batched[row]] == [f"/d/img{i}.jpg" for i in want]
+
+
+def test_round_f32_to_bf16_bits_matches_ml_dtypes():
+    """The integer-bit bf16 rounding == numpy/ml_dtypes round-half-even,
+    including negatives, subnormal-ish smalls, and exact-tie mantissas."""
+    import ml_dtypes
+
+    from tpuclip.ops.topk_int8 import round_f32_to_bf16_bits
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([
+        rng.standard_normal(4096).astype(np.float32),
+        rng.standard_normal(256).astype(np.float32) * 1e-20,
+        rng.standard_normal(256).astype(np.float32) * 1e20,
+        np.asarray([0.0, -0.0, 1.0, -1.0], np.float32),
+        # exact halfway mantissas exercise round-half-to-even
+        np.asarray([1.00390625, 1.01171875, -1.00390625], np.float32),
+    ])
+    got = np.asarray(round_f32_to_bf16_bits(jnp.asarray(x)))
+    want = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -27,6 +27,24 @@ from tpuclip.ops.topk import _final_merge
 _NEG_INF = float("-inf")
 
 
+def round_f32_to_bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """Round float32 to the nearest bfloat16 value, returned AS float32,
+    via integer bit manipulation (round-half-to-even).
+
+    ``x.astype(bf16).astype(f32)`` is NOT equivalent under jit: XLA's
+    excess-precision rule elides a downcast that only feeds an upcast (or a
+    dot's internal f32 upcast), silently substituting the unrounded input.
+    When a computation must use exactly the bf16-rounded value — e.g. the
+    fused-rerank rescore reproducing the bf16 scan's scores — the rounding
+    has to be expressed as integer arithmetic XLA cannot fold away.
+    Finite inputs only (queries here are finite by construction)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    lsb = (u >> 16) & jnp.uint32(1)
+    u = u + jnp.uint32(0x7FFF) + lsb
+    u = u & jnp.uint32(0xFFFF0000)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
 def quantize_matrix_t(matrix_t: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """(D, N) float → (int8 (D, N), scales (N,) float32), symmetric per-column."""
     m = np.asarray(matrix_t, np.float32)
@@ -284,17 +302,26 @@ def topk_int8_rerank_fused(
     top_s, pos = jax.lax.top_k(scores_q, m)
     cand = jnp.take_along_axis(rows_q, pos, axis=1)  # (Q, M) row indices
 
-    # Exact rescore: gather candidate rows; same bf16-in/f32-accumulate dot
-    # as the full-precision scan (tpuclip.ops.topk), so returned scores match
-    # the bf16 path's for any candidate both return.
+    # Exact rescore: gather candidate rows and dot with f32 accumulation.
+    # To return the SAME scores the bf16 scan computes, the query must be
+    # rounded to the storage dtype first — and that rounding must be done
+    # with integer bit ops (round_f32_to_bf16_bits): under jit, XLA's
+    # excess-precision rule elides an `astype(bf16)` that feeds the dot's
+    # internal f32 upcast and substitutes the UNROUNDED query (measured
+    # 3e-3 score divergence from the bf16 scan on v5e — enough to drop true
+    # top-k items near the cutoff; verified by bit-exact match against a
+    # host emulation with the unrounded query). With the query genuinely
+    # rounded, products of bf16-rounded inputs are exact in f32, so scores
+    # match the scan's up to f32 summation order (~1e-6).
     n_rows = rows_full.shape[0]
     safe = jnp.clip(cand, 0, n_rows - 1)
-    gathered = rows_full[safe]  # (Q, M, D)
+    if rows_full.dtype == jnp.bfloat16:
+        qr = round_f32_to_bf16_bits(q_f32.astype(jnp.float32))
+    else:
+        qr = q_f32.astype(jnp.float32)
+    gathered = rows_full[safe].astype(jnp.float32)  # (Q, M, D)
     exact = jnp.einsum(
-        "qmd,qd->qm",
-        gathered,
-        q_f32.astype(rows_full.dtype),
-        preferred_element_type=jnp.float32,
+        "qmd,qd->qm", gathered, qr, preferred_element_type=jnp.float32
     )
     invalid = (cand < 0) | (cand >= n_rows) | jnp.isneginf(top_s)
     exact = jnp.where(invalid, _NEG_INF, exact)

@@ -242,14 +242,20 @@ def _sharded_int8_rerank_impl(
         )
         # Exact rescore against the LOCAL full-precision rows: indices are
         # shard-local, so no cross-shard gather — each chip touches only its
-        # own shortlist (a few hundred KB).
+        # own shortlist (a few hundred KB). The bit-level query rounding is
+        # load-bearing: XLA's excess-precision rule elides astype(bf16) into
+        # the dot, diverging from the bf16 scan's scores (see
+        # ops/topk_int8.topk_int8_rerank_fused for the measured failure).
+        from tpuclip.ops.topk_int8 import round_f32_to_bf16_bits
+
         safe = jnp.clip(i, 0, shard_cols - 1)
-        gathered = rows_shard[safe]  # (Q, m_local, D)
+        if rows_shard.dtype == jnp.bfloat16:
+            qr = round_f32_to_bf16_bits(q.astype(jnp.float32))
+        else:
+            qr = q.astype(jnp.float32)
+        gathered = rows_shard[safe].astype(jnp.float32)
         exact = jnp.einsum(
-            "qmd,qd->qm",
-            gathered,
-            q.astype(rows_shard.dtype),
-            preferred_element_type=jnp.float32,
+            "qmd,qd->qm", gathered, qr, preferred_element_type=jnp.float32
         )
         gi = i + base
         invalid = jnp.isneginf(s) | (gi >= n_valid)
