@@ -142,18 +142,20 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
     return float(np.percentile(np.array(samples), 50) * 1000)
 
 
-def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
-    """Fused int8 scan + on-device exact rescore (the production int8
-    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
-    device program returns exact full-precision scores — no host re-rank."""
+_FUSED_PREP = {}
+
+
+def _fused_prep(jax, n, d):
+    """Build (once per (n, d)) the device-resident int8 matrix + scales +
+    full-precision rows shared by the fused-rerank benchmarks — the host-side
+    prep is minutes of numpy on a small host, don't repeat it."""
+    key = (n, d)
+    if key in _FUSED_PREP:
+        return _FUSED_PREP[key]
     import jax.numpy as jnp
 
     from tpuclip.ops.topk import pad_matrix_t
-    from tpuclip.ops.topk_int8 import (
-        INT8_TILE_N,
-        quantize_matrix_t,
-        topk_int8_rerank_fused,
-    )
+    from tpuclip.ops.topk_int8 import INT8_TILE_N, quantize_matrix_t
 
     rng = np.random.default_rng(0)
     host = rng.standard_normal((d, n)).astype(np.float32)
@@ -164,9 +166,23 @@ def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     rows = jnp.asarray(np.ascontiguousarray(host.T), dtype=dtype)
     n_valid = jnp.asarray(n_valid_int, jnp.int32)
-    use_pallas = jax.default_backend() == "tpu"
-    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
     jax.block_until_ready((matrix, rows))
+    _FUSED_PREP[key] = (matrix, scales, rows, n_valid)
+    return _FUSED_PREP[key]
+
+
+def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
+    """Fused int8 scan + on-device exact rescore (the production int8
+    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
+    device program returns exact full-precision scores — no host re-rank."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
+    use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(1)
+    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
 
     import jax as _jax
 
@@ -191,6 +207,47 @@ def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
         _ = np.asarray(out[0])
         samples.append((time.perf_counter() - t0) / chain)
     return float(np.percentile(np.array(samples), 50) * 1000)
+
+
+def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
+    """Serving throughput: queries/sec when concurrent queries share one
+    scan (the serve micro-batcher's code path — one int8 fused program per
+    request group, matrix read once per batch)."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
+    use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(2)
+    queries = jnp.asarray(
+        rng.standard_normal((iters, q_batch, d)).astype(np.float32)
+    )
+
+    import jax as _jax
+
+    @_jax.jit
+    def chained(queries, matrix, scales, rows):
+        def step(carry, q):
+            q = q + carry * 0.0
+            s, i = topk_int8_rerank_fused(
+                q, matrix, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas
+            )
+            return jnp.max(s), (s, i)
+
+        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+        return outs
+
+    out = chained(queries, matrix, scales, rows)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(queries, matrix, scales, rows)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / iters)
+    batch_ms = float(np.percentile(np.array(samples), 50) * 1000)
+    return batch_ms, q_batch / (batch_ms / 1000.0)
 
 
 def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
@@ -417,6 +474,13 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             result["int8_fused_error"] = str(e)[:200]
+        try:
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            batch_ms, qps = bench_batch_throughput(jax, n)
+            result["int8_fused_batch16_ms"] = round(batch_ms, 3)
+            result["int8_fused_batch16_qps"] = round(qps)
+        except Exception as e:  # noqa: BLE001
+            result["batch_error"] = str(e)[:200]
         try:
             n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
             chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))

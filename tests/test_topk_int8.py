@@ -5,6 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from conftest import cpu_only  # noqa: E402
 from tpuclip.ops.topk import topk_xla
 from tpuclip.ops.topk_int8 import (
     quantize_matrix_t,
@@ -92,6 +93,7 @@ def test_binary_topk_packed_matches_unpacked():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
 
+@cpu_only
 def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
     """DeviceIndex int8 mode with re-ranking must return exactly the fp32
     brute-force ordering."""
@@ -128,6 +130,7 @@ def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
         )
 
 
+@cpu_only
 def test_fused_rerank_matches_full_precision_oracle(data):
     """topk_int8_rerank_fused == the full-precision scan, exactly (indices
     AND scores): the shortlist comes from int8 but every returned score is
@@ -177,6 +180,7 @@ def test_fused_rerank_small_index_edge():
     np.testing.assert_allclose(np.asarray(s[0]), exact[order], rtol=1e-6)
 
 
+@cpu_only
 def test_device_index_fused_rerank_matches_oracle(tmp_path, monkeypatch):
     """DeviceIndex with device-side rerank forced ON: single and batched
     searches return the exact full-precision ordering through the fused
@@ -254,6 +258,7 @@ def test_topk_int8_batch_device_quant_matches_host_quant():
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s) * qs, rtol=1e-6)
 
 
+@cpu_only
 def test_search_batch_int8_reranks_like_single(tmp_path):
     """search_batch in int8 mode must apply the same exact fp32 re-rank as
     the single-query path (review r2 finding: the serve micro-batcher rides

@@ -72,6 +72,11 @@ class DeviceIndex:
         # of a host-memmap gather per query. "auto" enables it on TPU when
         # int8 + full copies fit the HBM budget (TPUCLIP_DEVICE_RERANK_MAX_GB,
         # default 8); force with TPUCLIP_DEVICE_RERANK=1/0.
+        # Exactness contract: the device rescore reproduces THE DEFAULT
+        # FULL-PRECISION PATH's results (bf16 storage on TPU — validated
+        # bit-equal on hardware by scripts/tpu_validate.py). The =0 host
+        # re-rank instead orders by true-fp32 scores from the memmap, which
+        # can flip sub-1e-3 near-ties relative to any bf16 path.
         self.device_rerank = os.environ.get("TPUCLIP_DEVICE_RERANK", "auto")
         self._rows_device = None  # (N_rows, D) bf16/f32 row-major, int8 mode
         self._host_vectors = None  # fp32 memmap, row-aligned with _ids
