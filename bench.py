@@ -171,22 +171,18 @@ def _fused_prep(jax, n, d):
     return _FUSED_PREP[key]
 
 
-def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
-    """Fused int8 scan + on-device exact rescore (the production int8
-    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
-    device program returns exact full-precision scores — no host re-rank."""
+def _fused_chained_p50(jax, n, d, k, queries, divisor):
+    """Shared chained-scan p50 protocol for the fused-rerank benchmarks:
+    jit a lax.scan over ``queries`` (carry-coupled to force sequential
+    execution), warm up, then median of 5 samples divided by ``divisor``."""
     import jax.numpy as jnp
 
     from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
 
     matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
     use_pallas = jax.default_backend() == "tpu"
-    rng = np.random.default_rng(1)
-    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
 
-    import jax as _jax
-
-    @_jax.jit
+    @jax.jit
     def chained(queries, matrix, scales, rows):
         def step(carry, q):
             q = q + carry * 0.0
@@ -195,7 +191,7 @@ def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
             )
             return jnp.max(s), (s, i)
 
-        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
         return outs
 
     out = chained(queries, matrix, scales, rows)
@@ -205,8 +201,19 @@ def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
         t0 = time.perf_counter()
         out = chained(queries, matrix, scales, rows)
         _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / chain)
+        samples.append((time.perf_counter() - t0) / divisor)
     return float(np.percentile(np.array(samples), 50) * 1000)
+
+
+def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
+    """Fused int8 scan + on-device exact rescore (the production int8
+    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
+    device program returns exact full-precision scores — no host re-rank."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
+    return _fused_chained_p50(jax, n, d, k, queries, chain)
 
 
 def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
@@ -215,38 +222,11 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     request group, matrix read once per batch)."""
     import jax.numpy as jnp
 
-    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
-
-    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
-    use_pallas = jax.default_backend() == "tpu"
     rng = np.random.default_rng(2)
     queries = jnp.asarray(
         rng.standard_normal((iters, q_batch, d)).astype(np.float32)
     )
-
-    import jax as _jax
-
-    @_jax.jit
-    def chained(queries, matrix, scales, rows):
-        def step(carry, q):
-            q = q + carry * 0.0
-            s, i = topk_int8_rerank_fused(
-                q, matrix, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas
-            )
-            return jnp.max(s), (s, i)
-
-        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
-        return outs
-
-    out = chained(queries, matrix, scales, rows)
-    _ = np.asarray(out[0])
-    samples = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        out = chained(queries, matrix, scales, rows)
-        _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / iters)
-    batch_ms = float(np.percentile(np.array(samples), 50) * 1000)
+    batch_ms = _fused_chained_p50(jax, n, d, k, queries, iters)
     return batch_ms, q_batch / (batch_ms / 1000.0)
 
 

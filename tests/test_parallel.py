@@ -516,3 +516,46 @@ def test_mesh_sharded_int8_device_rerank_index(mesh8, tmp_path, monkeypatch):
         np.testing.assert_allclose(
             [s for _, s in single], scores[order], rtol=1e-5, atol=1e-6
         )
+
+
+def test_sharded_int8_rerank_all_negative_scores_with_padding(mesh8):
+    """Zero-padded columns score exactly 0 in the int8 scan; when every real
+    score is negative they must NOT evict real rows from the per-shard
+    shortlist (review finding: the scan needs the shard-local n_valid, not
+    just the post-hoc invalid mask)."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import quantize_matrix_t
+    from tpuclip.parallel.sharded_search import sharded_topk_int8_rerank
+
+    rng = np.random.default_rng(21)
+    n, d, k = 100, 32, 10
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    rows += 3.0  # all-positive components
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    q = -np.abs(rng.standard_normal((1, d)).astype(np.float32))  # scores < 0
+    # Plant the GLOBAL BEST row (score closest to zero) in the shard that
+    # holds the padded columns: padded width 112 over 8 devices = 14
+    # cols/shard, so row 99 shares shard 7 with the 12 pad columns. A
+    # shortlist of 8 < 12 means score-0 pads saturate that shard's
+    # shortlist unless the scan masks them via n_valid.
+    j = int(np.argmin(np.abs(q[0])))
+    best = np.zeros(d, np.float32)
+    best[j] = 1.0
+    rows[99] = best
+    mt, nv = pad_matrix_t(np.ascontiguousarray(rows.T), tile_n=16)
+    mq, scales = quantize_matrix_t(mt)
+    rows_pad = np.pad(rows, ((0, mt.shape[1] - n), (0, 0)))
+    assert mt.shape[1] == 112 and mt.shape[1] > n
+    exact = rows @ q[0]
+    assert np.argmax(exact) == 99, "test setup: row 99 must be the global best"
+
+    got_s, got_i = sharded_topk_int8_rerank(
+        jnp.asarray(q), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(rows_pad), k, mesh8, jnp.asarray(nv, jnp.int32),
+        shortlist=8,  # shallow shortlist: padding eviction would be visible
+    )
+    got_s, got_i = np.asarray(got_s)[0], np.asarray(got_i)[0]
+    assert np.all(np.isfinite(got_s)), "padded columns leaked into top-k"
+    assert got_i.max() < n
+    assert got_i[0] == 99, "global best row evicted by pad columns"
+    np.testing.assert_allclose(got_s[0], exact[99], rtol=1e-6)

@@ -160,6 +160,7 @@ def test_fused_rerank_matches_full_precision_oracle(data):
         np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
 
 
+@cpu_only
 def test_fused_rerank_small_index_edge():
     """n smaller than the shortlist and k > n: no sentinel leakage."""
     from tpuclip.ops.topk import pad_matrix_t

@@ -134,12 +134,17 @@ class DeviceIndex:
                         # Row-sharded full-precision copy, padded to the same
                         # column count as the sharded int8 matrix, for the
                         # per-shard exact rescore (sharded_topk_int8_rerank).
-                        rows = np.asarray(vectors, np.float32)
+                        # Convert to the storage dtype BEFORE padding: a
+                        # fp32 pad copy of a 10M-row index would double the
+                        # host peak for bytes that are immediately downcast.
+                        rows = np.asarray(vectors).astype(
+                            jnp.dtype(self.matrix_dtype), copy=False
+                        )
                         row_pad = mt.shape[1] - rows.shape[0]
                         if row_pad:
                             rows = np.pad(rows, ((0, row_pad), (0, 0)))
                         self._rows_device = jax.device_put(
-                            jnp.asarray(rows, dtype=self.matrix_dtype),
+                            jnp.asarray(rows),
                             NamedSharding(self.mesh, P(DATA_AXIS, None)),
                         )
                 else:
@@ -316,6 +321,7 @@ class DeviceIndex:
             and mask is None
             and self._rows_device is not None
             and self.mesh is not None
+            and k <= 128
         ):
             from tpuclip.parallel.sharded_search import sharded_topk_int8_rerank
 
@@ -390,7 +396,7 @@ class DeviceIndex:
         )
         if self.mesh is not None:
             if self.precision == "int8":
-                if mask is None and self._rows_device is not None:
+                if mask is None and self._rows_device is not None and k <= 128:
                     # Distributed fused path: per-shard int8 scan + exact
                     # rescore against the row-sharded full-precision copy,
                     # one all_gather candidate merge — no host re-rank.

@@ -61,6 +61,16 @@ def quantize_query(q: np.ndarray) -> Tuple[np.ndarray, float]:
     return qi, scale
 
 
+def quantize_queries_device(q_f32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """On-device per-row symmetric int8 quantization: (Q, D) f32 →
+    ((Q, D) int8, (Q, 1) f32 scales). The scale is a positive per-row factor
+    — rank-invariant — so shortlist-only callers may drop it."""
+    qs = jnp.max(jnp.abs(q_f32), axis=1, keepdims=True) / 127.0
+    qs = jnp.where(qs == 0, 1.0, qs)
+    qi = jnp.clip(jnp.round(q_f32 / qs), -127, 127).astype(jnp.int8)
+    return qi, qs
+
+
 def _int8_topk_kernel(
     q_ref, m_ref, scales_ref, meta_ref, scores_ref, idx_ref,
     *, k: int, k_pad: int, tile_n: int, out_rows: int,
@@ -275,14 +285,15 @@ def topk_int8_rerank_fused(
             jnp.zeros((q_count, 0), jnp.int32),
         )
 
-    # On-device query quantization (per-row symmetric). The per-row scale is
-    # a positive factor — rank-invariant — so the shortlist selection can
-    # skip it entirely; exact scores come from the rescore anyway.
-    qs = jnp.max(jnp.abs(q_f32), axis=1, keepdims=True) / 127.0
-    qs = jnp.where(qs == 0, 1.0, qs)
-    qi = jnp.clip(jnp.round(q_f32 / qs), -127, 127).astype(jnp.int8)
+    # Shortlist selection skips the (rank-invariant) query scale; exact
+    # scores come from the rescore anyway.
+    qi, _ = quantize_queries_device(q_f32)
 
-    m = min(shortlist, n)
+    # Depth safety: the shortlist must cover k, and the per-tile Pallas
+    # extraction caps at 128 candidates/tile — beyond that the XLA candidate
+    # path keeps the exact per-k depth instead of silently truncating.
+    m = min(max(shortlist, 4 * k_eff), n)
+    use_pallas = use_pallas and k_eff <= 128
     if use_pallas and n >= tile_n and n % tile_n == 0:
         num_tiles = n // min(tile_n, n)
         # Per-tile depth: enough that any single tile can supply the full
@@ -340,9 +351,7 @@ def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     One compiled program does quantize + int8 matmul + top-k + scale fold —
     the serve micro-batcher calls this per request group, so no host numpy
     runs per request (round-1 quantized on host per call)."""
-    qs = jnp.max(jnp.abs(q_f32), axis=1, keepdims=True) / 127.0
-    qs = jnp.where(qs == 0, 1.0, qs)
-    qi = jnp.clip(jnp.round(q_f32 / qs), -127, 127).astype(jnp.int8)
+    qi, qs = quantize_queries_device(q_f32)
     s, i = topk_int8_xla(
         qi, matrix_int8_t, scales, jnp.asarray(1.0, jnp.float32), k,
         n_valid=n_valid, mask=mask,

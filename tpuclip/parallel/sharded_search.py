@@ -57,6 +57,26 @@ def _pad_local_candidates(s, i, k_eff, sentinel_score):
     return s, i
 
 
+def _merge_shard_candidates(s, gi, ndev, k_eff, sentinel_score=-jnp.inf):
+    """Shared cross-shard candidate merge (runs inside shard_map): pad local
+    (Q, <=k_eff) candidates, all_gather over the data axis, and reduce the
+    (ndev*k_eff) pool to the global top-k with (score desc, idx asc)
+    ordering. Used by the float, int8, and int8+rerank impls."""
+    s, gi = _pad_local_candidates(s, gi, k_eff, sentinel_score)
+    s_all = jax.lax.all_gather(s, DATA_AXIS)
+    i_all = jax.lax.all_gather(gi, DATA_AXIS)
+    q_count = s.shape[0]
+    s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+    i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+    top_s, pos = jax.lax.top_k(s_flat, k_eff)
+    top_i = jnp.take_along_axis(i_flat, pos, axis=1)
+    order = jnp.lexsort((top_i, -top_s), axis=-1)
+    return (
+        jnp.take_along_axis(top_s, order, axis=1),
+        jnp.take_along_axis(top_i, order, axis=1),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "mesh", "has_mask", "use_pallas", "interpret")
 )
@@ -91,20 +111,7 @@ def _sharded_topk_impl(
         # mask local candidates that fall past the valid column count
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
-        s, gi = _pad_local_candidates(s, gi, k_eff, -jnp.inf)
-        # gather all devices' candidates: (ndev, Q, k)
-        s_all = jax.lax.all_gather(s, DATA_AXIS)
-        i_all = jax.lax.all_gather(gi, DATA_AXIS)
-        q_count = q.shape[0]
-        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        top_s, pos = jax.lax.top_k(s_flat, k_eff)
-        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
-        order = jnp.lexsort((top_i, -top_s), axis=-1)
-        return (
-            jnp.take_along_axis(top_s, order, axis=1),
-            jnp.take_along_axis(top_i, order, axis=1),
-        )
+        return _merge_shard_candidates(s, gi, ndev, k_eff)
 
     return jax.shard_map(
         local,
@@ -175,19 +182,7 @@ def _sharded_topk_int8_impl(
         s, i = topk_int8_xla(q, m_shard, sc_shard[0], qs, k_eff, mask=local_mask)
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
-        s, gi = _pad_local_candidates(s, gi, k_eff, -jnp.inf)
-        s_all = jax.lax.all_gather(s, DATA_AXIS)
-        i_all = jax.lax.all_gather(gi, DATA_AXIS)
-        q_count = q.shape[0]
-        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        top_s, pos = jax.lax.top_k(s_flat, k_eff)
-        top_i = jnp.take_along_axis(i_flat, pos, axis=1)
-        order = jnp.lexsort((top_i, -top_s), axis=-1)
-        return (
-            jnp.take_along_axis(top_s, order, axis=1),
-            jnp.take_along_axis(top_i, order, axis=1),
-        )
+        return _merge_shard_candidates(s, gi, ndev, k_eff)
 
     return jax.shard_map(
         local,
@@ -224,21 +219,29 @@ def _sharded_int8_rerank_impl(
     ndev = mesh.shape[DATA_AXIS]
     shard_cols = n_total // ndev
     k_eff = min(k, n_total)
-    m_local = min(shortlist, shard_cols)
+    # Shortlist must cover the requested k within each shard (callers gate
+    # k; direct API users with large k still get a covering depth).
+    m_local = min(max(shortlist, k_eff), shard_cols)
 
-    from tpuclip.ops.topk_int8 import topk_int8_xla
+    from tpuclip.ops.topk_int8 import (
+        quantize_queries_device,
+        round_f32_to_bf16_bits,
+        topk_int8_xla,
+    )
 
     def local(q, m_shard, sc_shard, rows_shard, n_valid):
         my = jax.lax.axis_index(DATA_AXIS)
         base = my * shard_cols
-        # On-device query quantization; the per-row scale is positive and
-        # rank-invariant, so the shortlist can skip it — the rescore below
-        # produces the exact returned scores anyway.
-        qs = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
-        qs = jnp.where(qs == 0, 1.0, qs)
-        qi = jnp.clip(jnp.round(q / qs), -127, 127).astype(jnp.int8)
+        # Shortlist scan skips the (rank-invariant) query scale; the rescore
+        # below produces the exact returned scores. n_valid must reach the
+        # scan shard-locally: zero-padded columns score exactly 0 and would
+        # otherwise evict real negative-scoring rows from the shortlist
+        # BEFORE the invalid mask runs (review r2+ finding).
+        qi, _ = quantize_queries_device(q)
+        local_nv = jnp.clip(n_valid - base, 0, shard_cols)
         s, i = topk_int8_xla(
-            qi, m_shard, sc_shard[0], jnp.asarray(1.0, jnp.float32), m_local
+            qi, m_shard, sc_shard[0], jnp.asarray(1.0, jnp.float32), m_local,
+            n_valid=local_nv,
         )
         # Exact rescore against the LOCAL full-precision rows: indices are
         # shard-local, so no cross-shard gather — each chip touches only its
@@ -246,8 +249,6 @@ def _sharded_int8_rerank_impl(
         # load-bearing: XLA's excess-precision rule elides astype(bf16) into
         # the dot, diverging from the bf16 scan's scores (see
         # ops/topk_int8.topk_int8_rerank_fused for the measured failure).
-        from tpuclip.ops.topk_int8 import round_f32_to_bf16_bits
-
         safe = jnp.clip(i, 0, shard_cols - 1)
         if rows_shard.dtype == jnp.bfloat16:
             qr = round_f32_to_bf16_bits(q.astype(jnp.float32))
@@ -265,19 +266,7 @@ def _sharded_int8_rerank_impl(
         # the global exact top-k is the merge of per-shard exact top-ks.
         top_s, pos = jax.lax.top_k(exact, min(k_eff, m_local))
         top_i = jnp.take_along_axis(gi, pos, axis=1)
-        top_s, top_i = _pad_local_candidates(top_s, top_i, k_eff, -jnp.inf)
-        s_all = jax.lax.all_gather(top_s, DATA_AXIS)
-        i_all = jax.lax.all_gather(top_i, DATA_AXIS)
-        q_count = q.shape[0]
-        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
-        top_s2, pos2 = jax.lax.top_k(s_flat, k_eff)
-        top_i2 = jnp.take_along_axis(i_flat, pos2, axis=1)
-        order = jnp.lexsort((top_i2, -top_s2), axis=-1)
-        return (
-            jnp.take_along_axis(top_s2, order, axis=1),
-            jnp.take_along_axis(top_i2, order, axis=1),
-        )
+        return _merge_shard_candidates(top_s, top_i, ndev, k_eff)
 
     return jax.shard_map(
         local,
