@@ -230,6 +230,54 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     return batch_ms, q_batch / (batch_ms / 1000.0)
 
 
+def bench_text_query_fused(jax, n, d=1152, k=20, chain=8):
+    """End-to-end text query as ONE device program: token ids → SO400M text
+    tower → int8 scan → exact rescore → top-k. This is the resident
+    server's whole per-query device cost (the reference runs tokenizer,
+    torch forward, and a sqlite-vec scan as separate host-coupled stages)."""
+    import jax.numpy as jnp
+
+    from tpuclip.models.configs import get_config
+    from tpuclip.models.siglip import init_params
+    from tpuclip.ops.topk_int8 import text_topk_fused
+
+    cfg = get_config("google/siglip2-so400m-patch14-224")
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg, dtype=dtype))
+    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
+    use_pallas = jax.default_backend() == "tpu"
+
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(
+        rng.integers(0, cfg.text.vocab_size, size=(chain, 1, 64), dtype=np.int32)
+    )
+    mask = jnp.ones((chain, 1, 64), jnp.int32)
+
+    @jax.jit
+    def chained(ids, mask, matrix, scales, rows):
+        def step(carry, inp):
+            i, m = inp
+            i = i + (carry * 0).astype(i.dtype)
+            s, idx = text_topk_fused(
+                params, i, m, matrix, scales, rows, cfg, k,
+                n_valid=n_valid, compute_dtype=dtype, use_pallas=use_pallas,
+            )
+            return jnp.max(idx), (s, idx)
+
+        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.int32), (ids, mask))
+        return outs
+
+    out = chained(ids, mask, matrix, scales, rows)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(ids, mask, matrix, scales, rows)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / chain)
+    return float(np.percentile(np.array(samples), 50) * 1000)
+
+
 def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
     """Packed-binary scan p50 (the reference's binary-only DB mode)."""
     import jax.numpy as jnp
@@ -461,6 +509,15 @@ def main():
             result["int8_fused_batch16_qps"] = round(qps)
         except Exception as e:  # noqa: BLE001
             result["batch_error"] = str(e)[:200]
+        try:
+            if os.environ.get("TPUCLIP_BENCH_SKIP_TEXT_FUSED") == "1":
+                raise RuntimeError("skipped by env")
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            result["text_query_fused_ms"] = round(
+                bench_text_query_fused(jax, n), 3
+            )
+        except Exception as e:  # noqa: BLE001
+            result["text_fused_error"] = str(e)[:200]
         try:
             n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
             chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))

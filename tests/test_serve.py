@@ -203,3 +203,68 @@ def test_concurrent_searches_micro_batch(engine):
         assert st["batched_requests"] >= len(queries)
     finally:
         srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def fused_server(tmp_path_factory):
+    """Server whose index takes the fused tokenize→tower→scan device path
+    (int8 precision + device rerank forced on)."""
+    import os
+
+    home = tmp_path_factory.mktemp("serve_fused")
+    imgs = home / "imgs"
+    imgs.mkdir()
+    for name, c in [("red.jpg", (220, 30, 30)), ("green.png", (30, 200, 30)), ("blue.webp", (40, 40, 230))]:
+        Image.new("RGB", (64, 64), c).save(imgs / name)
+    old = {
+        k: os.environ.get(k)
+        for k in ("TPUCLIP_SEARCH_PRECISION", "TPUCLIP_DEVICE_RERANK")
+    }
+    os.environ["TPUCLIP_SEARCH_PRECISION"] = "int8"
+    os.environ["TPUCLIP_DEVICE_RERANK"] = "1"
+    try:
+        eng = ImageDatabase(
+            db_path=str(home / "f.db"),
+            model_cache_dir=str(home / "models"),
+            model_name="tpuclip/test-tiny",
+            inference_batch_size=4,
+        )
+        eng.scan_directory(str(imgs), inference_batch_size=4)
+        srv = SearchServer(eng, host="127.0.0.1", port=0)
+        srv.start_background()
+        yield srv
+        srv.shutdown()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_fused_text_path_serves_and_matches(fused_server):
+    """Queries through the micro-batcher's fused branch rank identically to
+    the engine's two-stage embed+search."""
+    assert fused_server.batcher.engine.index.can_fuse_text_search(2, None)
+    status, body = _post(fused_server, "/search", {"query": "a red square", "k": 2})
+    assert status == 200 and len(body["results"]) == 2
+    vec = fused_server.batcher.engine.embed_texts(["a red square"])
+    two_stage = fused_server.batcher.engine.index.search_batch(vec, 2)[0]
+    assert [r["path"] for r in body["results"]] == [p for p, _ in two_stage]
+
+
+def test_fused_concurrent_requests(fused_server):
+    """Concurrent fused-path queries all succeed and batch."""
+    import threading
+
+    results = [None] * 6
+    def hit(i):
+        q = ["red thing", "green thing", "blue thing"][i % 3]
+        results[i] = _post(fused_server, "/search", {"query": q, "k": 2})
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(status == 200 and len(body["results"]) == 2 for status, body in results)

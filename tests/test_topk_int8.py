@@ -315,3 +315,45 @@ def test_round_f32_to_bf16_bits_matches_ml_dtypes():
     got = np.asarray(round_f32_to_bf16_bits(jnp.asarray(x)))
     want = x.astype(ml_dtypes.bfloat16).astype(np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_engine_search_texts_fused_matches_two_stage(tmp_path, monkeypatch):
+    """engine.search_texts through the fused tokenize→tower→scan→rescore
+    program returns the same ranked results as embed_texts + search_batch
+    (and as the per-query search path)."""
+    from tpuclip.engine import ImageDatabase
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_SEARCH_PRECISION", "int8")
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(31)
+    for i in range(12):
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "t.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",
+        inference_batch_size=4,
+    )
+    eng.scan_directory(str(root), batch_size=10)
+
+    texts = ["a red car", "blue sky", "a red car"]
+    k = 5
+    assert eng.index.can_fuse_text_search(k, None)
+    fused = eng.search_texts(texts, k)
+    vecs = eng.embed_texts(texts)
+    two_stage = eng.index.search_batch(vecs, k)
+    assert len(fused) == 3
+    for f_row, t_row in zip(fused, two_stage):
+        assert [p for p, _ in f_row] == [p for p, _ in t_row]
+        np.testing.assert_allclose(
+            [s for _, s in f_row], [s for _, s in t_row], rtol=1e-5, atol=1e-6
+        )
+    # folder-filter fallback path returns the same shape of results
+    filtered = eng.search_texts(texts[:1], k, filter_folders=[str(root)])
+    assert [p for p, _ in filtered[0]] == [p for p, _ in fused[0]]

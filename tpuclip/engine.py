@@ -174,6 +174,31 @@ class ImageDatabase:
         )
         return np.asarray(out[:b], dtype=np.float32)
 
+    def search_texts(
+        self, texts: List[str], k: int, filter_folders=None
+    ) -> List[List[tuple]]:
+        """Batch text search, fusing tokenize→tower→scan→rescore into ONE
+        device program when the index is eligible (int8 + resident device
+        rerank copy, no folder filter) — a single host↔device round trip
+        per request group. Falls back to embed + search_batch otherwise."""
+        if self.index.can_fuse_text_search(k, filter_folders):
+            b = len(texts)
+            ids, mask = self.tokenizer.encode_batch_with_mask(
+                [build_prompt(t) for t in texts]
+            )
+            bucket = 1 << max(0, (b - 1)).bit_length()
+            if bucket > b:
+                pad = bucket - b
+                ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
+                )
+            return self.index.search_texts_fused(
+                self.params, ids, mask, self.config, k, self.compute_dtype, b
+            )
+        vecs = self.embed_texts_cached(texts)
+        return self.index.search_batch(vecs, k, filter_folders=filter_folders)
+
     def embed_texts_cached(self, texts: List[str]) -> np.ndarray:
         """Batch text embedding through the session LRU: cache hits skip the
         tower; misses embed in ONE pass and populate the cache (the HTTP

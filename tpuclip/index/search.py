@@ -374,8 +374,12 @@ class DeviceIndex:
             scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
             scores = np.asarray(scores)
         rows = np.asarray(rows)
+        return self._map_batch_results(scores, rows, len(queries))
+
+    def _map_batch_results(self, scores, rows, q_count):
+        """(Q, k) host scores/rows → per-query [(path, similarity)] lists."""
         out = []
-        for qi_row in range(len(queries)):
+        for qi_row in range(q_count):
             valid = np.isfinite(scores[qi_row]) & (rows[qi_row] < len(self._ids))
             image_ids = self._ids[rows[qi_row][valid]]
             paths = self.store.fetch_paths_for_ids(image_ids)
@@ -387,6 +391,40 @@ class DeviceIndex:
                 ]
             )
         return out
+
+    def can_fuse_text_search(self, k: int, filter_folders) -> bool:
+        """True when the token-ids → text-tower → int8 scan → exact rescore
+        pipeline can run as ONE device program for this index state."""
+        self.refresh()
+        return (
+            not filter_folders
+            and self.precision == "int8"
+            and self._matrix is not None
+            and self._rows_device is not None
+            and self.mesh is None
+            and k <= 128
+        )
+
+    def search_texts_fused(self, params, ids, mask, config, k, compute_dtype, q_count):
+        """Tokenized text queries → ranked results in ONE device round trip.
+
+        Fuses the text tower with the int8 scan + exact rescore
+        (ops/topk_int8._text_topk_fused): no intermediate embedding ever
+        returns to the host, which removes one full host↔device round trip
+        per request group — significant both on the dev tunnel (tens of ms
+        RPC) and at production serving rates. Caller must have checked
+        ``can_fuse_text_search``."""
+        from tpuclip.ops.topk_int8 import text_topk_fused
+
+        scores, rows = text_topk_fused(
+            params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
+            self._scales, self._rows_device, config, k, n_valid=self._n_valid,
+            compute_dtype=compute_dtype,
+            use_pallas=jax.default_backend() == "tpu",
+        )
+        scores = np.asarray(scores)[:q_count]
+        rows = np.asarray(rows)[:q_count]
+        return self._map_batch_results(scores, rows, q_count)
 
     def _search_full(self, query, k, filter_folders):
         mask = (

@@ -344,6 +344,40 @@ def topk_int8_rerank_fused(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "k", "compute_dtype", "use_pallas", "shortlist"),
+)
+def text_topk_fused(
+    params,
+    ids: jnp.ndarray,            # (B, 64) int token ids (prompted + padded)
+    attn_mask: jnp.ndarray,      # (B, 64) attention mask
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8
+    scales: jnp.ndarray,         # (N,) f32
+    rows_full: jnp.ndarray,      # (N_rows, D) storage-dtype full copy
+    config,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    shortlist: int = 512,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Token ids → text tower → int8 scan → exact rescore → top-k, ONE
+    device program. The embedding never returns to the host — the serving
+    text-query path pays a single host↔device round trip (the reference
+    pays one per stage: tokenize→embed→SQL scan, image_database.py:509-543,
+    :1564). Results identical to embed-then-search by construction."""
+    from tpuclip.models.siglip import get_text_features
+
+    emb = get_text_features(
+        params, ids, config, compute_dtype=compute_dtype, attention_mask=attn_mask
+    )
+    return topk_int8_rerank_fused(
+        emb, matrix_int8_t, scales, rows_full, k,
+        shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     """Batched int8 scan with ON-DEVICE per-row query quantization.

@@ -157,21 +157,42 @@ class MicroBatcher:
         passes = 0
         try:
             with self.lock:
-                texts = sorted({it.query for it in items})
-                # LRU-aware batch embed: repeated query terms skip the tower.
-                vec_by_text = dict(zip(texts, self.engine.embed_texts_cached(texts)))
                 self.engine.index.refresh()
                 groups: dict = {}
                 for it in items:
                     groups.setdefault((it.k, it.folders), []).append(it)
+                # LRU-aware batch embed for the groups that need host-side
+                # vectors (folder filters / non-fused indexes); fused-text
+                # groups never materialize embeddings on the host at all.
+                vec_by_text: dict = {}
+                need_vecs = sorted({
+                    it.query
+                    for (k, folders), group in groups.items()
+                    if not self.engine.index.can_fuse_text_search(
+                        k, list(folders) if folders else None
+                    )
+                    for it in group
+                })
+                if need_vecs:
+                    vec_by_text = dict(
+                        zip(need_vecs, self.engine.embed_texts_cached(need_vecs))
+                    )
                 for (k, folders), group in groups.items():
                     # Per-group containment: one group's failure must not
                     # discard results already computed for other groups.
                     try:
-                        vecs = np.stack([vec_by_text[it.query] for it in group])
-                        batches = self.engine.index.search_batch(
-                            vecs, k, filter_folders=list(folders) if folders else None
-                        )
+                        folder_list = list(folders) if folders else None
+                        if self.engine.index.can_fuse_text_search(k, folder_list):
+                            # ONE device round trip: tokenize -> text tower
+                            # -> int8 scan -> exact rescore, fused.
+                            batches = self.engine.search_texts(
+                                [it.query for it in group], k
+                            )
+                        else:
+                            vecs = np.stack([vec_by_text[it.query] for it in group])
+                            batches = self.engine.index.search_batch(
+                                vecs, k, filter_folders=folder_list
+                            )
                         passes += 1
                         for it, results in zip(group, batches):
                             if not it.show_duplicates and results:
