@@ -396,10 +396,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             k = int(req.get("k", 10))
             try:
                 with lock:
-                    vecs = engine.embed_texts([str(q) for q in queries])
                     engine.index.refresh()
-                    batches = engine.index.search_batch(
-                        vecs, k, filter_folders=req.get("folders")
+                    # engine.search_texts fuses tokenize→tower→scan→rescore
+                    # into one device pass when the index is eligible.
+                    batches = engine.search_texts(
+                        [str(q) for q in queries], k,
+                        filter_folders=req.get("folders"),
                     )
                 self._json(
                     200,
