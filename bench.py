@@ -230,6 +230,79 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     return batch_ms, q_batch / (batch_ms / 1000.0)
 
 
+def bench_ivf(jax, n, d=1152, k=20, chain=32):
+    """IVF bucketed approximate search (TPUCLIP_SEARCH_MODE=ivf): p50 over
+    CLUSTERED synthetic data (1024 modes — IVF's recall/speed depend on
+    cluster structure; uniform-random data is the degenerate worst case)
+    plus measured top-k recall vs the exact scan on the same data."""
+    import jax.numpy as jnp
+
+    from tpuclip.index.ivf import build_ivf, ivf_topk_rerank
+
+    rng = np.random.default_rng(0)
+    modes = 1024
+    centers = rng.standard_normal((modes, d), dtype=np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.integers(0, modes, n)
+    x = centers[which] + 0.05 * rng.standard_normal((n, d), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    index = build_ivf(x, nprobe=32)
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    rows_dev = jnp.asarray(x, dtype=dtype)
+
+    qw = rng.integers(0, modes, chain)
+    q = centers[qw] + 0.05 * rng.standard_normal((chain, d), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    queries = jnp.asarray(q[:, None, :])
+    jax.block_until_ready((index.buckets, rows_dev))
+
+    @jax.jit
+    def chained(queries):
+        def step(carry, qq):
+            qq = qq + carry * 0.0
+            s, i = ivf_topk_rerank(
+                qq, index.centroids, index.buckets, index.bucket_scales,
+                index.bucket_rows, index.over_t, index.over_scales,
+                index.over_rows, rows_dev, k, index.nprobe,
+            )
+            return jnp.max(s), (s, i)
+
+        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+        return outs
+
+    out = chained(queries)
+    _ = np.asarray(out[0])
+    samples = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        out = chained(queries)
+        _ = np.asarray(out[0])
+        samples.append((time.perf_counter() - t0) / chain)
+    p50 = float(np.percentile(np.array(samples), 50) * 1000)
+
+    # recall vs the exact scan over the same resident rows
+    got = np.asarray(out[1][1]).reshape(chain, k)
+
+    @jax.jit
+    def exact_topk(queries):
+        scores = jnp.einsum(
+            "qd,nd->qn", queries.astype(rows_dev.dtype), rows_dev,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(scores, k)
+
+    _, true_i = exact_topk(jnp.asarray(q))
+    true_i = np.asarray(true_i)
+    recall = float(
+        np.mean([
+            len(set(got[c].tolist()) & set(true_i[c].tolist())) / k
+            for c in range(chain)
+        ])
+    )
+    return p50, recall
+
+
 def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
     """End-to-end text query as ONE device program: token ids → SO400M text
     tower → int8 scan → exact rescore → top-k. This is the resident
@@ -521,6 +594,16 @@ def main():
             )
         except Exception as e:  # noqa: BLE001
             result["text_fused_error"] = str(e)[:200]
+        try:
+            if os.environ.get("TPUCLIP_BENCH_SKIP_IVF") == "1":
+                raise RuntimeError("skipped by env")
+            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
+            ivf_ms, ivf_recall = bench_ivf(jax, n, chain=chain)
+            result["ivf_p50_ms"] = round(ivf_ms, 3)
+            result["ivf_recall_top20"] = round(ivf_recall, 4)
+        except Exception as e:  # noqa: BLE001
+            result["ivf_error"] = str(e)[:200]
         try:
             n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
             chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
