@@ -169,3 +169,119 @@ def test_device_index_ivf_mode(tmp_path, monkeypatch):
     # folder filters fall back to the exact masked path
     f = idx.search(qs[0], k, filter_folders=["/d"])
     assert len(f) == k
+
+
+# =============================================================================
+# Device-side build (build_ivf_device)
+# =============================================================================
+
+
+def test_device_build_every_row_reachable_once(clustered_data):
+    from tpuclip.index.ivf import build_ivf_device
+
+    rows, _ = clustered_data
+    idx = build_ivf_device(jnp.asarray(rows), k_clusters=64, nprobe=8)
+    seen = np.asarray(idx.bucket_rows).reshape(-1)
+    seen = seen[seen >= 0].tolist() + [
+        r for r in np.asarray(idx.over_rows).tolist() if r >= 0
+    ]
+    assert sorted(seen) == list(range(len(rows)))
+
+
+def test_device_build_nprobe_all_is_exact(clustered_data):
+    from tpuclip.index.ivf import build_ivf_device
+
+    rows, queries = clustered_data
+    idx = build_ivf_device(jnp.asarray(rows), k_clusters=32, nprobe=32)
+    rows_dev = jnp.asarray(rows)
+    k = 15
+    s, i = ivf_search(idx, rows_dev, queries, k=k)
+    s, i = np.asarray(s), np.asarray(i)
+    exact = queries @ rows.T
+    for q in range(len(queries)):
+        order = np.lexsort((np.arange(len(rows)), -exact[q]))[:k]
+        np.testing.assert_array_equal(i[q], order)
+        np.testing.assert_allclose(s[q], exact[q][order], rtol=1e-5, atol=1e-6)
+
+
+def test_device_build_recall_matches_host_build(clustered_data):
+    from tpuclip.index.ivf import build_ivf_device
+
+    rows, queries = clustered_data
+    k = 20
+    exact = queries @ rows.T
+    recalls = {}
+    for name, idx in (
+        ("host", build_ivf(rows, k_clusters=64, nprobe=24)),
+        ("device", build_ivf_device(jnp.asarray(rows), k_clusters=64, nprobe=24)),
+    ):
+        _, i = ivf_search(idx, jnp.asarray(rows), queries, k=k)
+        i = np.asarray(i)
+        rs = []
+        for q in range(len(queries)):
+            true = set(np.argsort(-exact[q])[:k].tolist())
+            rs.append(len(true & set(i[q].tolist())) / k)
+        recalls[name] = float(np.mean(rs))
+    assert recalls["device"] >= 0.95, recalls
+    assert abs(recalls["device"] - recalls["host"]) < 0.06, recalls
+
+
+def test_device_build_overflow_exact_sizing():
+    """Tiny capacity forces heavy spill; the device build must size the
+    overflow block to hold every spilled row (exact, not bounded)."""
+    from tpuclip.index.ivf import build_ivf_device
+
+    rng = np.random.default_rng(46)
+    d = 32
+    # One dominant cluster forces spill; 0.05 spread keeps the per-row
+    # cosine gaps above int8 quantization noise (0.01 makes the winner a
+    # coin flip for any int8-shortlisted method).
+    base = rng.standard_normal(d).astype(np.float32)
+    rows = base[None, :] + 0.05 * rng.standard_normal((300, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    idx = build_ivf_device(
+        jnp.asarray(rows), k_clusters=16, capacity_factor=1.0, nprobe=2
+    )
+    over = np.asarray(idx.over_rows)
+    assert int((over >= 0).sum()) > 0
+    seen = np.asarray(idx.bucket_rows).reshape(-1)
+    seen = seen[seen >= 0].tolist() + over[over >= 0].tolist()
+    assert sorted(seen) == list(range(len(rows)))
+    q = rows[123:124] + 0.001
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s, i = ivf_search(idx, jnp.asarray(rows), q, k=5)
+    exact = rows @ q[0]
+    assert int(np.asarray(i)[0, 0]) == int(np.argmax(exact))
+
+
+def test_device_build_centroid_reuse_assign_only(clustered_data):
+    """Passing previous centroids skips retraining (incremental refresh):
+    same centroids out, every row still reachable, recall holds."""
+    from tpuclip.index.ivf import build_ivf_device
+
+    rows, queries = clustered_data
+    first = build_ivf_device(jnp.asarray(rows), k_clusters=64, nprobe=24)
+    # grow the index by 10% and rebuild reusing the old centroids
+    rng = np.random.default_rng(47)
+    extra = _clustered(rng, 800, rows.shape[1])
+    grown = np.concatenate([rows, extra])
+    second = build_ivf_device(
+        jnp.asarray(grown), k_clusters=64, nprobe=24, centroids=first.centroids
+    )
+    np.testing.assert_array_equal(
+        np.asarray(first.centroids), np.asarray(second.centroids)
+    )
+    seen = np.asarray(second.bucket_rows).reshape(-1)
+    seen = seen[seen >= 0].tolist() + [
+        r for r in np.asarray(second.over_rows).tolist() if r >= 0
+    ]
+    assert sorted(seen) == list(range(len(grown)))
+    k = 20
+    exact = queries @ grown.T
+    _, i = ivf_search(second, jnp.asarray(grown), queries, k=k)
+    i = np.asarray(i)
+    rs = []
+    for q in range(len(queries)):
+        true = set(np.argsort(-exact[q])[:k].tolist())
+        rs.append(len(true & set(i[q].tolist())) / k)
+    assert np.mean(rs) >= 0.9, np.mean(rs)

@@ -192,6 +192,191 @@ def build_ivf(
 
 
 # =============================================================================
+# Device-side build (from the resident full-precision rows)
+# =============================================================================
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_clusters", "iters", "sample_cap", "cap")
+)
+def _ivf_train_assign(rows_full, key, k_clusters, iters, sample_cap, cap):
+    """Phase 1 on device: k-means train + full assignment + spill count.
+
+    Returns (centroids (K, D) f32, assign (N,) int32, spill () int32). The
+    spill count crosses to the host (one scalar fetch) so phase 2 can size
+    the overflow block exactly — the balanced-bucket contract ("no row is
+    ever unreachable", see build_ivf) needs an exact, not bounded, capacity.
+    """
+    n, d = rows_full.shape
+    stride = max(1, -(-n // sample_cap))
+    sample = rows_full[::stride][:sample_cap].astype(jnp.float32)
+    sample = sample / jnp.maximum(
+        jnp.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    init_idx = jax.random.permutation(key, sample.shape[0])[:k_clusters]
+    cent = _kmeans_device(sample, init_idx, k_clusters, iters)
+
+    # Full assignment, chunked via lax.scan so the (chunk, K) score block is
+    # the only transient (a monolithic (N, K) f32 at 1M x 2048 is 8 GB).
+    chunk = min(131_072, n)
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(rows_full, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
+    cent_t = cent.T
+
+    def body(_, xc):
+        scores = xc.astype(jnp.float32) @ cent_t
+        return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(body, None, xp)
+    assign = assign.reshape(-1)[:n]
+    counts = jnp.bincount(assign, length=k_clusters)
+    spill = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
+    return cent, assign, spill
+
+
+@functools.partial(jax.jit, static_argnames=("k_clusters", "cap", "o_pad"))
+def _ivf_fill_device(rows_full, assign, k_clusters, cap, o_pad):
+    """Phase 2 on device: quantize + balanced scatter into fixed blocks.
+
+    Same layout/contract as the host fill in build_ivf: rows sorted by
+    cluster, position-in-cluster < cap goes to its bucket slot, the rest to
+    the overflow block in sorted order. Scatters use a trash slot (index one
+    past the real block) so shapes stay static under jit.
+    """
+    n, d = rows_full.shape
+
+    # Per-row symmetric int8 quantization, chunked (a monolithic f32 copy of
+    # the rows is 4 N D bytes of HBM transient).
+    chunk = min(131_072, n)
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(rows_full, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
+
+    def qbody(_, xc):
+        xf = xc.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=1) / 127.0
+        s = jnp.where(s == 0, 1.0, s)
+        q = jnp.clip(jnp.round(xf / s[:, None]), -127, 127).astype(jnp.int8)
+        return None, (q, s)
+
+    _, (q_all, scales) = jax.lax.scan(qbody, None, xp)
+    q_all = q_all.reshape(-1, d)[:n]
+    scales = scales.reshape(-1)[:n].astype(jnp.float32)
+
+    order = jnp.argsort(assign)  # jax sort is stable
+    sorted_assign = assign[order]
+    counts = jnp.bincount(assign, length=k_clusters)
+    starts = (jnp.cumsum(counts) - counts).astype(jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_assign]
+    in_bucket = pos < cap
+    trash = k_clusters * cap
+    slot = jnp.where(in_bucket, sorted_assign * cap + pos, trash)
+
+    q_sorted = q_all[order]
+    scales_sorted = scales[order]
+    rows_sorted = order.astype(jnp.int32)
+
+    buckets_flat = jnp.zeros((trash + 1, d), jnp.int8).at[slot].set(q_sorted)
+    bscales = jnp.zeros((trash + 1,), jnp.float32).at[slot].set(scales_sorted)
+    brows = jnp.full((trash + 1,), -1, jnp.int32).at[slot].set(rows_sorted)
+    buckets = buckets_flat[:-1].reshape(k_clusters, cap, d).transpose(0, 2, 1)
+
+    ov_rank = jnp.cumsum((~in_bucket).astype(jnp.int32)) - 1
+    oslot = jnp.where(in_bucket, o_pad, jnp.minimum(ov_rank, o_pad))
+    over_flat = jnp.zeros((o_pad + 1, d), jnp.int8).at[oslot].set(q_sorted)
+    over_scales = jnp.zeros((o_pad + 1,), jnp.float32).at[oslot].set(scales_sorted)
+    over_rows = jnp.full((o_pad + 1,), -1, jnp.int32).at[oslot].set(rows_sorted)
+
+    return (
+        buckets,
+        bscales[:-1].reshape(k_clusters, cap),
+        brows[:-1].reshape(k_clusters, cap),
+        over_flat[:-1].T,
+        over_scales[:-1],
+        over_rows[:-1],
+    )
+
+
+def build_ivf_device(
+    rows_full: jnp.ndarray,
+    k_clusters: Optional[int] = None,
+    capacity_factor: float = 1.5,
+    nprobe: int = 32,
+    iters: int = 12,
+    seed: int = 0,
+    centroids: Optional[jnp.ndarray] = None,
+) -> IVFIndex:
+    """Build an IVFIndex entirely on device from the resident (N, D) rows.
+
+    Functionally equivalent to :func:`build_ivf` but never touches host
+    numpy: k-means, assignment, quantization, and the balanced scatter all
+    run as jitted programs, so a refresh on a 1M-row index takes seconds of
+    device time instead of minutes of host bandwidth. The only host sync is
+    one scalar (the spill count) that sizes the overflow block exactly.
+
+    ``centroids``: pass a previous build's centroids to skip retraining —
+    the incremental-refresh path (rows were appended, distribution barely
+    moved) reassigns against the old centroids in one pass.
+    """
+    n, d = rows_full.shape
+    if k_clusters is None:
+        k_clusters = int(max(8, min(2 * int(np.sqrt(n)), n // 8 or 8)))
+    k_clusters = max(1, min(k_clusters, n))
+    nprobe = max(1, min(nprobe, k_clusters))
+    cap = int(-(-(n / k_clusters * capacity_factor) // 1))
+    cap = max(8, -(-cap // 8) * 8)
+
+    if centroids is not None and centroids.shape == (k_clusters, d):
+        cent = jnp.asarray(centroids, jnp.float32)
+        # assignment-only pass (reuses the phase-1 program with iters=0 by
+        # seeding k-means at the provided centroids would retrain; instead
+        # run the chunked argmax directly)
+        chunk = min(131_072, n)
+        n_pad = -(-n // chunk) * chunk
+
+        @jax.jit
+        def _assign_only(rows_full, cent):
+            xp = jnp.pad(rows_full, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
+            cent_t = cent.T
+
+            def body(_, xc):
+                return None, jnp.argmax(
+                    xc.astype(jnp.float32) @ cent_t, axis=1
+                ).astype(jnp.int32)
+
+            _, assign = jax.lax.scan(body, None, xp)
+            assign = assign.reshape(-1)[:n]
+            counts = jnp.bincount(assign, length=cent.shape[0])
+            spill = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
+            return assign, spill
+
+        assign, spill = _assign_only(rows_full, cent)
+    else:
+        cent, assign, spill = _ivf_train_assign(
+            rows_full,
+            jax.random.PRNGKey(seed),
+            k_clusters,
+            iters,
+            min(131_072, n),
+            cap,
+        )
+    o_pad = max(128, -(-int(spill) // 128) * 128)  # host sync: one scalar
+
+    buckets, bucket_scales, bucket_rows, over_t, over_scales, over_rows = (
+        _ivf_fill_device(rows_full, assign, k_clusters, cap, o_pad)
+    )
+    return IVFIndex(
+        centroids=cent,
+        buckets=buckets,
+        bucket_scales=bucket_scales,
+        bucket_rows=bucket_rows,
+        over_t=over_t,
+        over_scales=over_scales,
+        over_rows=over_rows,
+        nprobe=int(nprobe),
+    )
+
+
+# =============================================================================
 # Search (one device program)
 # =============================================================================
 

@@ -112,6 +112,11 @@ class DeviceIndex:
         self._ids = ids
         self._host_vectors = vectors if len(ids) else None
         self._rows_device = None
+        # Invalidate the IVF index up front (not just on the branch that
+        # rebuilds it): any path that leaves this method must never keep an
+        # IVF referencing the previous matrix's row numbering. The previous
+        # index is kept locally so a rebuild can reuse its centroids.
+        prev_ivf, self._ivf = self._ivf, None
         if len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
@@ -168,16 +173,13 @@ class DeviceIndex:
                 self._matrix = jax.device_put(jnp.asarray(q), self.device)
                 self._scales = jax.device_put(jnp.asarray(scales), self.device)
                 self._rows_device = None
-                self._ivf = None
                 if self.rerank and self._want_device_rerank(len(ids)):
                     self._rows_device = jax.device_put(
                         jnp.asarray(np.asarray(vectors), dtype=self.matrix_dtype),
                         self.device,
                     )
                     if self.search_mode == "ivf" and len(ids) >= 64:
-                        from tpuclip.index.ivf import build_ivf
-
-                        self._ivf = build_ivf(np.asarray(vectors, np.float32))
+                        self._ivf = self._build_ivf_resident(prev_ivf, len(ids))
                         log(
                             f"  IVF index built: {self._ivf.centroids.shape[0]} "
                             f"buckets, nprobe {self._ivf.nprobe}, overflow "
@@ -245,9 +247,54 @@ class DeviceIndex:
                 f"{len(ids):,} full vectors, {len(bin_ids):,} binary rows"
             )
 
+    # IVF centroids are retrained only when the index grew by more than this
+    # fraction since the last build; below it the previous centroids are
+    # reused and the rebuild is a single assignment pass (the appended rows
+    # barely move the distribution). Keeps incremental-scan refreshes from
+    # stalling queries behind a full k-means retrain.
+    _IVF_RETRAIN_GROWTH = 0.2
+
+    def _build_ivf_resident(self, prev_ivf, n_rows: int):
+        """Build/refresh the IVF index from the device-resident rows.
+
+        Runs entirely on device (index/ivf.py:build_ivf_device) — seconds of
+        device time instead of minutes of host numpy at 1M rows, which
+        matters because refresh() runs under the serving lock. When the
+        index grew < _IVF_RETRAIN_GROWTH since the previous build, the old
+        centroids are reused and only assignment/quantize/scatter re-run.
+        """
+        from tpuclip.index.ivf import build_ivf_device
+
+        centroids = None
+        prev_n = getattr(self, "_ivf_built_n", 0)
+        if (
+            prev_ivf is not None
+            and prev_n
+            and n_rows >= prev_n
+            and (n_rows - prev_n) / prev_n < self._IVF_RETRAIN_GROWTH
+        ):
+            centroids = prev_ivf.centroids
+        k_clusters = centroids.shape[0] if centroids is not None else None
+        ivf = build_ivf_device(
+            self._rows_device, k_clusters=k_clusters, centroids=centroids
+        )
+        self._ivf_built_n = n_rows
+        return ivf
+
+    @staticmethod
+    def _ivf_footprint_bytes(n_rows: int, d: int, capacity_factor: float = 1.5) -> int:
+        """Estimated resident HBM for an IVF build at n_rows (index/ivf.py
+        layout): balanced int8 buckets are ~capacity_factor x the flat int8
+        matrix, plus per-slot scales (f32) + row ids (i32), centroids, and
+        the overflow block (small, bounded by the bucket estimate)."""
+        slots = int(n_rows * capacity_factor)
+        k_clusters = max(8, min(2 * int(np.sqrt(max(n_rows, 1))), n_rows // 8 or 8))
+        return slots * d + slots * 8 + k_clusters * d * 4
+
     def _want_device_rerank(self, n_rows: int) -> bool:
         """Device re-rank gate: forced by TPUCLIP_DEVICE_RERANK=1/0, else auto
-        (TPU backend + int8-matrix-plus-full-copy under the HBM budget)."""
+        (TPU backend + int8-matrix-plus-full-copy — plus the IVF blocks when
+        TPUCLIP_SEARCH_MODE=ivf — under the HBM budget)."""
         import os
 
         if self.device_rerank == "0":
@@ -264,9 +311,15 @@ class DeviceIndex:
 
             ndev = self.mesh.shape[DATA_AXIS]
         # per-chip bytes: both the int8 matrix and the full copy shard
-        total_gb = n_rows * d * (1 + itemsize) / ndev / 1e9
+        total_bytes = n_rows * d * (1 + itemsize) / ndev
+        if self.search_mode == "ivf" and self.mesh is None:
+            # IVF is single-device: its bucket blocks live alongside the flat
+            # int8 matrix and the rerank copy, so they count against the same
+            # budget (unaccounted, a large index passes the gate then OOMs
+            # during build — exactly the large-N regime IVF targets).
+            total_bytes += self._ivf_footprint_bytes(n_rows, d)
         budget = float(os.environ.get("TPUCLIP_DEVICE_RERANK_MAX_GB", "8"))
-        return total_gb <= budget
+        return total_bytes / 1e9 <= budget
 
     @property
     def num_full(self) -> int:
@@ -381,19 +434,9 @@ class DeviceIndex:
                 q, self._matrix, self._scales, k_short, n_valid=self._n_valid, mask=mask
             )
             if do_rerank:
-                qn = np.asarray(q, np.float32)
-                rs, ri = [], []
-                for row in range(len(queries)):
-                    s_r, r_r = self._exact_rerank(
-                        qn[row], np.asarray(scores[row])[None], np.asarray(rows[row])[None], k
-                    )
-                    pad = k - s_r.shape[1]
-                    if pad > 0:  # fewer than k valid candidates
-                        s_r = np.pad(s_r, ((0, 0), (0, pad)), constant_values=-np.inf)
-                        r_r = np.pad(r_r, ((0, 0), (0, pad)), constant_values=len(self._ids))
-                    rs.append(s_r[0])
-                    ri.append(r_r[0])
-                scores, rows = np.stack(rs), np.stack(ri)
+                scores, rows = self._exact_rerank_batch(
+                    np.asarray(q, np.float32), np.asarray(scores), np.asarray(rows), k
+                )
             else:
                 scores = np.asarray(scores)
         else:
@@ -579,6 +622,29 @@ class DeviceIndex:
         order = np.lexsort((srows, -exact))[:k]
         out_s = exact[order][None, :]
         out_r = srows[order][None, :]
+        return out_s, out_r
+
+    def _exact_rerank_batch(self, qn, scores, rows, k):
+        """Batched exact fp32 rescoring of quantized shortlists.
+
+        One stacked memmap gather + einsum for the whole batch instead of a
+        per-query Python loop (the masked/over-budget ``search_batch`` path —
+        e.g. a folder-filtered batch — hits this under the engine lock, so
+        per-row numpy there serialized concurrent requests). Invalid slots
+        come back as (-inf, len(self._ids)) so downstream filtering drops
+        them.
+        """
+        n_ids = len(self._ids)
+        valid = np.isfinite(scores) & (rows >= 0) & (rows < n_ids)
+        safe = np.where(valid, rows, 0)
+        gathered = np.asarray(self._host_vectors[safe], np.float32)  # (Q, Ks, D)
+        exact = np.einsum("qkd,qd->qk", gathered, qn)
+        exact = np.where(valid, exact, -np.inf)
+        sort_rows = np.where(valid, rows, np.iinfo(np.int64).max)
+        order = np.lexsort((sort_rows, -exact), axis=-1)[:, :k]
+        out_s = np.take_along_axis(exact, order, axis=1)
+        out_r = np.take_along_axis(sort_rows, order, axis=1)
+        out_r = np.where(np.isfinite(out_s), out_r, n_ids)
         return out_s, out_r
 
     def _search_binary(self, query, k, filter_folders):

@@ -296,10 +296,14 @@ def topk_int8_rerank_fused(
     use_pallas = use_pallas and k_eff <= 128
     if use_pallas and n >= tile_n and n % tile_n == 0:
         num_tiles = n // min(tile_n, n)
-        # Per-tile depth: enough that any single tile can supply the full
-        # final k, plus a little shortlist headroom — NOT shortlist-deep
+        # Per-tile depth: any single tile must be able to supply 4x the final
+        # k (matching the host-rerank path's shortlist margin — at large N
+        # 2*ceil(m/num_tiles) collapses to ~k_eff, and >k near-ties
+        # concentrated in one tile, e.g. near-duplicate images, could then
+        # evict a true top-k row on int8 noise before the global merge sees
+        # it), plus proportional shortlist headroom — NOT shortlist-deep
         # (the k-round extraction runs per tile; keep it cheap).
-        k_tile = min(128, max(k_eff, 2 * (-(-m // num_tiles))))
+        k_tile = min(128, max(4 * k_eff, 2 * (-(-m // num_tiles))))
         scores_q, rows_q = _int8_candidates(
             qi, matrix_int8_t, scales, k_tile, n_valid, tile_n, interpret
         )

@@ -184,10 +184,16 @@ class MicroBatcher:
                         folder_list = list(folders) if folders else None
                         if self.engine.index.can_fuse_text_search(k, folder_list):
                             # ONE device round trip: tokenize -> text tower
-                            # -> int8 scan -> exact rescore, fused.
-                            batches = self.engine.search_texts(
-                                [it.query for it in group], k
+                            # -> int8 scan -> exact rescore, fused. Dedup
+                            # repeated queries first: a batch of identical hot
+                            # queries should run the text tower once, then fan
+                            # the results back out (the non-fused path gets
+                            # this from its embed cache).
+                            uniq = sorted({it.query for it in group})
+                            by_text = dict(
+                                zip(uniq, self.engine.search_texts(uniq, k))
                             )
+                            batches = [by_text[it.query] for it in group]
                         else:
                             vecs = np.stack([vec_by_text[it.query] for it in group])
                             batches = self.engine.index.search_batch(
