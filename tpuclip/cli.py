@@ -271,6 +271,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gc_parser.add_argument("--db", action="append", default=None, help="Database path to keep referenced (repeatable; default: every .db in the databases dir)")
     gc_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
+
+    migrate_parser = subparsers.add_parser(
+        "migrate",
+        help="Migrate a reference-built DB (sqlite-vec vec0) to tpuclip's "
+        "embedding layout, in place",
+    )
+    migrate_parser.add_argument("--db", default=None, help="Database path")
+    migrate_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    migrate_parser.add_argument("--dry-run", action="store_true", help="Report what would be migrated without writing")
     return parser
 
 
@@ -637,6 +646,18 @@ def main(argv: Optional[List[str]] = None) -> None:
         _run_info(args, paths)
     elif args.mode == "gc":
         _run_gc(args, paths)
+    elif args.mode == "migrate":
+        from tpuclip.index.migrate import migrate_reference_db
+
+        db_path = _require_db_path(args, paths)
+        if not os.path.exists(db_path):
+            log(f"[X] Error: Database file does not exist: {db_path}")
+            sys.exit(2)
+        try:
+            migrate_reference_db(db_path, dry_run=args.dry_run)
+        except ValueError as e:
+            log(f"[X] Error: {e}")
+            sys.exit(2)
     elif args.mode == "duplicates":
         from tpuclip.pipelines.duplicates import report_duplicates
 
