@@ -15,7 +15,7 @@ pytest.importorskip("transformers.models.siglip2")
 import jax.numpy as jnp  # noqa: E402
 from PIL import Image  # noqa: E402
 
-from conftest import cpu_only  # noqa: E402
+from conftest import ON_DEVICE, cpu_only  # noqa: E402
 
 from tpuclip.io.preprocess import naflex_target_size, preprocess_naflex  # noqa: E402
 from tpuclip.models import configs as C  # noqa: E402
@@ -98,7 +98,6 @@ def images():
     ]
 
 
-@cpu_only
 def test_naflex_vision_parity_hf_processor_inputs(models, images):
     """Feed HF's own processor outputs to both towers: isolates the model."""
     hf, cfg, params = models
@@ -120,11 +119,13 @@ def test_naflex_vision_parity_hf_processor_inputs(models, images):
         )
     )
     assert ours.shape == ref.shape
-    assert _cos(ours, ref) > 0.99999
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    if ON_DEVICE:
+        assert _cos(ours, ref) > 0.999  # BASELINE parity bound on device
+    else:
+        assert _cos(ours, ref) > 0.99999
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
-@cpu_only
 def test_naflex_position_resize_matches_torch_interpolate(models):
     """The traced antialiased-bilinear weights must equal
     F.interpolate(..., bilinear, align_corners=False, antialias=True)."""
@@ -146,12 +147,12 @@ def test_naflex_position_resize_matches_torch_interpolate(models):
                 jnp.asarray(grid), jnp.asarray([[h, w]]), max_length=64
             )
         )[0]
-        np.testing.assert_allclose(out[: h * w], ref, rtol=3e-5, atol=3e-5, err_msg=f"{h}x{w}")
+        tol = 1e-3 if ON_DEVICE else 3e-5
+        np.testing.assert_allclose(out[: h * w], ref, rtol=tol, atol=tol, err_msg=f"{h}x{w}")
         # padded slots repeat slot 0 (HF semantics)
         np.testing.assert_allclose(out[h * w :], np.broadcast_to(out[0], (64 - h * w, d)), rtol=1e-6)
 
 
-@cpu_only
 def test_naflex_own_preprocessing_matches_hf(images):
     """tpuclip's host patchify == Siglip2ImageProcessor (uint8 → normalized)."""
     inputs = _hf_processor_inputs(images)
@@ -205,7 +206,6 @@ def test_naflex_batch_mixed_aspects_invariant_to_padding_rows(models, images):
         np.testing.assert_allclose(full[i], solo[0], rtol=1e-5, atol=1e-5)
 
 
-@cpu_only
 def test_naflex_end_to_end_own_pipeline_matches_hf(models, images):
     """Full tpuclip path (own patchify, uint8 transfer, device normalize) vs
     full HF path (processor + model): padded-slot conventions differ but are
@@ -229,8 +229,11 @@ def test_naflex_end_to_end_own_pipeline_matches_hf(models, images):
             params, jnp.asarray(patches), jnp.asarray(masks), jnp.asarray(shapes), cfg
         )
     )
-    assert _cos(ours, ref) > 0.99999
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    if ON_DEVICE:
+        assert _cos(ours, ref) > 0.999  # BASELINE parity bound on device
+    else:
+        assert _cos(ours, ref) > 0.99999
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
 def test_naflex_engine_scan_and_search(tmp_path, monkeypatch):

@@ -14,7 +14,7 @@ transformers = pytest.importorskip("transformers")
 
 import jax  # noqa: E402
 
-from conftest import cpu_only  # noqa: E402
+from conftest import ON_DEVICE  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from tpuclip.models import configs as C  # noqa: E402
@@ -91,7 +91,6 @@ def _cos(a, b):
     )
 
 
-@cpu_only
 def test_image_features_parity(models):
     hf, cfg, params = models
     rng = np.random.default_rng(1)
@@ -104,11 +103,15 @@ def test_image_features_parity(models):
     )
     ours = np.asarray(ours)
     assert ours.shape == ref.shape
-    assert _cos(ours, ref) > 0.99999
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    if ON_DEVICE:
+        # device f32 matmuls use reduced internal precision; the BASELINE
+        # north star (cos >= 0.999 vs the torch oracle) is the contract here
+        assert _cos(ours, ref) > 0.999
+    else:
+        assert _cos(ours, ref) > 0.99999
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
-@cpu_only
 def test_text_features_parity(models):
     hf, cfg, params = models
     rng = np.random.default_rng(2)
@@ -119,11 +122,13 @@ def test_text_features_parity(models):
         siglip.text_forward(params["text"], jnp.asarray(ids), cfg.text)
     )
     assert ours.shape == ref.shape
-    assert _cos(ours, ref) > 0.99999
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    if ON_DEVICE:
+        assert _cos(ours, ref) > 0.999
+    else:
+        assert _cos(ours, ref) > 0.99999
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
 
 
-@cpu_only
 def test_text_features_parity_with_attention_mask(models):
     """The reference path masks padded tokens (processor emits attention_mask,
     HF applies it) — masked features must match too."""
@@ -145,14 +150,16 @@ def test_text_features_parity_with_attention_mask(models):
             attention_mask=jnp.asarray(mask),
         )
     )
-    assert _cos(ours, ref) > 0.99999
-    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+    if ON_DEVICE:
+        assert _cos(ours, ref) > 0.999
+    else:
+        assert _cos(ours, ref) > 0.99999
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
     # and masking must actually change the result vs unmasked
     unmasked = np.asarray(siglip.text_forward(params["text"], jnp.asarray(ids), cfg.text))
     assert _cos(ours[:2], unmasked[:2]) < 0.9999
 
 
-@cpu_only
 def test_uint8_pixel_normalization(models):
     """uint8 NHWC input must equal the rescale+normalize preprocessing."""
     hf, cfg, params = models
@@ -161,7 +168,8 @@ def test_uint8_pixel_normalization(models):
     normalized = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
     out_u8 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(raw), cfg.vision))
     out_f32 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(normalized), cfg.vision))
-    np.testing.assert_allclose(out_u8, out_f32, rtol=1e-5, atol=1e-5)
+    tol = 1e-3 if ON_DEVICE else 1e-5  # same program, device rounding only
+    np.testing.assert_allclose(out_u8, out_f32, rtol=tol, atol=tol)
 
 
 def test_normalized_feature_fns(models):

@@ -5,7 +5,7 @@ import pytest
 
 import jax
 
-from conftest import cpu_only
+from conftest import assert_topk_oracle
 import jax.numpy as jnp
 
 from tpuclip.ops.topk import cosine_topk, topk_pallas, topk_xla
@@ -26,7 +26,6 @@ def _oracle(queries, matrix, k, mask=None):
     return out_s, out_i
 
 
-@cpu_only
 @pytest.mark.parametrize("n,k", [(100, 10), (1000, 20), (5000, 7)])
 def test_topk_xla_matches_oracle(n, k):
     rng = np.random.default_rng(0)
@@ -34,8 +33,7 @@ def test_topk_xla_matches_oracle(n, k):
     m = rng.standard_normal((n, 64)).astype(np.float32)
     s, i = topk_xla(jnp.asarray(q), jnp.asarray(m.T), k)
     es, ei = _oracle(q, m, k)
-    np.testing.assert_array_equal(np.asarray(i), ei)
-    np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+    assert_topk_oracle(i, ei, s, es)
 
 
 def test_topk_xla_with_mask():
@@ -48,7 +46,6 @@ def test_topk_xla_with_mask():
     np.testing.assert_array_equal(np.asarray(i), ei)
 
 
-@cpu_only
 @pytest.mark.parametrize("n,k,qn", [(512, 10, 1), (2048, 20, 3), (3000, 5, 8), (700, 13, 2)])
 def test_topk_pallas_interpret_matches_oracle(n, k, qn):
     """Pallas kernel in interpreter mode (CPU) vs oracle, incl. ragged N."""
@@ -57,8 +54,7 @@ def test_topk_pallas_interpret_matches_oracle(n, k, qn):
     m = rng.standard_normal((n, 128)).astype(np.float32)
     s, i = topk_pallas(jnp.asarray(q), jnp.asarray(m.T), k, tile_n=512, interpret=True)
     es, ei = _oracle(q, m, k)
-    np.testing.assert_array_equal(np.asarray(i), ei)
-    np.testing.assert_allclose(np.asarray(s), es, rtol=1e-5, atol=1e-5)
+    assert_topk_oracle(i, ei, s, es)
 
 
 def test_topk_pallas_duplicate_scores_tiebreak():
@@ -189,3 +185,18 @@ def test_binary_topk_q1_grouped_matches_oracle_interpret():
         )
         np.testing.assert_array_equal(np.asarray(got_s), np.asarray(ref_s), err_msg=str(n))
         np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i), err_msg=str(n))
+
+
+def test_pack_bits_to_words_device_matches_host():
+    """Device packing must be bit-identical to the host packer — matrices
+    packed on device are scored against host-packed queries."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.hamming import pack_bits_to_words, pack_bits_to_words_device
+
+    rng = np.random.default_rng(7)
+    for n, d in [(17, 70), (5, 1152), (1, 32), (3, 31)]:
+        bits = rng.integers(0, 2, (n, d), dtype=np.uint8)
+        host = pack_bits_to_words(bits)
+        dev = np.asarray(pack_bits_to_words_device(jnp.asarray(bits)))
+        np.testing.assert_array_equal(host, dev)

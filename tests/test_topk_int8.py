@@ -5,7 +5,7 @@ import pytest
 
 import jax.numpy as jnp
 
-from conftest import cpu_only  # noqa: E402
+from conftest import ON_DEVICE, assert_topk_oracle  # noqa: E402
 from tpuclip.ops.topk import topk_xla
 from tpuclip.ops.topk_int8 import (
     quantize_matrix_t,
@@ -18,6 +18,23 @@ from tpuclip.ops.topk_int8 import (
 def _unit_rows(rng, n, d):
     m = rng.standard_normal((n, d)).astype(np.float32)
     return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _assert_paths_scores(got, expected_paths, expected_scores):
+    """fp32-exact on CPU; on the real device the bf16 storage/matmul flips
+    sub-1e-3 near-ties, so assert overlap + loose score closeness there
+    (exactness on hardware is pinned by scripts/tpu_validate.py)."""
+    if not ON_DEVICE:
+        assert [p for p, _ in got] == expected_paths
+        np.testing.assert_allclose(
+            [s for _, s in got], expected_scores, rtol=1e-5, atol=1e-6
+        )
+        return
+    overlap = len({p for p, _ in got} & set(expected_paths)) / len(expected_paths)
+    assert overlap >= 0.9, (got, expected_paths)
+    np.testing.assert_allclose(
+        sorted(s for _, s in got), sorted(expected_scores), rtol=5e-3, atol=5e-3
+    )
 
 
 @pytest.fixture(scope="module")
@@ -93,15 +110,17 @@ def test_binary_topk_packed_matches_unpacked():
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
 
-@cpu_only
-def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
-    """DeviceIndex int8 mode with re-ranking must return exactly the fp32
-    brute-force ordering."""
+def test_int8_rerank_exact_vs_fp32_oracle(tmp_path, monkeypatch):
+    """DeviceIndex int8 mode with HOST re-ranking must return exactly the
+    fp32 brute-force ordering — on every backend: the int8 shortlist is
+    integer-exact on TPU too, and the rerank is host fp32 numpy (device
+    rerank is pinned off so this path, not the fused one, is under test)."""
     import sqlite3
 
     from tpuclip.index.search import DeviceIndex
     from tpuclip.index.store import MetadataStore
 
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "0")
     rng = np.random.default_rng(11)
     n, d, k = 5000, 64, 10
     vecs = _unit_rows(rng, n, d)
@@ -126,15 +145,16 @@ def test_int8_rerank_exact_vs_fp32_oracle(tmp_path):
         expected_paths = [f"/d/{i}.jpg" for i in order]
         assert [p for p, _ in got] == expected_paths
         np.testing.assert_allclose(
-            [s for _, s in got], scores[order], rtol=1e-5, atol=1e-6
+            [s for _, s in got], scores[order], rtol=1e-5, atol=1e-5
         )
 
 
-@cpu_only
 def test_fused_rerank_matches_full_precision_oracle(data):
-    """topk_int8_rerank_fused == the full-precision scan, exactly (indices
-    AND scores): the shortlist comes from int8 but every returned score is
-    rescored against the resident full-precision rows."""
+    """topk_int8_rerank_fused == the full-precision scan (exact on CPU;
+    dtype-aware on device, where the reference scan and the rescore einsum
+    may use different internal f32 matmul precisions): the shortlist comes
+    from int8 but every returned score is rescored against the resident
+    full-precision rows."""
     from tpuclip.ops.topk import pad_matrix_t
     from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
 
@@ -156,11 +176,9 @@ def test_fused_rerank_matches_full_precision_oracle(data):
             jnp.asarray(queries[:3]), jnp.asarray(mq), jnp.asarray(scales),
             jnp.asarray(rows), k, shortlist=256, n_valid=nv_arr, **kwargs
         )
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
-        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s), rtol=1e-6)
+        assert_topk_oracle(i, ref_i, s, ref_s, rtol_device=5e-3, atol_device=5e-3)
 
 
-@cpu_only
 def test_fused_rerank_small_index_edge():
     """n smaller than the shortlist and k > n: no sentinel leakage."""
     from tpuclip.ops.topk import pad_matrix_t
@@ -177,15 +195,14 @@ def test_fused_rerank_small_index_edge():
     )
     exact = rows @ q[0]
     order = np.lexsort((np.arange(len(rows)), -exact))[:10]
-    np.testing.assert_array_equal(np.asarray(i[0]), order)
-    np.testing.assert_allclose(np.asarray(s[0]), exact[order], rtol=1e-6)
+    assert_topk_oracle(i[0], order, s[0], exact[order], rtol_device=5e-3, atol_device=5e-3)
 
 
-@cpu_only
 def test_device_index_fused_rerank_matches_oracle(tmp_path, monkeypatch):
     """DeviceIndex with device-side rerank forced ON: single and batched
-    searches return the exact full-precision ordering through the fused
-    program (the path production TPU serving takes)."""
+    searches return the full-precision ordering through the fused program
+    (the path production TPU serving takes; dtype-aware on device where the
+    resident rows are bf16)."""
     import sqlite3
 
     from tpuclip.index.search import DeviceIndex
@@ -216,11 +233,9 @@ def test_device_index_fused_rerank_matches_oracle(tmp_path, monkeypatch):
         scores = vecs @ qs[row]
         order = np.lexsort((np.arange(n), -scores))[:k]
         expected = [f"/d/{i}.jpg" for i in order]
-        assert [p for p, _ in single] == expected
-        assert [p for p, _ in batched[row]] == expected
-        np.testing.assert_allclose(
-            [s for _, s in single], scores[order], rtol=1e-5, atol=1e-6
-        )
+        # single and batched ride the same device program: always identical
+        assert [p for p, _ in batched[row]] == [p for p, _ in single]
+        _assert_paths_scores(single, expected, scores[order])
 
 
 def test_topk_int8_batch_device_quant_matches_host_quant():
@@ -259,16 +274,17 @@ def test_topk_int8_batch_device_quant_matches_host_quant():
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s) * qs, rtol=1e-6)
 
 
-@cpu_only
-def test_search_batch_int8_reranks_like_single(tmp_path):
+def test_search_batch_int8_reranks_like_single(tmp_path, monkeypatch):
     """search_batch in int8 mode must apply the same exact fp32 re-rank as
     the single-query path (review r2 finding: the serve micro-batcher rides
-    search_batch, which previously skipped the rerank)."""
+    search_batch, which previously skipped the rerank). Host-rerank path
+    pinned (device rerank off) so the fp32 ordering is exact on TPU too."""
     import sqlite3
 
     from tpuclip.index.search import DeviceIndex
     from tpuclip.index.store import MetadataStore
 
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "0")
     rng = np.random.default_rng(29)
     dim = 64
     store = MetadataStore(str(tmp_path / "r.db"), embedding_dim=dim)

@@ -371,6 +371,30 @@ def pack_bits_to_words(bits01: np.ndarray) -> np.ndarray:
     return packed.view(np.uint32)
 
 
+# Bit weight of dimension j within a 32-bit word: np.packbits packs MSB-first
+# within each byte, and the little-endian uint32 view makes byte b contribute
+# at bit offset 8*b — so dim j lands at bit 8*(j//8) + (7 - j%8).
+_WORD_BIT_WEIGHTS = np.array(
+    [1 << (8 * (j // 8) + (7 - j % 8)) for j in range(32)], dtype=np.uint32
+)
+
+
+def pack_bits_to_words_device(bits01: jnp.ndarray) -> jnp.ndarray:
+    """Device-side :func:`pack_bits_to_words`: (N, D) {0,1} ints →
+    (N, ceil(D/32)) uint32, bit-identical to the host packer (verified in
+    tests), so device-packed matrices interoperate with host-packed queries.
+    Used when the sign bits already live on device (e.g. derived from a
+    resident embedding matrix) — packing 1M rows on this class of host costs
+    tens of seconds of numpy; on the VPU it is a fused multiply-reduce."""
+    n, d = bits01.shape
+    pad = (-d) % 32
+    if pad:
+        bits01 = jnp.pad(bits01, ((0, 0), (0, pad)))
+    grouped = bits01.reshape(n, (d + pad) // 32, 32).astype(jnp.uint32)
+    weights = jnp.asarray(_WORD_BIT_WEIGHTS)
+    return jnp.sum(grouped * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 _POPCOUNT_TABLE = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
 
