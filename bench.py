@@ -1,10 +1,29 @@
-"""Round benchmark: prints ONE JSON line.
+"""Round benchmark: ALWAYS prints ONE JSON line, even on timeout/kill.
 
 Primary metric: p50 top-20 query latency over 1M 1152-d vectors on one chip
 (north star: <10 ms, BASELINE.json). vs_baseline = 10ms / p50 (multiples of
 the target; >1.0 beats it). Extra fields report indexing throughput
 (SigLIP2 SO400M image-tower forward, images/sec/chip; north star
->=10k images/min/chip ≈ 167 img/s) and environment info.
+>=10k images/min/chip ~= 167 img/s), the end-to-end scan rate, and the
+serving-path latencies (int8 fused rerank, batch throughput, binary,
+fused text query, IVF).
+
+Timeout-proofing (round 2 lost every number to the driver timeout, rc=124):
+- **All benchmark data is generated ON DEVICE** (`jax.random.normal` + jitted
+  quantize/pack/IVF-build). Host-side prep is gone entirely: this host moves
+  memory at ~75 MB/s, so round 2's repeated 4.6 GB `standard_normal` calls
+  alone cost ~6 minutes before a single device op ran.
+- **Global wall-clock budget** (`TPUCLIP_BENCH_BUDGET_S`, default 420 s):
+  before each optional sub-bench the remaining budget is checked against a
+  conservative cost estimate; what doesn't fit is recorded as
+  `<name>_skipped_for_budget` instead of silently eating the clock.
+- **Watchdog thread + SIGTERM/SIGINT handlers**: whatever ends this process
+  (driver timeout, our own overrun, a wedged device call — the watchdog
+  thread fires even while the main thread is stuck inside a C++ call that
+  holds no GIL), the partial result dict is flushed as the final JSON line
+  and the process exits 0.
+- Results accumulate into a global dict as each sub-bench lands, so a flush
+  at any moment carries every number measured so far.
 
 Measurement notes: the dev harness reaches the TPU through a remote tunnel
 whose per-call RPC overhead (tens of ms) would swamp a single-digit-ms
@@ -17,290 +36,255 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("TPUCLIP_BENCH_BUDGET_S", 420))
+# Watchdog fires this long after the budget: between-bench checks should
+# keep the happy path well under budget; the grace covers one bench that
+# started near the deadline (or wedged).
+WATCHDOG_GRACE_S = float(os.environ.get("TPUCLIP_BENCH_WATCHDOG_GRACE_S", 90))
 
-def _tpu_jax():
-    import jax
+RESULT = {
+    "metric": "p50 top-20 query latency over 1M x 1152 vectors (1 chip)",
+    "value": None,
+    "unit": "ms",
+    "vs_baseline": None,
+}
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_DONE = threading.Event()
 
-    return jax
+
+def _dbg(msg: str) -> None:
+    """Progress trace on STDERR (stdout carries only the final JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_query_latency(
-    jax,
-    n=int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000)),
-    d=1152,
-    k=20,
-    chain=int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32)),
-):
+def _emit():
+    """Print the (possibly partial) result exactly once."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
+        RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        print(json.dumps(RESULT), flush=True)
+
+
+def _flush_and_exit(signum, _frame):
+    RESULT["partial"] = True
+    RESULT["terminated_by"] = signal.Signals(signum).name
+    _emit()
+    os._exit(0)
+
+
+def _watchdog():
+    deadline = _T0 + BUDGET_S + WATCHDOG_GRACE_S
+    while not _DONE.wait(2.0):
+        if time.perf_counter() > deadline:
+            RESULT["partial"] = True
+            RESULT["watchdog_flush"] = True
+            _emit()
+            os._exit(0)
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - _T0)
+
+
+# =============================================================================
+# Device-resident data prep (shared by every search bench)
+# =============================================================================
+
+_PREP = {}
+
+
+def _device_prep(jax, n, d):
+    """Generate the benchmark matrix ON DEVICE and derive every variant the
+    search benches need (bf16 padded, int8+scales, full-precision rows) in
+    one jitted program. Zero host bytes are generated or transferred."""
+    key = (n, d)
+    if key in _PREP:
+        return _PREP[key]
     import jax.numpy as jnp
 
-    from tpuclip.ops.topk import pad_matrix_t, topk_pallas, topk_xla
+    from tpuclip.ops.topk_int8 import INT8_TILE_N
 
-    rng = np.random.default_rng(0)
+    # 6144 is a multiple of the bf16 kernel tile (2048) too, so one padded
+    # width serves both kernels.
+    n_pad = -(-n // INT8_TILE_N) * INT8_TILE_N
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    # feature-major (D, N) layout, pre-padded to the kernel tile — see
-    # tpuclip.ops.topk (padding per-call would copy the matrix every query)
-    host = rng.standard_normal((d, n)).astype(np.float32)
-    padded, n_valid_int = pad_matrix_t(host)
-    matrix = jnp.asarray(padded, dtype=dtype)
-    n_valid = jnp.asarray(n_valid_int, jnp.int32)
-    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32), dtype=dtype)
-    matrix.block_until_ready()
 
-    use_pallas = jax.default_backend() == "tpu"
+    @jax.jit
+    def gen(seed):
+        m = jax.random.normal(jax.random.PRNGKey(seed), (d, n_pad), dtype=dtype)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        m = jnp.where(col < n, m, 0)
+        mf = m.astype(jnp.float32)
+        scales = jnp.max(jnp.abs(mf), axis=0) / 127.0
+        scales = jnp.where(scales == 0, 1.0, scales)
+        mq = jnp.clip(jnp.round(mf / scales[None, :]), -127, 127).astype(jnp.int8)
+        rows = m[:, :n].T  # (N, D) row-major full-precision copy
+        return m, mq, scales, rows
 
-    def single(q, m, k):
-        if use_pallas:
-            return topk_pallas(q, m, k, n_valid=n_valid)
-        return topk_xla(q, m, k)
+    _dbg(f"device prep: generating (d={d}, n_pad={n_pad}) matrix + derivatives")
+    matrix, mq, scales, rows = gen(0)
+    n_valid = jnp.asarray(n, jnp.int32)
+    jax.block_until_ready((matrix, mq, scales, rows))
+    _dbg("device prep done")
+    _PREP[key] = {
+        "matrix": matrix,       # (D, n_pad) bf16/f32, zero-padded columns
+        "mq": mq,               # (D, n_pad) int8
+        "scales": scales,       # (n_pad,) f32
+        "rows": rows,           # (N, D) bf16/f32
+        "n_valid": n_valid,
+        "dtype": dtype,
+    }
+    return _PREP[key]
 
-    import jax as _jax
 
-    @_jax.jit
-    def chained(queries, matrix):
-        def step(carry, q):
-            # fold the previous result into the query to force sequential
-            # execution (prevents XLA from batching the scan body)
-            q = q + carry * 0.0
-            s, i = single(q, matrix, k)
-            return jnp.max(s), (s, i)
+def _chained_p50(jax, step, inputs, chain, carry_init, consts=(), samples=5):
+    """Shared protocol: jit a lax.scan of ``step`` over ``inputs``
+    (carry-coupled to force sequential execution), warm up, then median of
+    ``samples`` runs divided by the chain length.
 
-        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+    ``consts`` are the device-resident arrays the step reads (matrix, scales,
+    rows, ...) and are threaded through as REAL jit arguments: a step that
+    merely closed over them would capture them as lowered constants, and XLA
+    would ship the multi-GB matrix through the remote-compile tunnel
+    (jax warns "large amount of constants captured during lowering").
+    ``step(carry, x, *consts) -> (carry, out)``.
+    """
+
+    @jax.jit
+    def chained(inputs, *consts):
+        def body(carry, x):
+            return step(carry, x, *consts)
+
+        _, outs = jax.lax.scan(body, carry_init, inputs)
         return outs
 
-    # warm up / compile
-    out = chained(queries, matrix)
-    _jax.block_until_ready(out)
-    _ = np.asarray(out[0][0])
-
-    samples = []
-    for _i in range(5):
+    out = chained(inputs, *consts)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch = barrier
+    _dbg("chained program compiled + warm")
+    times = []
+    for _i in range(samples):
         t0 = time.perf_counter()
-        out = chained(queries, matrix)
-        _ = np.asarray(out[0])  # host fetch forces full completion
-        samples.append((time.perf_counter() - t0) / chain)
-    per_query_ms = float(np.percentile(np.array(samples), 50) * 1000)
-    return per_query_ms, "pallas" if use_pallas else "xla"
+        out = chained(inputs, *consts)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        times.append((time.perf_counter() - t0) / chain)
+    return float(np.percentile(np.array(times), 50) * 1000)
+
+
+# =============================================================================
+# Sub-benches
+# =============================================================================
+
+
+def bench_query_latency(jax, n, d=1152, k=20, chain=32):
+    """Headline: bf16 Pallas fused matmul+top-k p50."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk import topk_pallas, topk_xla
+
+    p = _device_prep(jax, n, d)
+    use_pallas = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    queries = jnp.asarray(
+        rng.standard_normal((chain, 1, d), dtype=np.float32), dtype=p["dtype"]
+    )
+
+    def step(carry, q, matrix, n_valid):
+        q = q + carry * 0.0  # couple to the carry: forces sequential execution
+        if use_pallas:
+            s, i = topk_pallas(q, matrix, k, n_valid=n_valid)
+        else:
+            s, i = topk_xla(q, matrix, k, n_valid=n_valid)
+        return jnp.max(s), (s, i)
+
+    p50 = _chained_p50(
+        jax, step, queries, chain, jnp.zeros((), jnp.float32),
+        consts=(p["matrix"], p["n_valid"]),
+    )
+    return p50, "pallas" if use_pallas else "xla"
 
 
 def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
-    """int8 quantized search mode (TPUCLIP_SEARCH_PRECISION=int8)."""
+    """Plain int8 scan (no rescore) p50."""
     import jax.numpy as jnp
 
-    from tpuclip.ops.topk import pad_matrix_t
-    from tpuclip.ops.topk_int8 import (
-        INT8_TILE_N,
-        quantize_matrix_t,
-        quantize_query,
-        topk_int8_pallas,
-        topk_int8_xla,
-    )
+    from tpuclip.ops.topk_int8 import quantize_query, topk_int8_pallas, topk_int8_xla
 
-    rng = np.random.default_rng(0)
-    host = rng.standard_normal((d, n)).astype(np.float32)
-    padded, n_valid_int = pad_matrix_t(host, tile_n=INT8_TILE_N)
-    mq_host, scales_host = quantize_matrix_t(padded)
-    matrix = jnp.asarray(mq_host)
-    scales = jnp.asarray(scales_host)
-    n_valid = jnp.asarray(n_valid_int, jnp.int32)
+    p = _device_prep(jax, n, d)
     use_pallas = jax.default_backend() == "tpu"
-
-    qs_host = rng.standard_normal((chain, 1, d)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    qs_host = rng.standard_normal((chain, 1, d), dtype=np.float32)
     q_list = [quantize_query(qs_host[i]) for i in range(chain)]
     qi = jnp.asarray(np.stack([a for a, _ in q_list]))
     qsc = jnp.asarray(np.array([b for _, b in q_list], np.float32))
-    matrix.block_until_ready()
 
-    import jax as _jax
+    def step(carry, inp, mq, scales, n_valid):
+        q, s = inp
+        q = q + (carry * 0.0).astype(q.dtype)
+        fn = topk_int8_pallas if use_pallas else topk_int8_xla
+        sc, ix = fn(q, mq, scales, s, k, n_valid=n_valid)
+        return jnp.max(sc).astype(jnp.int32), (sc, ix)
 
-    @_jax.jit
-    def chained(qi, qsc, matrix, scales):
-        def step(carry, inp):
-            q, s = inp
-            q = q + (carry * 0.0).astype(q.dtype)
-            if use_pallas:
-                sc, ix = topk_int8_pallas(q, matrix, scales, s, k, n_valid=n_valid)
-            else:
-                sc, ix = topk_int8_xla(q, matrix, scales, s, k, n_valid=n_valid)
-            return jnp.max(sc).astype(jnp.int32), (sc, ix)
-
-        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.int32), (qi, qsc))
-        return outs
-
-    out = chained(qi, qsc, matrix, scales)
-    _ = np.asarray(out[0])
-    samples = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        out = chained(qi, qsc, matrix, scales)
-        _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / chain)
-    return float(np.percentile(np.array(samples), 50) * 1000)
+    return _chained_p50(
+        jax, step, (qi, qsc), chain, jnp.zeros((), jnp.int32),
+        consts=(p["mq"], p["scales"], p["n_valid"]),
+    )
 
 
-_FUSED_PREP = {}
-
-
-def _fused_prep(jax, n, d):
-    """Build (once per (n, d)) the device-resident int8 matrix + scales +
-    full-precision rows shared by the fused-rerank benchmarks — the host-side
-    prep is minutes of numpy on a small host, don't repeat it."""
-    key = (n, d)
-    if key in _FUSED_PREP:
-        return _FUSED_PREP[key]
-    import jax.numpy as jnp
-
-    from tpuclip.ops.topk import pad_matrix_t
-    from tpuclip.ops.topk_int8 import INT8_TILE_N, quantize_matrix_t
-
-    rng = np.random.default_rng(0)
-    host = rng.standard_normal((d, n)).astype(np.float32)
-    padded, n_valid_int = pad_matrix_t(host, tile_n=INT8_TILE_N)
-    mq_host, scales_host = quantize_matrix_t(padded)
-    matrix = jnp.asarray(mq_host)
-    scales = jnp.asarray(scales_host)
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    rows = jnp.asarray(np.ascontiguousarray(host.T), dtype=dtype)
-    n_valid = jnp.asarray(n_valid_int, jnp.int32)
-    jax.block_until_ready((matrix, rows))
-    _FUSED_PREP[key] = (matrix, scales, rows, n_valid)
-    return _FUSED_PREP[key]
-
-
-def _fused_chained_p50(jax, n, d, k, queries, divisor):
-    """Shared chained-scan p50 protocol for the fused-rerank benchmarks:
-    jit a lax.scan over ``queries`` (carry-coupled to force sequential
-    execution), warm up, then median of 5 samples divided by ``divisor``."""
+def _fused_step(jax, k, use_pallas):
     import jax.numpy as jnp
 
     from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
 
-    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
-    use_pallas = jax.default_backend() == "tpu"
+    def step(carry, q, mq, scales, rows, n_valid):
+        q = q + carry * 0.0
+        s, i = topk_int8_rerank_fused(
+            q, mq, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas,
+        )
+        return jnp.max(s), (s, i)
 
-    @jax.jit
-    def chained(queries, matrix, scales, rows):
-        def step(carry, q):
-            q = q + carry * 0.0
-            s, i = topk_int8_rerank_fused(
-                q, matrix, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas
-            )
-            return jnp.max(s), (s, i)
-
-        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
-        return outs
-
-    out = chained(queries, matrix, scales, rows)
-    _ = np.asarray(out[0])
-    samples = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        out = chained(queries, matrix, scales, rows)
-        _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / divisor)
-    return float(np.percentile(np.array(samples), 50) * 1000)
+    return step
 
 
 def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
-    """Fused int8 scan + on-device exact rescore (the production int8
-    serving path: TPUCLIP_SEARCH_PRECISION=int8 with device rerank). One
-    device program returns exact full-precision scores — no host re-rank."""
+    """Fused int8 scan + on-device exact rescore (production int8 path)."""
     import jax.numpy as jnp
 
+    p = _device_prep(jax, n, d)
     rng = np.random.default_rng(1)
-    queries = jnp.asarray(rng.standard_normal((chain, 1, d)).astype(np.float32))
-    return _fused_chained_p50(jax, n, d, k, queries, chain)
+    queries = jnp.asarray(rng.standard_normal((chain, 1, d), dtype=np.float32))
+    step = _fused_step(jax, k, jax.default_backend() == "tpu")
+    return _chained_p50(
+        jax, step, queries, chain, jnp.zeros((), jnp.float32),
+        consts=(p["mq"], p["scales"], p["rows"], p["n_valid"]),
+    )
 
 
 def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     """Serving throughput: queries/sec when concurrent queries share one
-    scan (the serve micro-batcher's code path — one int8 fused program per
-    request group, matrix read once per batch)."""
+    scan (the serve micro-batcher's code path)."""
     import jax.numpy as jnp
 
+    p = _device_prep(jax, n, d)
     rng = np.random.default_rng(2)
-    queries = jnp.asarray(
-        rng.standard_normal((iters, q_batch, d)).astype(np.float32)
+    queries = jnp.asarray(rng.standard_normal((iters, q_batch, d), dtype=np.float32))
+    step = _fused_step(jax, k, jax.default_backend() == "tpu")
+    batch_ms = _chained_p50(
+        jax, step, queries, iters, jnp.zeros((), jnp.float32),
+        consts=(p["mq"], p["scales"], p["rows"], p["n_valid"]),
     )
-    batch_ms = _fused_chained_p50(jax, n, d, k, queries, iters)
     return batch_ms, q_batch / (batch_ms / 1000.0)
-
-
-def bench_ivf(jax, n, d=1152, k=20, chain=32):
-    """IVF bucketed approximate search (TPUCLIP_SEARCH_MODE=ivf): p50 over
-    CLUSTERED synthetic data (1024 modes — IVF's recall/speed depend on
-    cluster structure; uniform-random data is the degenerate worst case)
-    plus measured top-k recall vs the exact scan on the same data."""
-    import jax.numpy as jnp
-
-    from tpuclip.index.ivf import build_ivf, ivf_topk_rerank
-
-    rng = np.random.default_rng(0)
-    modes = 1024
-    centers = rng.standard_normal((modes, d), dtype=np.float32)
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    which = rng.integers(0, modes, n)
-    x = centers[which] + 0.05 * rng.standard_normal((n, d), dtype=np.float32)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-
-    index = build_ivf(x, nprobe=32)
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    rows_dev = jnp.asarray(x, dtype=dtype)
-
-    qw = rng.integers(0, modes, chain)
-    q = centers[qw] + 0.05 * rng.standard_normal((chain, d), dtype=np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    queries = jnp.asarray(q[:, None, :])
-    jax.block_until_ready((index.buckets, rows_dev))
-
-    @jax.jit
-    def chained(queries):
-        def step(carry, qq):
-            qq = qq + carry * 0.0
-            s, i = ivf_topk_rerank(
-                qq, index.centroids, index.buckets, index.bucket_scales,
-                index.bucket_rows, index.over_t, index.over_scales,
-                index.over_rows, rows_dev, k, index.nprobe,
-            )
-            return jnp.max(s), (s, i)
-
-        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
-        return outs
-
-    out = chained(queries)
-    _ = np.asarray(out[0])
-    samples = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        out = chained(queries)
-        _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / chain)
-    p50 = float(np.percentile(np.array(samples), 50) * 1000)
-
-    # recall vs the exact scan over the same resident rows
-    got = np.asarray(out[1][1]).reshape(chain, k)
-
-    @jax.jit
-    def exact_topk(queries):
-        scores = jnp.einsum(
-            "qd,nd->qn", queries.astype(rows_dev.dtype), rows_dev,
-            preferred_element_type=jnp.float32,
-        )
-        return jax.lax.top_k(scores, k)
-
-    _, true_i = exact_topk(jnp.asarray(q))
-    true_i = np.asarray(true_i)
-    recall = float(
-        np.mean([
-            len(set(got[c].tolist()) & set(true_i[c].tolist())) / k
-            for c in range(chain)
-        ])
-    )
-    return p50, recall
 
 
 def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
@@ -311,23 +295,20 @@ def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
 
     Measured by dispatching ``iters`` distinct-input calls back-to-back and
     fetching only the last result (device executes a single in-order queue,
-    so the final fetch bounds all of them): wall / iters ≈ per-query device
+    so the final fetch bounds all of them): wall / iters ~= per-query device
     time + amortized dispatch. The chained-scan protocol used elsewhere is
-    NOT used here — wrapping this module in lax.scan/fori_loop reliably
-    wedges the dev tunnel's remote-compile helper (the single program
-    compiles in ~10 s), and per-call block_until_ready resolves early
-    through the tunnel (measured 0.4 ms "latency" for a 2.7 ms scan), so
-    only a host data fetch is a trustworthy completion barrier."""
+    NOT used here — see docs/benchmarks.md on the lax.scan/remote-compile
+    wedge, and per-call block_until_ready resolves early through the tunnel,
+    so only a host data fetch is a trustworthy completion barrier."""
     import jax.numpy as jnp
 
     from tpuclip.models.configs import get_config
     from tpuclip.models.siglip import init_params
     from tpuclip.ops.topk_int8 import text_topk_fused
 
+    p = _device_prep(jax, n, d)
     cfg = get_config("google/siglip2-so400m-patch14-224")
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg, dtype=dtype))
-    matrix, scales, rows, n_valid = _fused_prep(jax, n, d)
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg, dtype=p["dtype"]))
     use_pallas = jax.default_backend() == "tpu"
 
     rng = np.random.default_rng(3)
@@ -338,8 +319,8 @@ def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
 
     def call(i):
         return text_topk_fused(
-            params, all_ids[i], mask, matrix, scales, rows, cfg, k,
-            n_valid=n_valid, compute_dtype=dtype, use_pallas=use_pallas,
+            params, all_ids[i], mask, p["mq"], p["scales"], p["rows"], cfg, k,
+            n_valid=p["n_valid"], compute_dtype=p["dtype"], use_pallas=use_pallas,
         )
 
     _ = np.asarray(call(0)[0])  # compile + warm (host fetch = completion)
@@ -355,55 +336,142 @@ def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
 
 
 def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
-    """Packed-binary scan p50 (the reference's binary-only DB mode)."""
+    """Packed-binary scan p50 (the reference's binary-only DB mode).
+
+    The packed word matrix derives from the shared device matrix's sign
+    bits via the device packer (bit-identical to the host packer — see
+    tests/test_topk.py::test_pack_bits_to_words_device_matches_host)."""
     import jax.numpy as jnp
 
     from tpuclip.ops.hamming import (
+        BINARY_TILE_N,
         binary_topk_packed,
         binary_topk_packed_pallas,
         pack_bits_to_words,
-        pad_words_t,
+        pack_bits_to_words_device,
     )
 
-    rng = np.random.default_rng(0)
-    bits = rng.integers(0, 2, (n, d), dtype=np.uint8)
-    words = pack_bits_to_words(bits)
+    p = _device_prep(jax, n, d)
     use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        wt, nv_int = pad_words_t(words)
-        matrix = jnp.asarray(wt)
-        nv = jnp.asarray(nv_int, jnp.int32)
-    else:
-        matrix = jnp.asarray(words)
+    w = -(-d // 32)
+    np_bin = -(-n // BINARY_TILE_N) * BINARY_TILE_N
+
+    @jax.jit
+    def derive_words(matrix):
+        bits = (matrix[:, :n] >= 0).T.astype(jnp.uint8)  # (N, D)
+        words = pack_bits_to_words_device(bits)          # (N, W)
+        if use_pallas:
+            return jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+        return words
+
+    matrix_words = derive_words(p["matrix"])
+    matrix_words.block_until_ready()
+    nv = jnp.asarray(n, jnp.int32)
+
+    rng = np.random.default_rng(0)
     qwords = jnp.asarray(
         pack_bits_to_words(rng.integers(0, 2, (chain, d), dtype=np.uint8))
     ).reshape(chain, 1, -1)
-    matrix.block_until_ready()
 
-    import jax as _jax
+    def step(carry, q, matrix_words, nv):
+        q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
+        if use_pallas:
+            s, i = binary_topk_packed_pallas(q, matrix_words, k, n_valid=nv)
+        else:
+            s, i = binary_topk_packed(q, matrix_words, k)
+        return jnp.max(s).astype(jnp.uint32), (s, i)
 
-    @_jax.jit
-    def chained(qwords, matrix):
-        def step(carry, q):
-            q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
-            if use_pallas:
-                s, i = binary_topk_packed_pallas(q, matrix, k, n_valid=nv)
-            else:
-                s, i = binary_topk_packed(q, matrix, k)
-            return jnp.max(s).astype(jnp.uint32), (s, i)
+    return _chained_p50(
+        jax, step, qwords, chain, jnp.zeros((), jnp.uint32),
+        consts=(matrix_words, nv),
+    )
 
-        _, outs = _jax.lax.scan(step, jnp.zeros((), jnp.uint32), qwords)
+
+def bench_ivf(jax, n, d=1152, k=20, chain=32):
+    """IVF bucketed approximate search (TPUCLIP_SEARCH_MODE=ivf): p50 over
+    CLUSTERED data (1024 modes, generated and index-built ON DEVICE via
+    build_ivf_device — IVF's recall/speed depend on cluster structure;
+    uniform-random data is the degenerate worst case) plus measured top-k
+    recall vs the exact scan on the same data."""
+    import jax.numpy as jnp
+
+    from tpuclip.index.ivf import build_ivf_device, ivf_topk_rerank
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    modes = 1024
+
+    @jax.jit
+    def gen_rows(seed):
+        kc, kw, kn = jax.random.split(jax.random.PRNGKey(seed), 3)
+        centers = jax.random.normal(kc, (modes, d), dtype=jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        which = jax.random.randint(kw, (n,), 0, modes)
+        x = centers[which] + 0.05 * jax.random.normal(kn, (n, d), dtype=jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return centers, x.astype(dtype)
+
+    centers, rows_dev = gen_rows(11)
+    index = build_ivf_device(rows_dev, nprobe=32)
+    jax.block_until_ready((index.buckets, rows_dev))
+
+    rng = np.random.default_rng(12)
+    qw = rng.integers(0, modes, chain)
+    q_host = np.asarray(centers)[qw] + 0.05 * rng.standard_normal(
+        (chain, d), dtype=np.float32
+    )
+    q_host /= np.linalg.norm(q_host, axis=1, keepdims=True)
+    queries = jnp.asarray(q_host[:, None, :])
+
+    # index arrays + rows thread through as jit ARGUMENTS (closure capture
+    # would ship the ~GB bucket blocks as lowered constants — see
+    # _chained_p50's note). nprobe stays a static Python int.
+    nprobe = index.nprobe
+    iarrays = (
+        index.centroids, index.buckets, index.bucket_scales, index.bucket_rows,
+        index.over_t, index.over_scales, index.over_rows,
+    )
+
+    @jax.jit
+    def chained(queries, iarrays, rows_dev):
+        def step(carry, qq):
+            qq = qq + carry * 0.0
+            s, i = ivf_topk_rerank(qq, *iarrays, rows_dev, k, nprobe)
+            return jnp.max(s), (s, i)
+
+        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
         return outs
 
-    out = chained(qwords, matrix)
+    out = chained(queries, iarrays, rows_dev)
     _ = np.asarray(out[0])
-    samples = []
+    _dbg("ivf chained program compiled + warm")
+    times = []
     for _i in range(5):
         t0 = time.perf_counter()
-        out = chained(qwords, matrix)
+        out = chained(queries, iarrays, rows_dev)
         _ = np.asarray(out[0])
-        samples.append((time.perf_counter() - t0) / chain)
-    return float(np.percentile(np.array(samples), 50) * 1000)
+        times.append((time.perf_counter() - t0) / chain)
+    p50 = float(np.percentile(np.array(times), 50) * 1000)
+
+    # recall vs the exact scan over the same resident rows
+    got = np.asarray(out[1][1]).reshape(chain, k)
+
+    @jax.jit
+    def exact_topk(queries, rows_dev):
+        scores = jnp.einsum(
+            "qd,nd->qn", queries.astype(rows_dev.dtype), rows_dev,
+            preferred_element_type=jnp.float32,
+        )
+        return jax.lax.top_k(scores, k)
+
+    _, true_i = exact_topk(jnp.asarray(q_host), rows_dev)
+    true_i = np.asarray(true_i)
+    recall = float(
+        np.mean([
+            len(set(got[c].tolist()) & set(true_i[c].tolist())) / k
+            for c in range(chain)
+        ])
+    )
+    return p50, recall
 
 
 def bench_indexing_throughput(jax, batch=16, iters=16):
@@ -418,8 +486,7 @@ def bench_indexing_throughput(jax, batch=16, iters=16):
 
     cfg = get_config("google/siglip2-so400m-patch14-224")
     dtype = jnp.bfloat16
-    params = init_params(jax.random.PRNGKey(0), cfg, dtype=dtype)
-    params = jax.device_put(params)
+    params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg, dtype=dtype))
 
     @jax.jit
     def embed_many(params, pixels):
@@ -441,7 +508,7 @@ def bench_indexing_throughput(jax, batch=16, iters=16):
     return batch * iters / dt
 
 
-def make_jpeg_tree(root, n_images, width=1024, height=768, uniques=64):
+def make_jpeg_tree(root, n_images, width=1024, height=768, uniques=48):
     """Synthetic photo library: n_images JPEGs at width x height.
 
     Encoding thousands of multi-MP JPEGs would dominate bench time on a
@@ -481,11 +548,12 @@ def bench_end_to_end_scan(jax):
     """Full scan pipeline (census -> decode -> hash -> embed -> commit) on a
     synthetic 1024x768 JPEG tree — the honest images/min *indexed*, not the
     device ceiling. Matches the reference's real bottleneck: host decode
-    inside the embed loop (image_database.py:471-479)."""
+    inside the embed loop (image_database.py:471-479). 600 images measure
+    the same steady state round 2's 2000 did at 1/3 the wall cost."""
     import shutil
     import tempfile
 
-    n = int(os.environ.get("TPUCLIP_BENCH_E2E_N", 2000))
+    n = int(os.environ.get("TPUCLIP_BENCH_E2E_N", 600))
     tmp = tempfile.mkdtemp(prefix="tpuclip_bench_e2e_")
     os.environ.setdefault("TPUCLIP_INIT", "random")
     os.environ["TPUCLIP_QUIET"] = "1"
@@ -505,7 +573,7 @@ def bench_end_to_end_scan(jax):
         files = []
         for dp, _, fns in os.walk(main_dir):
             files.extend((os.path.join(dp, f), 0.0) for f in sorted(fns))
-        files = files[: min(600, n)]
+        files = files[: min(300, n)]
         t0 = time.perf_counter()
         count = sum(len(b.items) for b in prefetch_batches(iter(files), batch, 224))
         decode_rate = count / (time.perf_counter() - t0)
@@ -525,119 +593,197 @@ def bench_end_to_end_scan(jax):
         conn.close()
         if rows < n * 0.98:
             raise RuntimeError(f"scan indexed only {rows}/{n} images")
-        return n / dt, decode_rate
+
+        # IVF recall on REAL tower embeddings (VERDICT r2 item 6): the
+        # Gaussian-cluster recall in bench_ivf is synthetic; this sweeps
+        # nprobe over the embeddings the scan just produced — actual tower
+        # outputs over an actual image tree, the distribution IVF serves.
+        ivf_recall = {}
+        try:
+            ivf_recall = _ivf_recall_on_scanned(jax, engine)
+        except Exception as e:  # noqa: BLE001
+            ivf_recall = {"error": str(e)[:200]}
+        return n / dt, decode_rate, ivf_recall
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _ivf_recall_on_scanned(jax, engine, k=20, n_queries=16):
+    """Top-k recall of IVF vs the exact scan over the embeddings in the
+    engine's database, swept over nprobe. Returns {"nprobe<P>": recall}."""
+    import jax.numpy as jnp
+
+    from tpuclip.index.cache import MatrixCache
+    from tpuclip.index.ivf import build_ivf_device, ivf_topk_rerank
+
+    _ids, vectors = MatrixCache(engine.store).load()
+    x = np.asarray(vectors, np.float32)
+    n = len(x)
+    if n < 200:
+        return {"skipped": f"only {n} rows"}
+    rows_dev = jnp.asarray(x)
+    # queries = held-out style: other images' embeddings, slightly perturbed
+    rng = np.random.default_rng(13)
+    qidx = rng.choice(n, size=min(n_queries, n), replace=False)
+    q = x[qidx] + 0.05 * rng.standard_normal((len(qidx), x.shape[1]), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = q @ x.T
+    true_sets = [set(np.argsort(-exact[r])[:k].tolist()) for r in range(len(q))]
+    out = {}
+    for nprobe in (2, 4, 8):
+        idx = build_ivf_device(rows_dev, k_clusters=max(8, n // 40), nprobe=nprobe)
+        _, got = ivf_topk_rerank(
+            jnp.asarray(q), idx.centroids, idx.buckets, idx.bucket_scales,
+            idx.bucket_rows, idx.over_t, idx.over_scales, idx.over_rows,
+            rows_dev, k, idx.nprobe,
+        )
+        got = np.asarray(got)
+        out[f"nprobe{nprobe}"] = round(
+            float(np.mean([
+                len(true_sets[r] & set(got[r].tolist())) / k
+                for r in range(len(q))
+            ])), 4,
+        )
+    return out
+
+
+# =============================================================================
+# Driver
+# =============================================================================
+
+
 def main():
-    result = {
-        "metric": "p50 top-20 query latency over 1M x 1152 vectors (1 chip)",
-        "value": None,
-        "unit": "ms",
-        "vs_baseline": None,
-    }
+    RESULT["budget_s"] = BUDGET_S
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGINT, _flush_and_exit)
+    threading.Thread(target=_watchdog, daemon=True).start()
+    timings = RESULT.setdefault("bench_seconds", {})
+
     try:
-        jax = _tpu_jax()
+        import jax
+
+        # Local testing escape hatch: the harness sitecustomize force-selects
+        # the axon TPU plugin through JAX_PLATFORMS, so a CPU dry run needs
+        # the config-level override (same trick as tests/conftest.py).
+        plat = os.environ.get("TPUCLIP_BENCH_PLATFORM")
+        if plat:
+            jax.config.update("jax_platforms", plat)
+
         try:
             from tpuclip.utils.compile_cache import enable_compilation_cache
 
             enable_compilation_cache()
         except Exception:  # noqa: BLE001
             pass
-        backend = jax.default_backend()
-        # the dev TPU tunnel is intermittently slow to come up — retry once
-        last_err = None
-        for attempt in range(2):
+        RESULT["backend"] = jax.default_backend()
+        n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
+        chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
+        RESULT["n_vectors"] = n
+
+        def run(name, est_s, fn, required=False):
+            """Run one sub-bench inside the budget; record outcome."""
+            if os.environ.get(f"TPUCLIP_BENCH_SKIP_{name.upper()}") == "1":
+                RESULT[f"{name}_skipped"] = "by env"
+                return
+            if not required and _remaining() < est_s:
+                RESULT[f"{name}_skipped_for_budget"] = True
+                _dbg(f"{name}: skipped for budget ({_remaining():.0f}s left < {est_s}s est)")
+                return
+            t0 = time.perf_counter()
+            _dbg(f"{name}: start ({_remaining():.0f}s budget left)")
             try:
-                per_query_ms, impl = bench_query_latency(jax)
-                break
+                fn()
             except Exception as e:  # noqa: BLE001
-                last_err = e
-                time.sleep(15)
-        else:
-            raise last_err  # type: ignore[misc]
-        result["n_vectors"] = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-        result["value"] = round(per_query_ms, 3)
-        result["vs_baseline"] = round(10.0 / per_query_ms, 2)  # >1.0 beats the 10ms target
-        result["backend"] = backend
-        result["kernel"] = impl
-        try:
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
-            result["int8_p50_ms"] = round(
-                bench_query_latency_int8(jax, n, chain=chain), 3
+                RESULT[f"{name}_error"] = str(e)[:200]
+                _dbg(f"{name}: ERROR {e}")
+            timings[name] = round(time.perf_counter() - t0, 1)
+            _dbg(f"{name}: done in {timings[name]}s")
+
+        def _headline():
+            # the dev TPU tunnel is intermittently slow to come up — retry once
+            last_err = None
+            for _attempt in range(2):
+                try:
+                    p50, impl = bench_query_latency(jax, n, chain=chain)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    last_err = e
+                    time.sleep(10)
+            else:
+                raise last_err  # type: ignore[misc]
+            RESULT["value"] = round(p50, 3)
+            RESULT["vs_baseline"] = round(10.0 / p50, 2)  # >1.0 beats the 10ms target
+            RESULT["kernel"] = impl
+
+        def _indexing():
+            ips = bench_indexing_throughput(jax)
+            RESULT["indexing_images_per_sec"] = round(ips, 1)
+            RESULT["indexing_images_per_min"] = round(ips * 60)
+
+        def _e2e():
+            e2e_per_sec, decode_rate, ivf_recall = bench_end_to_end_scan(jax)
+            if ivf_recall:
+                RESULT["ivf_recall_real_embeddings_top20"] = ivf_recall
+            RESULT["end_to_end_images_per_sec"] = round(e2e_per_sec, 1)
+            RESULT["end_to_end_images_per_min"] = round(e2e_per_sec * 60)
+            RESULT["end_to_end_workload"] = (
+                "1024x768 JPEG tree, fast-decode, full scan pipeline"
             )
-        except Exception as e:  # noqa: BLE001
-            result["int8_error"] = str(e)[:200]
-        try:
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
-            result["int8_fused_rerank_p50_ms"] = round(
-                bench_query_latency_int8_fused(jax, n, chain=chain), 3
-            )
-        except Exception as e:  # noqa: BLE001
-            result["int8_fused_error"] = str(e)[:200]
-        try:
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            batch_ms, qps = bench_batch_throughput(jax, n)
-            result["int8_fused_batch16_ms"] = round(batch_ms, 3)
-            result["int8_fused_batch16_qps"] = round(qps)
-        except Exception as e:  # noqa: BLE001
-            result["batch_error"] = str(e)[:200]
-        try:
-            if os.environ.get("TPUCLIP_BENCH_SKIP_TEXT_FUSED") == "1":
-                raise RuntimeError("skipped by env")
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            result["text_query_fused_ms"] = round(
-                bench_text_query_fused(jax, n), 3
-            )
-        except Exception as e:  # noqa: BLE001
-            result["text_fused_error"] = str(e)[:200]
-        try:
-            if os.environ.get("TPUCLIP_BENCH_SKIP_IVF") == "1":
-                raise RuntimeError("skipped by env")
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
-            ivf_ms, ivf_recall = bench_ivf(jax, n, chain=chain)
-            result["ivf_p50_ms"] = round(ivf_ms, 3)
-            result["ivf_recall_top20"] = round(ivf_recall, 4)
-        except Exception as e:  # noqa: BLE001
-            result["ivf_error"] = str(e)[:200]
-        try:
-            n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
-            chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
-            result["binary_p50_ms"] = round(bench_binary_latency(jax, n, chain=chain), 3)
-        except Exception as e:  # noqa: BLE001
-            result["binary_error"] = str(e)[:200]
-        try:
-            if os.environ.get("TPUCLIP_BENCH_SKIP_INDEXING") == "1":
-                raise RuntimeError("skipped by env")
-            imgs_per_sec = bench_indexing_throughput(jax)
-            result["indexing_images_per_sec"] = round(imgs_per_sec, 1)
-            result["indexing_images_per_min"] = round(imgs_per_sec * 60)
-        except Exception as e:  # noqa: BLE001
-            result["indexing_error"] = str(e)[:200]
-        try:
-            if os.environ.get("TPUCLIP_BENCH_SKIP_E2E") == "1":
-                raise RuntimeError("skipped by env")
-            e2e_per_sec, decode_rate = bench_end_to_end_scan(jax)
-            result["end_to_end_images_per_sec"] = round(e2e_per_sec, 1)
-            result["end_to_end_images_per_min"] = round(e2e_per_sec * 60)
-            result["end_to_end_workload"] = "1024x768 JPEG tree, fast-decode, full scan pipeline"
-            result["host_decode_images_per_sec"] = round(decode_rate, 1)
-            if result.get("indexing_images_per_sec"):
+            RESULT["host_decode_images_per_sec"] = round(decode_rate, 1)
+            if RESULT.get("indexing_images_per_sec"):
                 # Fraction of the device embed ceiling the host pipeline
                 # sustains — quantifies how decode/transfer-bound this
                 # 1-core, tunneled dev host is.
-                result["e2e_device_ceiling_fraction"] = round(
-                    e2e_per_sec / result["indexing_images_per_sec"], 3
+                RESULT["e2e_device_ceiling_fraction"] = round(
+                    e2e_per_sec / RESULT["indexing_images_per_sec"], 3
                 )
-        except Exception as e:  # noqa: BLE001
-            result["e2e_error"] = str(e)[:200]
+
+        def _int8_fused():
+            RESULT["int8_fused_rerank_p50_ms"] = round(
+                bench_query_latency_int8_fused(jax, n, chain=chain), 3
+            )
+
+        def _batch():
+            batch_ms, qps = bench_batch_throughput(jax, n)
+            RESULT["int8_fused_batch16_ms"] = round(batch_ms, 3)
+            RESULT["int8_fused_batch16_qps"] = round(qps)
+
+        def _binary():
+            RESULT["binary_p50_ms"] = round(
+                bench_binary_latency(jax, n, chain=chain), 3
+            )
+
+        def _int8():
+            RESULT["int8_p50_ms"] = round(
+                bench_query_latency_int8(jax, n, chain=chain), 3
+            )
+
+        def _text_fused():
+            RESULT["text_query_fused_ms"] = round(bench_text_query_fused(jax, n), 3)
+
+        def _ivf():
+            # free the flat-scan arrays first: IVF builds its own clustered
+            # rows + bucket blocks (~4 GB) and HBM must hold both briefly
+            _PREP.clear()
+            ivf_ms, ivf_recall = bench_ivf(jax, n, chain=chain)
+            RESULT["ivf_p50_ms"] = round(ivf_ms, 3)
+            RESULT["ivf_recall_top20"] = round(ivf_recall, 4)
+
+        # Priority order: the driver-visible north-star numbers first, then
+        # the serving-path extras, then the expensive/fragile ones.
+        run("headline", 120, _headline, required=True)
+        run("indexing", 60, _indexing)
+        run("e2e", 120, _e2e)
+        run("int8_fused", 45, _int8_fused)
+        run("batch", 45, _batch)
+        run("binary", 60, _binary)
+        run("int8", 45, _int8)
+        run("text_fused", 90, _text_fused)
+        run("ivf", 120, _ivf)
     except Exception as e:  # noqa: BLE001
-        result["error"] = str(e)[:300]
-    print(json.dumps(result))
+        RESULT["error"] = str(e)[:300]
+    _DONE.set()
+    _emit()
 
 
 if __name__ == "__main__":
