@@ -131,6 +131,119 @@ def main(out_path: str) -> int:
         and np.array_equal(np.asarray(sp)[0], want[order]),
     )
 
+    # Device-side bit packer must agree with the host packer ON HARDWARE
+    # (bench + refresh derive packed matrices on device).
+    from tpuclip.ops.hamming import pack_bits_to_words_device
+
+    bits_small = rng.integers(0, 2, (257, 1152), dtype=np.uint8)
+    record(
+        "pack_bits_device_vs_host",
+        np.array_equal(
+            np.asarray(pack_bits_to_words_device(jnp.asarray(bits_small))),
+            pack_bits_to_words(bits_small),
+        ),
+    )
+
+    # Device-side IVF build (argsort/bincount/scatter under Mosaic): probing
+    # every bucket must return the exact brute-force top-k.
+    from tpuclip.index.ivf import build_ivf_device, ivf_search
+
+    rows_ivf = rng.standard_normal((20_000, 256)).astype(np.float32)
+    rows_ivf /= np.linalg.norm(rows_ivf, axis=1, keepdims=True)
+    rows_ivf_dev = jnp.asarray(rows_ivf, jnp.bfloat16)
+    idx = build_ivf_device(rows_ivf_dev, k_clusters=64, nprobe=64)
+    seen = np.asarray(idx.bucket_rows).reshape(-1)
+    seen = np.concatenate([seen[seen >= 0], np.asarray(idx.over_rows)[np.asarray(idx.over_rows) >= 0]])
+    q_ivf = rng.standard_normal((2, 256)).astype(np.float32)
+    s_ivf, i_ivf = ivf_search(idx, rows_ivf_dev, q_ivf, k=10)
+    exact_scores = rows_ivf.astype(np.float64) @ q_ivf.astype(np.float64).T
+    ivf_recall = float(np.mean([
+        len(set(np.asarray(i_ivf)[r].tolist())
+            & set(np.argsort(-exact_scores[:, r])[:10].tolist())) / 10
+        for r in range(2)
+    ]))
+    record(
+        "ivf_device_build_nprobe_all",
+        len(seen) == len(rows_ivf)
+        and len(np.unique(seen)) == len(rows_ivf)
+        and ivf_recall >= 0.9,  # bf16 rounding can flip near-ties vs fp64
+        rows_reachable=int(len(np.unique(seen))),
+        recall_vs_fp64=round(ivf_recall, 3),
+    )
+
+    # On-hardware serving smoke (VERDICT r2 item 7): a live SearchServer over
+    # a real scanned index on this backend, concurrent requests, and the
+    # micro-batcher must amortize them into fewer device passes.
+    try:
+        import json as json_mod
+        import os
+        import tempfile
+        import threading
+        import urllib.request
+
+        from PIL import Image
+
+        os.environ.setdefault("TPUCLIP_INIT", "random")
+        os.environ["TPUCLIP_QUIET"] = "1"
+        with tempfile.TemporaryDirectory(prefix="tpuclip_serve_smoke_") as home:
+            os.environ["TPUCLIP_HOME"] = home
+            imgs = os.path.join(home, "imgs")
+            os.makedirs(imgs)
+            rng2 = np.random.default_rng(9)
+            for i in range(12):
+                Image.fromarray(
+                    rng2.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                ).save(os.path.join(imgs, f"im_{i}.jpg"))
+            from tpuclip.engine import ImageDatabase
+            from tpuclip.serve import SearchServer
+
+            eng = ImageDatabase(
+                db_path=os.path.join(home, "smoke.db"),
+                model_cache_dir=os.path.join(home, "models"),
+                model_name="tpuclip/test-tiny",
+                inference_batch_size=4,
+            )
+            eng.scan_directory(imgs, inference_batch_size=4)
+            srv = SearchServer(eng, host="127.0.0.1", port=0, batch_window_ms=50)
+            srv.start_background()
+            try:
+                # warm the tower/search compile so the concurrent burst
+                # actually lands in one batching window
+                def post(q):
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{srv.port}/search",
+                        data=json_mod.dumps({"query": q, "k": 3}).encode(),
+                        headers={"Content-Type": "application/json"},
+                        method="POST",
+                    )
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        return r.status, json_mod.loads(r.read())
+
+                post("warmup query")
+                before = srv.batcher.stats()
+                statuses = [None] * 8
+                def hit(i):
+                    statuses[i] = post(f"object {i % 2}")[0]
+
+                threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                after = srv.batcher.stats()
+                passes = after["device_passes"] - before["device_passes"]
+                reqs = after["batched_requests"] - before["batched_requests"]
+                record(
+                    "serve_microbatch_smoke",
+                    all(s == 200 for s in statuses) and reqs == 8 and passes < reqs,
+                    requests=reqs,
+                    device_passes=passes,
+                )
+            finally:
+                srv.shutdown()
+    except Exception as e:  # noqa: BLE001
+        record("serve_microbatch_smoke", False, error=str(e)[:200])
+
     failures = sum(not c["ok"] for c in checks)
     result = {
         "backend": backend,
