@@ -2,11 +2,16 @@
 
 Primary metric: p50 top-20 query latency over 1M 1152-d vectors on one chip
 (north star: <10 ms, BASELINE.json). vs_baseline = 10ms / p50 (multiples of
-the target; >1.0 beats it). Extra fields report indexing throughput
-(SigLIP2 SO400M image-tower forward, images/sec/chip; north star
->=10k images/min/chip ~= 167 img/s), the end-to-end scan rate, and the
-serving-path latencies (int8 fused rerank, batch throughput, binary,
-fused text query, IVF).
+the target; >1.0 beats it). As of round 3 the headline measures the
+PRODUCTION DEFAULT search path — the fused int8 scan + on-device exact
+rescore that DeviceIndex selects on TPU (results validated bit-equal to
+the bf16 full scan on hardware, scripts/tpu_validate.py); the plain bf16
+scan p50 that was the r1/r2 headline is still recorded as
+``bf16_scan_p50_ms`` for cross-round continuity. Extra fields report
+indexing throughput (SigLIP2 SO400M image-tower forward, images/sec/chip;
+north star >=10k images/min/chip ~= 167 img/s), the end-to-end scan rate,
+and the serving-path latencies (batch throughput, binary, fused text
+query, IVF).
 
 Timeout-proofing (round 2 lost every number to the driver timeout, rc=124):
 - **All benchmark data is generated ON DEVICE** (`jax.random.normal` + jitted
@@ -594,18 +599,20 @@ def bench_end_to_end_scan(jax):
         if rows < n * 0.98:
             raise RuntimeError(f"scan indexed only {rows}/{n} images")
 
-        # IVF recall on REAL tower embeddings (VERDICT r2 item 6): the
-        # Gaussian-cluster recall in bench_ivf is synthetic; this sweeps
-        # nprobe over the embeddings the scan just produced — actual tower
-        # outputs over an actual image tree, the distribution IVF serves.
-        ivf_recall = {}
-        try:
-            ivf_recall = _ivf_recall_on_scanned(jax, engine)
-        except Exception as e:  # noqa: BLE001
-            ivf_recall = {"error": str(e)[:200]}
-        return n / dt, decode_rate, ivf_recall
-    finally:
+        # Keep the scanned DB around for the separately-budgeted
+        # ivf_scanned sub-bench (its remote compiles cost ~3x the scan
+        # itself — splitting it out keeps e2e inside its cost estimate,
+        # which round 3's first run blew by 2.4x, starving every
+        # serving-path bench after it).
+        _E2E_STATE["engine"] = engine
+        _E2E_STATE["tmp"] = tmp
+        return n / dt, decode_rate
+    except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+_E2E_STATE = {}
 
 
 def _ivf_recall_on_scanned(jax, engine, k=20, n_queries=16):
@@ -700,11 +707,13 @@ def main():
             _dbg(f"{name}: done in {timings[name]}s")
 
         def _headline():
-            # the dev TPU tunnel is intermittently slow to come up — retry once
+            # Production default path: int8 scan + on-device exact rescore
+            # (what DeviceIndex serves on TPU; exact results).
+            # The dev TPU tunnel is intermittently slow to come up — retry once.
             last_err = None
             for _attempt in range(2):
                 try:
-                    p50, impl = bench_query_latency(jax, n, chain=chain)
+                    p50 = bench_query_latency_int8_fused(jax, n, chain=chain)
                     break
                 except Exception as e:  # noqa: BLE001
                     last_err = e
@@ -713,6 +722,15 @@ def main():
                 raise last_err  # type: ignore[misc]
             RESULT["value"] = round(p50, 3)
             RESULT["vs_baseline"] = round(10.0 / p50, 2)  # >1.0 beats the 10ms target
+            RESULT["headline_path"] = (
+                "int8 fused scan + exact rescore (default TPU search path; "
+                "results bit-equal to the bf16 full scan)"
+            )
+
+        def _bf16_scan():
+            # r1/r2 headline basis, kept for cross-round continuity.
+            p50, impl = bench_query_latency(jax, n, chain=chain)
+            RESULT["bf16_scan_p50_ms"] = round(p50, 3)
             RESULT["kernel"] = impl
 
         def _indexing():
@@ -721,9 +739,7 @@ def main():
             RESULT["indexing_images_per_min"] = round(ips * 60)
 
         def _e2e():
-            e2e_per_sec, decode_rate, ivf_recall = bench_end_to_end_scan(jax)
-            if ivf_recall:
-                RESULT["ivf_recall_real_embeddings_top20"] = ivf_recall
+            e2e_per_sec, decode_rate = bench_end_to_end_scan(jax)
             RESULT["end_to_end_images_per_sec"] = round(e2e_per_sec, 1)
             RESULT["end_to_end_images_per_min"] = round(e2e_per_sec * 60)
             RESULT["end_to_end_workload"] = (
@@ -738,10 +754,27 @@ def main():
                     e2e_per_sec / RESULT["indexing_images_per_sec"], 3
                 )
 
-        def _int8_fused():
-            RESULT["int8_fused_rerank_p50_ms"] = round(
-                bench_query_latency_int8_fused(jax, n, chain=chain), 3
-            )
+        def _ivf_scanned():
+            # IVF recall on REAL tower embeddings (VERDICT r2 item 6): the
+            # Gaussian-cluster recall in bench_ivf is synthetic; this sweeps
+            # nprobe over the embeddings the e2e scan produced — actual
+            # tower outputs over an actual image tree.
+            import shutil
+
+            engine = _E2E_STATE.pop("engine", None)
+            tmp = _E2E_STATE.pop("tmp", None)
+            if engine is None:
+                RESULT["ivf_recall_real_embeddings_top20"] = {
+                    "skipped": "no e2e run"
+                }
+                return
+            try:
+                RESULT["ivf_recall_real_embeddings_top20"] = (
+                    _ivf_recall_on_scanned(jax, engine)
+                )
+            finally:
+                if tmp:
+                    shutil.rmtree(tmp, ignore_errors=True)
 
         def _batch():
             batch_ms, qps = bench_batch_throughput(jax, n)
@@ -771,18 +804,24 @@ def main():
 
         # Priority order: the driver-visible north-star numbers first, then
         # the serving-path extras, then the expensive/fragile ones.
-        run("headline", 120, _headline, required=True)
+        run("headline", 150, _headline, required=True)
+        run("bf16_scan", 150, _bf16_scan)
         run("indexing", 60, _indexing)
-        run("e2e", 120, _e2e)
-        run("int8_fused", 45, _int8_fused)
         run("batch", 45, _batch)
+        run("e2e", 130, _e2e)
         run("binary", 60, _binary)
         run("int8", 45, _int8)
         run("text_fused", 90, _text_fused)
+        run("ivf_scanned", 120, _ivf_scanned)
         run("ivf", 120, _ivf)
     except Exception as e:  # noqa: BLE001
         RESULT["error"] = str(e)[:300]
     _DONE.set()
+    tmp = _E2E_STATE.pop("tmp", None)
+    if tmp:  # ivf_scanned was skipped — clean the kept e2e tree
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     _emit()
 
 

@@ -373,3 +373,23 @@ def test_engine_search_texts_fused_matches_two_stage(tmp_path, monkeypatch):
     # folder-filter fallback path returns the same shape of results
     filtered = eng.search_texts(texts[:1], k, filter_folders=[str(root)])
     assert [p for p, _ in filtered[0]] == [p for p, _ in fused[0]]
+
+
+def test_derive_int8_matrix_device_matches_host_quantize():
+    """Device-side derivation from f32 rows == host quantize_matrix_t on the
+    same values: int8 entries bit-exact (same per-vector scale rule, same
+    half-to-even rounding), scales within 1 ulp (XLA lowers /127 as a
+    reciprocal multiply), pad columns zero int8 / scale 1.0."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import derive_int8_matrix_device
+
+    rng = np.random.default_rng(23)
+    rows = _unit_rows(rng, 1000, 96)
+    n_pad = 1536
+    q_dev, s_dev = derive_int8_matrix_device(jnp.asarray(rows), n_pad)
+    mt, _ = pad_matrix_t(rows.T.copy(), tile_n=n_pad)
+    q_host, s_host = quantize_matrix_t(mt)
+    np.testing.assert_array_equal(np.asarray(q_dev), q_host)
+    np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-6)
+    assert np.all(np.asarray(q_dev)[:, 1000:] == 0)
+    assert np.all(np.asarray(s_dev)[1000:] == 1.0)

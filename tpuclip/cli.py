@@ -207,7 +207,7 @@ def build_parser() -> argparse.ArgumentParser:
     search_parser.add_argument("--profile", action="store_true", help="Show performance profiling information for search")
     search_parser.add_argument("--show-duplicates", action="store_true", help="Show duplicate images in results (default: filtered)")
     search_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
-    search_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision: bf16 (default) or int8 quantized scan with exact re-rank")
+    search_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision: int8 quantized scan with exact re-rank (TPU default) or plain bf16 scan (default elsewhere)")
 
     # Beyond the reference surface: checkpoint conversion + fine-tuning.
     convert_parser = subparsers.add_parser(

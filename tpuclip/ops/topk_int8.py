@@ -4,8 +4,10 @@ The bf16 scan is HBM-bandwidth-bound (the matrix is read once per query), so
 halving bytes halves latency: vectors quantize to symmetric per-vector int8
 (unit-norm rows → scales are near-uniform), the MXU computes exact int32
 dots, and scores rescale in fp32. Measured ranking agreement with the bf16
-scan is validated in tests (top-k recall on random unit vectors); this is an
-opt-in serving mode (`TPUCLIP_SEARCH_PRECISION=int8`), bf16 remains default.
+scan is validated in tests (top-k recall on random unit vectors). Combined
+with the fused exact rescore (:func:`topk_int8_rerank_fused`) this is the
+DEFAULT search path on TPU (results bit-equal to the bf16 scan, ~1.5x
+faster); `TPUCLIP_SEARCH_PRECISION=bf16` restores the plain full scan.
 
 Layout matches tpuclip.ops.topk: matrix transposed (D, N), padded columns,
 n_valid masking, (score desc, idx asc) ordering.
@@ -59,6 +61,33 @@ def quantize_query(q: np.ndarray) -> Tuple[np.ndarray, float]:
     scale = float(np.abs(q).max() / 127.0) or 1.0
     qi = np.clip(np.rint(q / scale), -127, 127).astype(np.int8)
     return qi, scale
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def derive_int8_matrix_device(
+    rows: jnp.ndarray, n_pad: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Derive the transposed int8 scan matrix + per-vector scales ON DEVICE
+    from the resident full-precision rows copy: (N, D) bf16/f32 rows →
+    ((D, n_pad) int8, (n_pad,) f32 scales), zero/one padding past N.
+
+    When the device-rerank copy is resident anyway (the production int8
+    configuration), this replaces the host-side ``quantize_matrix_t`` +
+    second upload: at 1M x 1152 the host pays several numpy passes over a
+    4.6 GB fp32 matrix plus a 1.15 GB transfer, all of which is a
+    sub-second jitted transpose/quantize on the chip. The int8 values come
+    from the storage-dtype rows rather than the fp32 originals — a
+    sub-quantization-step difference that only perturbs shortlist
+    selection; exact scores still come from the fused rescore.
+    """
+    n, d = rows.shape
+    mf = rows.astype(jnp.float32)
+    scales = jnp.max(jnp.abs(mf), axis=1) / 127.0          # (N,) per-vector
+    scales = jnp.where(scales == 0, 1.0, scales)
+    q = jnp.clip(jnp.round(mf / scales[:, None]), -127, 127).astype(jnp.int8)
+    q_t = jnp.zeros((d, n_pad), jnp.int8).at[:, :n].set(q.T)
+    scales_p = jnp.ones((n_pad,), jnp.float32).at[:n].set(scales)
+    return q_t, scales_p
 
 
 def quantize_queries_device(q_f32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
