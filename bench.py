@@ -292,19 +292,17 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     return batch_ms, q_batch / (batch_ms / 1000.0)
 
 
-def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
+def bench_text_query_fused(jax, n, d=1152, k=20, chain=16):
     """End-to-end text query as ONE device program: token ids → SO400M text
     tower → int8 scan → exact rescore → top-k. This is the resident
     server's whole per-query device cost (the reference runs tokenizer,
     torch forward, and a sqlite-vec scan as separate host-coupled stages).
 
-    Measured by dispatching ``iters`` distinct-input calls back-to-back and
-    fetching only the last result (device executes a single in-order queue,
-    so the final fetch bounds all of them): wall / iters ~= per-query device
-    time + amortized dispatch. The chained-scan protocol used elsewhere is
-    NOT used here — see docs/benchmarks.md on the lax.scan/remote-compile
-    wedge, and per-call block_until_ready resolves early through the tunnel,
-    so only a host data fetch is a trustworthy completion barrier."""
+    Uses the standard chained-scan protocol: round 2 avoided lax.scan here
+    after a "remote-compile wedge", which round 3 root-caused to
+    closure-captured constants, NOT the scan (scripts/repro_scan_wedge.py,
+    docs/benchmarks.md) — with params/matrices threaded as jit arguments
+    the scanned program compiles in seconds."""
     import jax.numpy as jnp
 
     from tpuclip.models.configs import get_config
@@ -318,26 +316,21 @@ def bench_text_query_fused(jax, n, d=1152, k=20, iters=24):
 
     rng = np.random.default_rng(3)
     all_ids = jnp.asarray(
-        rng.integers(0, cfg.text.vocab_size, size=(iters, 1, 64), dtype=np.int32)
+        rng.integers(0, cfg.text.vocab_size, size=(chain, 1, 64), dtype=np.int32)
     )
     mask = jnp.ones((1, 64), jnp.int32)
 
-    def call(i):
-        return text_topk_fused(
-            params, all_ids[i], mask, p["mq"], p["scales"], p["rows"], cfg, k,
-            n_valid=p["n_valid"], compute_dtype=p["dtype"], use_pallas=use_pallas,
+    def step(carry, ids, params, mq, scales, rows, n_valid):
+        s, i = text_topk_fused(
+            params, ids + (carry * 0), mask, mq, scales, rows, cfg, k,
+            n_valid=n_valid, compute_dtype=p["dtype"], use_pallas=use_pallas,
         )
+        return jnp.max(i), (s, i)
 
-    _ = np.asarray(call(0)[0])  # compile + warm (host fetch = completion)
-    samples = []
-    for _rep in range(3):
-        t0 = time.perf_counter()
-        last = None
-        for i in range(1, iters):
-            last = call(i)
-        _ = np.asarray(last[0])  # single queue: last done => all done
-        samples.append((time.perf_counter() - t0) / (iters - 1))
-    return float(np.percentile(np.array(samples), 50) * 1000)
+    return _chained_p50(
+        jax, step, all_ids, chain, jnp.zeros((), all_ids.dtype),
+        consts=(params, p["mq"], p["scales"], p["rows"], p["n_valid"]),
+    )
 
 
 def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
