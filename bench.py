@@ -628,19 +628,36 @@ def _ivf_recall_on_scanned(jax, engine, k=20, n_queries=16):
     q = x[qidx] + 0.05 * rng.standard_normal((len(qidx), x.shape[1]), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     exact = q @ x.T
-    true_sets = [set(np.argsort(-exact[r])[:k].tolist()) for r in range(len(q))]
+    # Tie-aware oracle: the bench tree replicates ~48 unique images into N
+    # byte-copies, so scores tie ~13-deep and `np.argsort`'s arbitrary
+    # tie order made recall look capped at ~0.82 FLAT in nprobe (round-3
+    # finding: a measurement artifact, not an IVF miss — expected overlap
+    # of two arbitrary tied subsets is ~0.84 here). The device contract is
+    # (score desc, idx asc); mirror it with lexsort, and also report a
+    # tie-robust score-coverage recall (returned score >= oracle's k-th).
+    true_sets, kth_scores = [], []
+    for r in range(len(q)):
+        order = np.lexsort((np.arange(n), -exact[r]))[:k]
+        true_sets.append(set(order.tolist()))
+        kth_scores.append(exact[r][order[-1]])
     out = {}
     for nprobe in (2, 4, 8):
         idx = build_ivf_device(rows_dev, k_clusters=max(8, n // 40), nprobe=nprobe)
-        _, got = ivf_topk_rerank(
+        got_s, got = ivf_topk_rerank(
             jnp.asarray(q), idx.centroids, idx.buckets, idx.bucket_scales,
             idx.bucket_rows, idx.over_t, idx.over_scales, idx.over_rows,
             rows_dev, k, idx.nprobe,
         )
-        got = np.asarray(got)
+        got, got_s = np.asarray(got), np.asarray(got_s)
         out[f"nprobe{nprobe}"] = round(
             float(np.mean([
                 len(true_sets[r] & set(got[r].tolist())) / k
+                for r in range(len(q))
+            ])), 4,
+        )
+        out[f"nprobe{nprobe}_score_recall"] = round(
+            float(np.mean([
+                np.mean(got_s[r] >= kth_scores[r] - 1e-5)
                 for r in range(len(q))
             ])), 4,
         )

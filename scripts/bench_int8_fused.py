@@ -1,13 +1,17 @@
 """Measure the fused int8-scan -> exact-rescore path on the real chip.
 
 Compares, at 1M x 1152 on one TPU:
-  int8_scan        — topk_int8_pallas alone (round-1 path before host rerank)
-  int8_fused       — topk_int8_rerank_fused (scan + shortlist + exact rescore
-                     against the resident bf16 rows, ONE device program)
-  bf16_full        — topk_pallas full-precision scan (reference)
+  int8_scan           — topk_int8_pallas alone (round-1 path before host rerank)
+  int8_fused          — topk_int8_rerank_fused with packed-key extraction
+                        (production default)
+  int8_fused_unpacked — same fused program with the (score, idx)-pair kernel
+  bf16_full           — topk_pallas full-precision scan (reference)
 
-Same chained-scan methodology as bench.py (per-call tunnel RPC would swamp
-single-digit-ms kernels).
+Chained-scan methodology as bench.py._chained_p50 (per-call tunnel RPC would
+swamp single-digit-ms kernels). All device-resident arrays are threaded as
+jit ARGUMENTS — a closure capture ships them as lowered constants through
+the remote-compile tunnel and wedges it (docs/benchmarks.md, round-3
+root-cause).
 
 Usage: python scripts/bench_int8_fused.py [N]
 """
@@ -31,29 +35,31 @@ from tpuclip.ops.topk_int8 import (
     quantize_query,
     topk_int8_pallas,
     topk_int8_rerank_fused,
+    topk_int8_xla,
 )
+from tpuclip.ops.topk import topk_xla
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
 D, K, CHAIN = 1152, 20, 32
 
 
-def chained(fn, queries):
-    @jax.jit
-    def run(queries):
-        def step(carry, q):
-            q = q + carry * 0.0
-            s, i = fn(q)
-            return jnp.max(s), (s, i)
+def chained(step, queries, consts):
+    """step(carry, q, *consts) -> (carry, (s, i)); consts are jit args."""
 
-        _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
+    @jax.jit
+    def run(queries, *consts):
+        def body(carry, q):
+            return step(carry, q, *consts)
+
+        _, outs = jax.lax.scan(body, jnp.zeros((), jnp.float32), queries)
         return outs
 
-    out = run(queries)
+    out = run(queries, *consts)
     jax.block_until_ready(out)
     samples = []
     for _ in range(5):
         t0 = time.perf_counter()
-        out = run(queries)
+        out = run(queries, *consts)
         jax.block_until_ready(out)
         samples.append((time.perf_counter() - t0) / CHAIN * 1e3)
     return float(np.median(samples)), out
@@ -67,6 +73,7 @@ def main():
     except Exception:
         pass
     on_tpu = jax.default_backend() == "tpu"
+    print(f"backend={jax.default_backend()} n={N}", flush=True)
     rng = np.random.default_rng(0)
     host = rng.standard_normal((D, N), dtype=np.float32)
     host /= np.linalg.norm(host, axis=0, keepdims=True)
@@ -80,6 +87,7 @@ def main():
     rows_d = jnp.asarray(host.T.copy(), dtype=dtype)
     matrix_bf16 = jnp.asarray(padded, dtype=dtype)
     jax.block_until_ready((mq_d, scales_d, rows_d, matrix_bf16))
+    print("device data ready", flush=True)
 
     q_host = rng.standard_normal((CHAIN, 1, D), dtype=np.float32)
     q_host /= np.linalg.norm(q_host, axis=-1, keepdims=True)
@@ -90,39 +98,52 @@ def main():
 
     qs_one = jnp.asarray(1.0, jnp.float32)
 
-    ms, _ = chained(
-        lambda q: topk_int8_pallas(q, mq_d, scales_d, qs_one, K, n_valid=n_valid)
-        if on_tpu
-        else __import__("tpuclip.ops.topk_int8", fromlist=["topk_int8_xla"]).topk_int8_xla(
-            q, mq_d, scales_d, qs_one, K, n_valid=n_valid
-        ),
-        queries_i8,
-    )
-    print(f"int8_scan   p50 {ms:.3f} ms")
+    def step_scan(carry, q, mq_d, scales_d, n_valid):
+        q = (q.astype(jnp.float32) + carry * 0.0).astype(q.dtype)
+        fn = topk_int8_pallas if on_tpu else topk_int8_xla
+        s, i = fn(q, mq_d, scales_d, qs_one, K, n_valid=n_valid)
+        return jnp.max(s), (s, i)
+
+    ms, _ = chained(step_scan, queries_i8, (mq_d, scales_d, n_valid))
+    print(f"int8_scan   p50 {ms:.3f} ms", flush=True)
+
+    def step_fused(carry, q, mq_d, scales_d, rows_d, n_valid, *, packed=True):
+        q = q + carry * 0.0
+        s, i = topk_int8_rerank_fused(
+            q, mq_d, scales_d, rows_d, K, n_valid=n_valid, use_pallas=on_tpu,
+            use_packed=packed,
+        )
+        return jnp.max(s), (s, i)
 
     ms_f, out_f = chained(
-        lambda q: topk_int8_rerank_fused(
-            q, mq_d, scales_d, rows_d, K, n_valid=n_valid, use_pallas=on_tpu
-        ),
-        queries_f32,
+        step_fused, queries_f32, (mq_d, scales_d, rows_d, n_valid)
     )
-    print(f"int8_fused  p50 {ms_f:.3f} ms")
+    print(f"int8_fused  p50 {ms_f:.3f} ms   (packed-key extraction)", flush=True)
 
-    ms_b, out_b = chained(
-        lambda q: topk_pallas(q, matrix_bf16, K, n_valid=n_valid)
-        if on_tpu
-        else __import__("tpuclip.ops.topk", fromlist=["topk_xla"]).topk_xla(
-            q, matrix_bf16, K, n_valid=n_valid
-        ),
-        queries_bf,
+    import functools
+
+    ms_u, out_u = chained(
+        functools.partial(step_fused, packed=False),
+        queries_f32, (mq_d, scales_d, rows_d, n_valid),
     )
-    print(f"bf16_full   p50 {ms_b:.3f} ms")
+    print(f"int8_fused_unpacked p50 {ms_u:.3f} ms", flush=True)
+    same = np.array_equal(np.asarray(out_f[1]), np.asarray(out_u[1]))
+    print(f"packed == unpacked results: {same}", flush=True)
+
+    def step_bf16(carry, q, matrix_bf16, n_valid):
+        q = q + carry * 0.0
+        fn = topk_pallas if on_tpu else topk_xla
+        s, i = fn(q, matrix_bf16, K, n_valid=n_valid)
+        return jnp.max(s.astype(jnp.float32)), (s, i)
+
+    ms_b, out_b = chained(step_bf16, queries_bf, (matrix_bf16, n_valid))
+    print(f"bf16_full   p50 {ms_b:.3f} ms", flush=True)
 
     # agreement: fused indices vs bf16-scan indices on the chain's queries
-    i_f = np.asarray(out_f[1][1]).reshape(CHAIN, K)
-    i_b = np.asarray(out_b[1][1]).reshape(CHAIN, K)
+    i_f = np.asarray(out_f[1]).reshape(CHAIN, K)
+    i_b = np.asarray(out_b[1]).reshape(CHAIN, K)
     agree = float((i_f == i_b).mean())
-    print(f"fused-vs-bf16 index agreement: {agree:.4f}")
+    print(f"fused-vs-bf16 index agreement: {agree:.4f}", flush=True)
 
 
 if __name__ == "__main__":

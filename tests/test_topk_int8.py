@@ -171,12 +171,69 @@ def test_fused_rerank_matches_full_precision_oracle(data):
     for kwargs in (
         dict(use_pallas=False),
         dict(use_pallas=True, tile_n=1024, interpret=True),
+        dict(use_pallas=True, tile_n=1024, interpret=True, use_packed=False),
     ):
         s, i = topk_int8_rerank_fused(
             jnp.asarray(queries[:3]), jnp.asarray(mq), jnp.asarray(scales),
             jnp.asarray(rows), k, shortlist=256, n_valid=nv_arr, **kwargs
         )
         assert_topk_oracle(i, ref_i, s, ref_s, rtol_device=5e-3, atol_device=5e-3)
+
+
+def test_fused_rerank_packed_matches_unpacked(data):
+    """The packed-key shortlist kernel (production default) must yield the
+    same final results as the (score, idx)-pair kernel it replaced: the key
+    truncation (2^-11 relative) only perturbs shortlist tie selection, and
+    the exact rescore makes the outputs identical whenever the shortlist
+    covers the true top-k (property also probed on hardware:
+    scripts/probe_topk_int8.py, overlap 1.0000@512)."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+    matrix, queries = data
+    n, d, k = 8192, 128, 15
+    rows = matrix[:n]
+    mt, nv = pad_matrix_t(rows.T.copy(), tile_n=1024)
+    mq, scales = quantize_matrix_t(mt)
+    nv_arr = jnp.asarray(nv, jnp.int32)
+    args = (jnp.asarray(queries[:4]), jnp.asarray(mq), jnp.asarray(scales),
+            jnp.asarray(rows), k)
+    kw = dict(shortlist=256, n_valid=nv_arr, use_pallas=True, tile_n=1024,
+              interpret=True)
+    s_p, i_p = topk_int8_rerank_fused(*args, use_packed=True, **kw)
+    s_u, i_u = topk_int8_rerank_fused(*args, use_packed=False, **kw)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_u))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_u), rtol=1e-6)
+
+
+def test_pack_keys_roundtrip_ordering():
+    """_pack_keys is order-preserving past truncation and the lane index
+    unpacks exactly; -inf lanes fall at or below _NEGINF_KEY_MAX."""
+    import jax
+
+    from tpuclip.ops.topk_int8 import _IDX_MASK, _NEGINF_KEY_MAX, _pack_keys
+
+    rng = np.random.default_rng(7)
+    scores = np.concatenate([
+        rng.standard_normal(500).astype(np.float32) * 10,
+        np.asarray([0.0, -0.0, 1e-30, -1e-30, 3.4e38, -3.4e38], np.float32),
+        np.full(6, -np.inf, np.float32),
+    ])[None, :]
+    keys = np.asarray(_pack_keys(jnp.asarray(scores)))[0]
+    finite = np.isfinite(scores[0])
+    assert np.all(keys[~finite] <= _NEGINF_KEY_MAX)
+    assert np.all(keys[finite] > _NEGINF_KEY_MAX)
+    # lane unpack is exact
+    u = keys.view(np.uint32) ^ np.uint32(0x80000000)
+    lanes = (np.uint32(_IDX_MASK) - (u & np.uint32(_IDX_MASK))).astype(np.int32)
+    np.testing.assert_array_equal(lanes, np.arange(scores.shape[1]))
+    # key order == score order wherever scores differ beyond truncation
+    order_keys = np.argsort(-keys[finite], kind="stable")
+    order_scores = np.argsort(-scores[0][finite], kind="stable")
+    s_sorted = scores[0][finite][order_scores]
+    distinct = np.abs(np.diff(s_sorted)) > np.abs(s_sorted[:-1]) * 2**-10 + 1e-35
+    keep = np.concatenate([[True], distinct]) & np.concatenate([distinct, [True]])
+    np.testing.assert_array_equal(order_keys[keep], order_scores[keep])
 
 
 def test_fused_rerank_small_index_edge():

@@ -150,6 +150,132 @@ def _int8_topk_kernel(
 # double-buffers inside the 16 MB VMEM. 8192 does not fit (2x9.4 MB).
 INT8_TILE_N = 6144
 
+# Packed-key extraction: the tile-local lane index rides in the low bits of
+# a monotonic int32 key, so the per-candidate VPU loop needs only a
+# max-reduce + mask pass (no index-locate pass). 13 bits covers lanes up to
+# 8191 >= INT8_TILE_N-1.
+_IDX_BITS = 13
+_IDX_MASK = (1 << _IDX_BITS) - 1
+# Largest int32 key a masked (-inf) lane can produce: -inf bits 0xFF800000
+# sign-flip to u=0x007FFFFF, truncate + max lane term + final sign-bias →
+# 0x807FFFFF. Any finite score keys strictly above this; the k_pad padding
+# sentinel INT32_MIN is below it. "key <= this" ⇒ invalid candidate.
+_NEGINF_KEY_MAX = -2139095041  # int32(0x807FFFFF)
+
+
+def _pack_keys(scores: jnp.ndarray) -> jnp.ndarray:
+    """f32 scores → monotonic int32 keys carrying the lane index.
+
+    Standard unsigned-order float mapping (flip all bits of negatives, flip
+    only the sign bit of non-negatives), truncate the low ``_IDX_BITS``
+    (2^-11 relative precision — far below the ~1e-3 int8 quantization noise
+    already present in shortlist selection), OR in ``_IDX_MASK - lane`` so
+    truncation ties break to the LOWEST lane, and bias back to signed so
+    ``jnp.max`` orders correctly. Keys are unique per lane, so the
+    extraction loop's equality mask removes exactly one lane per round."""
+    u = jax.lax.bitcast_convert_type(scores, jnp.uint32)
+    flip = jnp.where(
+        (u >> 31) == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000)
+    )
+    u = u ^ flip
+    lane = (
+        jax.lax.broadcasted_iota(jnp.uint32, scores.shape, 1)
+        & jnp.uint32(_IDX_MASK)
+    )
+    key = (u & jnp.uint32(~_IDX_MASK & 0xFFFFFFFF)) | (jnp.uint32(_IDX_MASK) - lane)
+    return jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def _int8_packed_kernel(
+    q_ref, m_ref, scales_ref, meta_ref, keys_ref,
+    *, k: int, k_pad: int, tile_n: int, out_rows: int,
+):
+    """Packed-key variant of :func:`_int8_topk_kernel`: emits int32 keys
+    (truncated score | tile-local index) instead of (score, idx) pairs.
+    Measured 10–14% faster end-to-end at 1M rows (the max-and-mask loop
+    halves its VPU passes; scripts/probe_topk_int8.py: 5.79 vs 6.47 ms at
+    k_tile=80, shortlist overlap 1.0000@512). Only the FUSED rescore path
+    uses it — exact scores come from the rescore, so the key truncation
+    never reaches a returned score."""
+    base = pl.program_id(0) * tile_n
+    acc = jax.lax.dot_general(
+        q_ref[:], m_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc[:out_rows].astype(jnp.float32) * scales_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(col < meta_ref[0, 0], scores, _NEG_INF)
+    keys = _pack_keys(scores)
+    outs = []
+    for _ in range(k):
+        best = jnp.max(keys, axis=1)
+        outs.append(best)
+        keys = jnp.where(keys == best[:, None], jnp.iinfo(jnp.int32).min, keys)
+    out = jnp.stack(outs, axis=1)
+    if k_pad > k:
+        out = jnp.pad(
+            out, ((0, 0), (0, k_pad - k)),
+            constant_values=jnp.iinfo(jnp.int32).min,
+        )
+    keys_ref[:] = out
+
+
+def _int8_candidates_packed(
+    q_int8: jnp.ndarray,
+    matrix_int8_t: jnp.ndarray,
+    scales: jnp.ndarray,
+    k_tile: int,
+    n_valid: jnp.ndarray,
+    tile_n: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Per-tile top-``k_tile`` packed keys, (out_rows, num_tiles*k_pad) with
+    k_pad = k_tile rounded up to 128; padding lanes carry INT32_MIN.
+    Callers recover global row indices via ``pos // k_pad * tile_n + local``
+    where ``local`` unpacks from the key's low bits."""
+    q_count, d = q_int8.shape
+    n = matrix_int8_t.shape[1]
+    tile = min(tile_n, n)
+    assert n % tile == 0, "matrix must be pre-padded to the tile size"
+    assert tile <= _IDX_MASK + 1, "tile too wide for packed lane bits"
+    num_tiles = n // tile
+
+    q_pad = (-q_count) % 32
+    if q_pad:
+        q_int8 = jnp.pad(q_int8, ((0, q_pad), (0, 0)))
+    qp = q_int8.shape[0]
+    out_rows = min(qp, max(8, -(-q_count // 8) * 8))
+
+    k_pad = -(-k_tile // 128) * 128
+    kernel = functools.partial(
+        _int8_packed_kernel, k=k_tile, k_pad=k_pad, tile_n=tile, out_rows=out_rows
+    )
+    keys = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((out_rows, k_pad), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((out_rows, num_tiles * k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=n * d + qp * d + n * 4,
+            transcendentals=0,
+        ),
+    )(q_int8, matrix_int8_t, scales.reshape(1, -1),
+      jnp.reshape(n_valid.astype(jnp.int32), (1, 1)))[0]
+    return keys
+
 
 def _int8_candidates(
     q_int8: jnp.ndarray,
@@ -271,7 +397,8 @@ def topk_int8_xla(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "shortlist", "tile_n", "use_pallas", "interpret")
+    jax.jit,
+    static_argnames=("k", "shortlist", "tile_n", "use_pallas", "use_packed", "interpret"),
 )
 def topk_int8_rerank_fused(
     q_f32: jnp.ndarray,          # (Q, D) float32 queries (unquantized)
@@ -283,6 +410,7 @@ def topk_int8_rerank_fused(
     n_valid: Optional[jnp.ndarray] = None,
     tile_n: int = INT8_TILE_N,
     use_pallas: bool = True,
+    use_packed: bool = True,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ONE device program: int8 scan -> top-``shortlist`` merge -> gather the
@@ -333,18 +461,42 @@ def topk_int8_rerank_fused(
         # it), plus proportional shortlist headroom — NOT shortlist-deep
         # (the k-round extraction runs per tile; keep it cheap).
         k_tile = min(128, max(4 * k_eff, 2 * (-(-m // num_tiles))))
-        scores_q, rows_q = _int8_candidates(
-            qi, matrix_int8_t, scales, k_tile, n_valid, tile_n, interpret
-        )
-        scores_q, rows_q = scores_q[:q_count], rows_q[:q_count]
-        m = min(m, rows_q.shape[1])
+        if use_packed and min(tile_n, n) <= _IDX_MASK + 1:
+            # Packed-key extraction (default): ~10-14% faster scan, same
+            # shortlist (probe: overlap 1.0000@512); key truncation only
+            # perturbs shortlist tie selection, never returned scores.
+            keys = _int8_candidates_packed(
+                qi, matrix_int8_t, scales, k_tile, n_valid, tile_n, interpret
+            )[:q_count]
+            k_pad = -(-k_tile // 128) * 128
+            m = min(m, keys.shape[1])
+            top_keys, pos = jax.lax.top_k(keys, m)
+            u = (
+                jax.lax.bitcast_convert_type(top_keys, jnp.uint32)
+                ^ jnp.uint32(0x80000000)
+            )
+            local = (jnp.uint32(_IDX_MASK) - (u & jnp.uint32(_IDX_MASK))).astype(
+                jnp.int32
+            )
+            cand = (pos // k_pad) * min(tile_n, n) + local
+            cand_invalid = top_keys <= jnp.int32(_NEGINF_KEY_MAX)
+        else:
+            scores_q, rows_q = _int8_candidates(
+                qi, matrix_int8_t, scales, k_tile, n_valid, tile_n, interpret
+            )
+            scores_q, rows_q = scores_q[:q_count], rows_q[:q_count]
+            m = min(m, rows_q.shape[1])
+            top_s, pos = jax.lax.top_k(scores_q, m)
+            cand = jnp.take_along_axis(rows_q, pos, axis=1)
+            cand_invalid = jnp.isneginf(top_s)
     else:
         scores_q, rows_q = topk_int8_xla(
             qi, matrix_int8_t, scales, jnp.asarray(1.0, jnp.float32),
             m, n_valid=n_valid,
         )
-    top_s, pos = jax.lax.top_k(scores_q, m)
-    cand = jnp.take_along_axis(rows_q, pos, axis=1)  # (Q, M) row indices
+        top_s, pos = jax.lax.top_k(scores_q, m)
+        cand = jnp.take_along_axis(rows_q, pos, axis=1)  # (Q, M) row indices
+        cand_invalid = jnp.isneginf(top_s)
 
     # Exact rescore: gather candidate rows and dot with f32 accumulation.
     # To return the SAME scores the bf16 scan computes, the query must be
@@ -367,7 +519,7 @@ def topk_int8_rerank_fused(
     exact = jnp.einsum(
         "qmd,qd->qm", gathered, qr, preferred_element_type=jnp.float32
     )
-    invalid = (cand < 0) | (cand >= n_rows) | jnp.isneginf(top_s)
+    invalid = (cand < 0) | (cand >= n_rows) | cand_invalid
     exact = jnp.where(invalid, _NEG_INF, exact)
     sort_rows = jnp.where(invalid, jnp.iinfo(jnp.int32).max, cand)
     order = jnp.lexsort((sort_rows, -exact), axis=-1)[:, :k_eff]
