@@ -27,6 +27,16 @@ Timeout-proofing (round 2 lost every number to the driver timeout, rc=124):
   thread fires even while the main thread is stuck inside a C++ call that
   holds no GIL), the partial result dict is flushed as the final JSON line
   and the process exits 0.
+- **Progressive emission**: the cumulative result JSON is printed after
+  EVERY completed sub-bench, so even an un-catchable SIGKILL at any moment
+  leaves the richest-so-far result as the last complete stdout line (the
+  driver reads the last line; earlier lines are strict prefixes of it).
+- **Session warmer + stall credit**: the dev tunnel's remote worker
+  cold-starts on the first substantial program of a process — measured
+  stalls of 0 s to 17+ min, independent of compile-cache hits. A tiny
+  sacrificial program absorbs the stall first, and the budget clock restarts
+  (bounded by TPUCLIP_BENCH_STALL_CREDIT_S) when it completes, so the real
+  benches get their full budget regardless of tunnel weather.
 - Results accumulate into a global dict as each sub-bench lands, so a flush
   at any moment carries every number measured so far.
 
@@ -65,21 +75,44 @@ _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 _DONE = threading.Event()
 
+# The budget clock starts AFTER the session warmer: the dev tunnel's remote
+# compile/execute worker cold-starts on the first substantial program of a
+# process, stalling it anywhere from 0 s to 17+ min (measured; cache hit or
+# miss alike). That stall is environment overhead, not measurement time, so
+# the warmer credits it back by moving this anchor. Capped so a truly wedged
+# tunnel still flushes before any plausible driver timeout.
+_BUDGET_T0 = _T0
+_STALL_CREDIT_CAP_S = float(os.environ.get("TPUCLIP_BENCH_STALL_CREDIT_S", 900))
+
 
 def _dbg(msg: str) -> None:
-    """Progress trace on STDERR (stdout carries only the final JSON line)."""
+    """Progress trace on STDERR (stdout carries only JSON lines)."""
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _emit():
-    """Print the (possibly partial) result exactly once."""
+def _credit_stall():
+    """Restart the budget clock (bounded) after the session warmer."""
+    global _BUDGET_T0
+    now = time.perf_counter()
+    _BUDGET_T0 = min(now, _T0 + _STALL_CREDIT_CAP_S)
+    RESULT["session_warm_stall_credit_s"] = round(_BUDGET_T0 - _T0, 1)
+
+
+def _emit(final: bool = True):
+    """Print the cumulative result as ONE JSON line.
+
+    Called with final=False after every completed sub-bench: whatever kills
+    this process at ANY later moment (driver timeout included) leaves the
+    richest-so-far result as the last complete stdout line. The final/flush
+    call wins the lock once and marks emission done."""
     global _EMITTED
     with _EMIT_LOCK:
         if _EMITTED:
             return
-        _EMITTED = True
         RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
         print(json.dumps(RESULT), flush=True)
+        if final:
+            _EMITTED = True
 
 
 def _flush_and_exit(signum, _frame):
@@ -90,9 +123,8 @@ def _flush_and_exit(signum, _frame):
 
 
 def _watchdog():
-    deadline = _T0 + BUDGET_S + WATCHDOG_GRACE_S
     while not _DONE.wait(2.0):
-        if time.perf_counter() > deadline:
+        if time.perf_counter() > _BUDGET_T0 + BUDGET_S + WATCHDOG_GRACE_S:
             RESULT["partial"] = True
             RESULT["watchdog_flush"] = True
             _emit()
@@ -100,7 +132,7 @@ def _watchdog():
 
 
 def _remaining() -> float:
-    return BUDGET_S - (time.perf_counter() - _T0)
+    return BUDGET_S - (time.perf_counter() - _BUDGET_T0)
 
 
 # =============================================================================
@@ -451,7 +483,7 @@ def bench_ivf(jax, n, d=1152, k=20, chain=32):
     p50 = float(np.percentile(np.array(times), 50) * 1000)
 
     # recall vs the exact scan over the same resident rows
-    got = np.asarray(out[1][1]).reshape(chain, k)
+    got = np.asarray(out[1]).reshape(chain, k)
 
     @jax.jit
     def exact_topk(queries, rows_dev):
@@ -561,8 +593,21 @@ def bench_end_to_end_scan(jax):
     try:
         from tpuclip.engine import ImageDatabase
 
-        warm_dir = make_jpeg_tree(os.path.join(tmp, "warm"), 2 * batch + 16)
+        _dbg("e2e: building JPEG trees")
         main_dir = make_jpeg_tree(os.path.join(tmp, "imgs"), n)
+        # Warm tree: byte-copies of the main tree's unique JPEGs (encoding
+        # another 48 uniques would double the tree-build cost for images
+        # whose only job is compiling the embed program).
+        warm_dir = os.path.join(tmp, "warm")
+        os.makedirs(warm_dir, exist_ok=True)
+        import shutil as _sh
+
+        mains = []
+        for dp, _, fns in os.walk(main_dir):
+            mains.extend(os.path.join(dp, f) for f in sorted(fns))
+        for i in range(2 * batch + 16):
+            _sh.copyfile(mains[i % len(mains)], os.path.join(warm_dir, f"w_{i:04d}.jpg"))
+        _dbg("e2e: trees ready")
 
         # Decode-only rate on the same files: quantifies how host-bound the
         # e2e number is (this dev host has ONE core; prod hosts have many).
@@ -575,12 +620,15 @@ def bench_end_to_end_scan(jax):
         t0 = time.perf_counter()
         count = sum(len(b.items) for b in prefetch_batches(iter(files), batch, 224))
         decode_rate = count / (time.perf_counter() - t0)
+        _dbg(f"e2e: decode-only pass done ({decode_rate:.0f} img/s)")
 
         engine = ImageDatabase(
             db_path=os.path.join(tmp, "bench.db"), inference_batch_size=batch
         )
+        _dbg("e2e: engine init done")
         # Warm-up scan compiles the embed program and opens the DB paths.
         engine.scan_directory(warm_dir, batch_size=75)
+        _dbg("e2e: warm scan done")
         t0 = time.perf_counter()
         engine.scan_directory(main_dir, batch_size=75)
         dt = time.perf_counter() - t0
@@ -715,6 +763,19 @@ def main():
                 _dbg(f"{name}: ERROR {e}")
             timings[name] = round(time.perf_counter() - t0, 1)
             _dbg(f"{name}: done in {timings[name]}s")
+            # Progressive emission: keep the last stdout line a complete,
+            # ever-richer JSON result whatever kills us later.
+            _emit(final=False)
+
+        def _session_warm():
+            # Sacrificial first program: the dev tunnel intermittently stalls
+            # the FIRST substantial program a process runs (measured 0s to
+            # 17 min — cache hit or miss, Pallas or not; every later program
+            # is fast). Absorb that stall with a 2-tile version of the fused
+            # search program (same structure as the headline, ~5 s compile
+            # cold, <2 s cached) so the real benches see a warmed session.
+            p50 = bench_query_latency_int8_fused(jax, 2 * 6144, chain=8)
+            RESULT["session_warm_tiny_p50_ms"] = round(p50, 3)
 
         def _headline():
             # Production default path: int8 scan + on-device exact rescore
@@ -814,14 +875,20 @@ def main():
 
         # Priority order: the driver-visible north-star numbers first, then
         # the serving-path extras, then the expensive/fragile ones.
-        run("headline", 150, _headline, required=True)
-        run("bf16_scan", 150, _bf16_scan)
+        # Estimates assume the compile cache is warm (it is committed to the
+        # home dir by the round's own runs); the session warmer up front
+        # absorbs the tunnel's intermittent first-program stall so the
+        # budget math holds for everything after it.
+        run("session_warm", 0, _session_warm, required=True)
+        _credit_stall()
+        run("headline", 30, _headline, required=True)
         run("indexing", 60, _indexing)
-        run("batch", 45, _batch)
-        run("e2e", 130, _e2e)
-        run("binary", 60, _binary)
-        run("int8", 45, _int8)
-        run("text_fused", 90, _text_fused)
+        run("e2e", 150, _e2e)
+        run("bf16_scan", 20, _bf16_scan)
+        run("batch", 15, _batch)
+        run("binary", 30, _binary)
+        run("int8", 15, _int8)
+        run("text_fused", 45, _text_fused)
         run("ivf_scanned", 120, _ivf_scanned)
         run("ivf", 120, _ivf)
     except Exception as e:  # noqa: BLE001

@@ -109,6 +109,20 @@ def main(out_path: str) -> int:
         idx_equal=bool(np.array_equal(np.asarray(if_), np.asarray(iref))),
     )
 
+    # Packed-key shortlist extraction (production default) vs the
+    # (score, idx)-pair kernel: identical final output on hardware.
+    su, iu = topk_int8_rerank_fused(
+        jnp.asarray(qf), jnp.asarray(mq), jnp.asarray(scales), rows_dev, 20,
+        n_valid=jnp.asarray(nv, jnp.int32), use_pallas=backend == "tpu",
+        use_packed=False,
+    )
+    record(
+        "int8_fused_packed_vs_unpacked",
+        np.array_equal(np.asarray(if_), np.asarray(iu))
+        and np.allclose(np.asarray(sf), np.asarray(su), rtol=1e-6, atol=0),
+        idx_equal=bool(np.array_equal(np.asarray(if_), np.asarray(iu))),
+    )
+
     bits = rng.integers(0, 2, (40_000, 1152), dtype=np.uint8)
     qb = rng.integers(0, 2, (1, 1152), dtype=np.uint8)
     s, i = binary_topk_packed(

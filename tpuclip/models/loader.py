@@ -23,7 +23,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 
 from tpuclip.models import convert
 from tpuclip.models.configs import (
@@ -79,7 +78,9 @@ def load_model(
 ) -> Tuple[SiglipConfig, Params]:
     """Resolve and load a model: local cache first, then error (or random).
 
-    Returns fp32 params on host; callers cast/shard for device residency.
+    Checkpoint loads return fp32 params on host; the random-init path
+    returns fp32 params already on the default device (see below). Callers
+    cast/shard for device residency either way.
     """
     local = find_local_checkpoint(model_name, model_cache_dir)
     if local is not None:
@@ -97,8 +98,13 @@ def load_model(
             "the pretrained model."
         )
         cfg = get_config(model_name) if model_name in PRESETS else get_config(DEFAULT_MODEL)
-        params = init_params(jax.random.PRNGKey(seed), cfg)
-        params = jax.tree.map(np.asarray, params)
+        # ONE jitted device program: eager init dispatches hundreds of tiny
+        # RNG ops (each a round trip on a remote-tunnel backend) and a host
+        # pull-back of the full tree (1.6 GB for SO400M) that the engine
+        # would immediately re-upload — measured 280 s of a 322 s e2e bench
+        # before this. Callers cast/device_put the returned device arrays;
+        # both are on-device no-copy ops.
+        params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(seed))
         return cfg, params
 
     raise FileNotFoundError(
