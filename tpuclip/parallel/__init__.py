@@ -4,5 +4,6 @@ from tpuclip.parallel.mesh import (  # noqa: F401
     make_mesh,
     maybe_distributed_init,
 )
+from tpuclip.parallel.sharded_ivf import shard_ivf, sharded_ivf_search  # noqa: F401
 from tpuclip.parallel.sharded_search import ShardedIndex, sharded_topk  # noqa: F401
 from tpuclip.parallel.sharding import param_shardings, shard_params  # noqa: F401
