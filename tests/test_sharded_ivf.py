@@ -132,6 +132,49 @@ def test_uneven_cluster_and_overflow_axes(mesh8):
     np.testing.assert_allclose(s, ref_s, rtol=2e-5, atol=2e-6)
 
 
+def test_device_index_mesh_ivf_mode(mesh8, tmp_path, monkeypatch):
+    """DeviceIndex(mesh=...) with TPUCLIP_SEARCH_MODE=ivf serves through the
+    sharded IVF: high recall, exact scores, search == search_batch."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "ivf")
+    n, d, k = 2048, 64, 10
+    vecs, centers = _clustered(n, d, modes=16, seed=11)
+    store = MetadataStore(str(tmp_path / "sivf.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    store.commit_with_retry(
+        conn.cursor(), conn,
+        [(f"/d/{i}.jpg", float(i), "h", vecs[i]) for i in range(n)],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    idx = DeviceIndex(store, precision="int8", mesh=mesh8, matrix_dtype=jnp.float32)
+    idx.refresh()
+    assert idx._ivf_sharded is not None, "mesh IVF should have been built"
+    rng = np.random.default_rng(12)
+    qs = centers[rng.integers(0, 16, 4)] + 0.04 * rng.standard_normal(
+        (4, d)
+    ).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    exact = vecs @ qs.T
+    batched = idx.search_batch(qs, k)
+    for q in range(4):
+        single = idx.search(qs[q], k)
+        assert [p for p, _ in single] == [p for p, _ in batched[q]]
+        true = set(np.argsort(-exact[:, q])[:k].tolist())
+        got = {int(p.rsplit("/", 1)[1].split(".")[0]) for p, _ in single}
+        assert len(true & got) / k >= 0.9
+        for p, s in single:
+            row = int(p.rsplit("/", 1)[1].split(".")[0])
+            np.testing.assert_allclose(s, exact[row, q], rtol=2e-5, atol=2e-6)
+
+
 def test_bf16_rows_match_flat_rescore_contract(mesh8):
     """With bf16 embedded rows the rescore must reproduce the flat fused
     path's scores (bit-rounded query) for the rows both return."""

@@ -87,9 +87,11 @@ class DeviceIndex:
         # "exact" (default) scans every row; "ivf" probes balanced k-means
         # buckets + an always-scanned overflow block (index/ivf.py) — ~10-30x
         # smaller scan at >=0.95 measured recall, exact scores via the same
-        # device rescore. Requires int8 + device-rerank copy; single-device.
+        # device rescore. Requires int8 + device-rerank copy. With a mesh the
+        # cluster-sharded variant serves (parallel/sharded_ivf.py).
         self.search_mode = os.environ.get("TPUCLIP_SEARCH_MODE", "exact")
         self._ivf = None
+        self._ivf_sharded = None  # mesh analog (parallel/sharded_ivf.py)
         self._rows_device = None  # (N_rows, D) bf16/f32 row-major, int8 mode
         self._host_vectors = None  # fp32 memmap, row-aligned with _ids
         self._scales: Optional[jnp.ndarray] = None
@@ -123,6 +125,7 @@ class DeviceIndex:
         # IVF referencing the previous matrix's row numbering. The previous
         # index is kept locally so a rebuild can reuse its centroids.
         prev_ivf, self._ivf = self._ivf, None
+        self._ivf_sharded = None
         if len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
@@ -164,6 +167,26 @@ class DeviceIndex:
                             jnp.asarray(rows),
                             NamedSharding(self.mesh, P(DATA_AXIS, None)),
                         )
+                        if self.search_mode == "ivf" and len(ids) >= 64:
+                            # Mesh IVF: host build (the unsharded rows may
+                            # not fit ONE chip of a real slice), then the
+                            # cluster-sharded placement with embedded
+                            # storage-dtype rows (parallel/sharded_ivf.py).
+                            from tpuclip.index.ivf import build_ivf
+                            from tpuclip.parallel.sharded_ivf import shard_ivf
+
+                            ivf_host = build_ivf(
+                                np.asarray(vectors, np.float32)
+                            )
+                            self._ivf_sharded = shard_ivf(
+                                ivf_host, jnp.asarray(rows), self.mesh
+                            )
+                            log(
+                                "  sharded IVF index built: "
+                                f"{ivf_host.centroids.shape[0]} buckets over "
+                                f"{self.mesh.shape[DATA_AXIS]} devices, "
+                                f"nprobe {ivf_host.nprobe}"
+                            )
                 else:
                     self._matrix = shard_matrix(
                         jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
@@ -334,12 +357,17 @@ class DeviceIndex:
             ndev = self.mesh.shape[DATA_AXIS]
         # per-chip bytes: both the int8 matrix and the full copy shard
         total_bytes = n_rows * d * (1 + itemsize) / ndev
-        if self.search_mode == "ivf" and self.mesh is None:
-            # IVF is single-device: its bucket blocks live alongside the flat
-            # int8 matrix and the rerank copy, so they count against the same
-            # budget (unaccounted, a large index passes the gate then OOMs
-            # during build — exactly the large-N regime IVF targets).
-            total_bytes += self._ivf_footprint_bytes(n_rows, d)
+        if self.search_mode == "ivf":
+            # IVF blocks live alongside the flat int8 matrix and the rerank
+            # copy, so they count against the same budget (unaccounted, a
+            # large index passes the gate then OOMs during build — exactly
+            # the large-N regime IVF targets). The mesh variant additionally
+            # embeds a storage-dtype row per bucket slot
+            # (parallel/sharded_ivf.py), all sharded over the mesh.
+            extra = self._ivf_footprint_bytes(n_rows, d)
+            if self.mesh is not None:
+                extra += int(n_rows * 1.5) * d * itemsize
+            total_bytes += extra / ndev
         budget = float(os.environ.get("TPUCLIP_DEVICE_RERANK_MAX_GB", "8"))
         return total_bytes / 1e9 <= budget
 
@@ -408,6 +436,16 @@ class DeviceIndex:
             else None
         )
         if (
+            self.precision == "int8"
+            and mask is None
+            and self._ivf_sharded is not None
+            and k <= 128
+        ):
+            from tpuclip.parallel.sharded_ivf import sharded_ivf_search
+
+            scores, rows = sharded_ivf_search(self._ivf_sharded, q, k)
+            scores, rows = np.asarray(scores), np.asarray(rows)
+        elif (
             self.precision == "int8"
             and mask is None
             and self._rows_device is not None
@@ -525,7 +563,16 @@ class DeviceIndex:
         )
         if self.mesh is not None:
             if self.precision == "int8":
-                if mask is None and self._rows_device is not None and k <= 128:
+                if mask is None and self._ivf_sharded is not None and k <= 128:
+                    # Mesh IVF: per-shard local probe + embedded-row exact
+                    # rescore, one all_gather merge (parallel/sharded_ivf.py).
+                    from tpuclip.parallel.sharded_ivf import sharded_ivf_search
+
+                    scores, rows = sharded_ivf_search(
+                        self._ivf_sharded,
+                        np.asarray(query, np.float32).reshape(1, -1), k,
+                    )
+                elif mask is None and self._rows_device is not None and k <= 128:
                     # Distributed fused path: per-shard int8 scan + exact
                     # rescore against the row-sharded full-precision copy,
                     # one all_gather candidate merge — no host re-rank.
