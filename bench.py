@@ -324,7 +324,7 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     return batch_ms, q_batch / (batch_ms / 1000.0)
 
 
-def bench_text_query_fused(jax, n, d=1152, k=20, chain=16):
+def bench_text_query_fused(jax, n, d=1152, k=20, chain=32):
     """End-to-end text query as ONE device program: token ids → SO400M text
     tower → int8 scan → exact rescore → top-k. This is the resident
     server's whole per-query device cost (the reference runs tokenizer,
@@ -851,6 +851,12 @@ def main():
             batch_ms, qps = bench_batch_throughput(jax, n)
             RESULT["int8_fused_batch16_ms"] = round(batch_ms, 3)
             RESULT["int8_fused_batch16_qps"] = round(qps)
+            # The serve micro-batcher groups up to 64 concurrent queries
+            # (serve.py:MicroBatcher max_batch) — the matrix read amortizes
+            # further, so 64 is the serving-throughput ceiling per pass.
+            batch_ms, qps = bench_batch_throughput(jax, n, q_batch=64, iters=4)
+            RESULT["int8_fused_batch64_ms"] = round(batch_ms, 3)
+            RESULT["int8_fused_batch64_qps"] = round(qps)
 
         def _binary():
             RESULT["binary_p50_ms"] = round(

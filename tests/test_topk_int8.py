@@ -206,6 +206,34 @@ def test_fused_rerank_packed_matches_unpacked(data):
     np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_u), rtol=1e-6)
 
 
+def test_fused_rerank_wide_query_batch_narrows_tile(data):
+    """q=64 (the serve micro-batcher's max) must select a narrower Pallas
+    tile: the 6144 tile's scoped VMEM overflows at wide batches (measured
+    17.38 M vs the 16 M limit on v5e). Results must still match the
+    unpadded oracle."""
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import INT8_TILE_N, topk_int8_rerank_fused
+
+    matrix, _ = data
+    n, d, k, q_count = INT8_TILE_N, 96, 5, 64
+    rng = np.random.default_rng(21)
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    queries = rng.standard_normal((q_count, d)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    mt, nv = pad_matrix_t(rows.T.copy(), tile_n=INT8_TILE_N)
+    mq, scales = quantize_matrix_t(mt)
+    s, i = topk_int8_rerank_fused(
+        jnp.asarray(queries), jnp.asarray(mq), jnp.asarray(scales),
+        jnp.asarray(rows), k, n_valid=jnp.asarray(nv, jnp.int32),
+        use_pallas=True, interpret=True,
+    )
+    exact = queries @ rows.T
+    for r in range(q_count):
+        order = np.lexsort((np.arange(n), -exact[r]))[:k]
+        np.testing.assert_array_equal(np.asarray(i)[r], order)
+
+
 def test_pack_keys_roundtrip_ordering():
     """_pack_keys is order-preserving past truncation and the lane index
     unpacks exactly; -inf lanes fall at or below _NEGINF_KEY_MAX."""

@@ -451,6 +451,17 @@ def topk_int8_rerank_fused(
     # path keeps the exact per-k depth instead of silently truncating.
     m = min(max(shortlist, 4 * k_eff), n)
     use_pallas = use_pallas and k_eff <= 128
+    # VMEM scaling with the query batch: the kernel's scoped stack holds the
+    # (D, tile) int8 block twice (double buffer) plus (qp, tile) int32/f32
+    # accumulators — at q=64 the 6144 tile overflows the 16 MB limit
+    # (measured: 17.38 M requested). Narrow the tile as qp grows; 3072 and
+    # 2048 divide any INT8_TILE_N-padded width, so the same matrix serves
+    # every batch size.
+    qp_est = q_count + ((-q_count) % 32)
+    if use_pallas and tile_n == INT8_TILE_N and qp_est > 32:
+        narrower = 3072 if qp_est <= 64 else 2048
+        if n % narrower == 0:
+            tile_n = narrower
     if use_pallas and n >= tile_n and n % tile_n == 0:
         num_tiles = n // min(tile_n, n)
         # Per-tile depth: any single tile must be able to supply 4x the final
