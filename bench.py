@@ -123,6 +123,7 @@ def _flush_and_exit(signum, _frame):
 
 
 def _watchdog():
+    last_beat = _T0
     while not _DONE.wait(2.0):
         now = time.perf_counter()
         if RESULT.get("value") is None and now < _T0 + _STALL_CREDIT_CAP_S:
@@ -130,8 +131,12 @@ def _watchdog():
             # measured: flushing now would record a null value while the
             # tunnel may yet come up (measured init stalls reach 17+ min).
             # Hold until the stall-credit cap; the driver's own timeout is
-            # the absolute backstop, and the bootstrap JSON line printed at
-            # startup keeps even a hard kill parseable.
+            # the absolute backstop. A ~60 s heartbeat line keeps the last
+            # stdout line fresh (elapsed + stage) if that timeout SIGKILLs
+            # us mid-stall — nothing enforces that it exceeds the cap.
+            if now - last_beat > 60.0:
+                last_beat = now
+                _emit(final=False)
             continue
         if now > _BUDGET_T0 + BUDGET_S + WATCHDOG_GRACE_S:
             RESULT["partial"] = True

@@ -132,6 +132,30 @@ def test_uneven_cluster_and_overflow_axes(mesh8):
     np.testing.assert_allclose(s, ref_s, rtol=2e-5, atol=2e-6)
 
 
+def test_boundary_shard_cluster_alignment(mesh8):
+    """Regression (review r3): with K=11 clusters padded to 16 over 8
+    devices, the boundary shard's centroid slice misaligned against its
+    bucket slice (centroids were not padded alongside), so cluster 10 was
+    unsearchable at any nprobe below full coverage — per-query recall 0.0
+    for queries in that cluster. nprobe=8 gives p_local=1 < kk_local=2, so
+    probe selection actually depends on the centroid/bucket mapping here
+    (unlike the probe-everything tests)."""
+    n, d, k = 2200, 48, 8
+    modes = 11
+    x, centers = _clustered(n, d, modes=modes, seed=13)
+    index = build_ivf(x, k_clusters=modes, nprobe=8, seed=0)
+    sharded = shard_ivf(index, jnp.asarray(x), mesh8)
+    # one query per k-means centroid: every cluster must be reachable
+    q = np.array(index.centroids, np.float32, copy=True)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    _, i = sharded_ivf_search(sharded, q, k, nprobe=8)
+    i = np.asarray(i)
+    _, ref_i = _oracle(x, q, k)
+    for r in range(modes):
+        recall = len(set(i[r]) & set(ref_i[r])) / k
+        assert recall >= 0.9, f"cluster {r}: recall {recall}"
+
+
 def test_device_index_mesh_ivf_mode(mesh8, tmp_path, monkeypatch):
     """DeviceIndex(mesh=...) with TPUCLIP_SEARCH_MODE=ivf serves through the
     sharded IVF: high recall, exact scores, search == search_batch."""

@@ -107,21 +107,32 @@ def build_ivf(
     nprobe: int = 32,
     iters: int = 12,
     seed: int = 0,
+    centroids: Optional[np.ndarray] = None,
 ) -> IVFIndex:
     """Cluster (N, D) f32 rows into balanced fixed-capacity buckets.
 
     Capacity C = ceil(N/K * capacity_factor) rounded up to a lane multiple;
     rows whose cluster is full spill to the always-scanned overflow block —
     no row is ever unreachable.
+
+    ``centroids``: pass a previous build's (K, D) centroids to skip the
+    k-means retrain — the incremental-refresh path (rows appended, the
+    distribution barely moved) reassigns against them in one device pass,
+    mirroring build_ivf_device's reuse contract.
     """
     n, d = vectors.shape
+    if centroids is not None:
+        k_clusters = int(centroids.shape[0])
     if k_clusters is None:
         # ~2*sqrt(N), power-of-two-ish, at least 8, at most N//8
         k_clusters = int(max(8, min(2 * int(np.sqrt(n)), n // 8 or 8)))
     k_clusters = max(1, min(k_clusters, n))
     nprobe = max(1, min(nprobe, k_clusters))
 
-    cent = train_centroids(vectors, k_clusters, iters=iters, seed=seed)
+    if centroids is not None:
+        cent = np.asarray(centroids, np.float32)
+    else:
+        cent = train_centroids(vectors, k_clusters, iters=iters, seed=seed)
     x = np.asarray(vectors, np.float32)
 
     # Assign every row on device (a 1M x 1152 @ 1152 x 2048 matmul is ~20 s

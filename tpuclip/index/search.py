@@ -125,7 +125,7 @@ class DeviceIndex:
         # IVF referencing the previous matrix's row numbering. The previous
         # index is kept locally so a rebuild can reuse its centroids.
         prev_ivf, self._ivf = self._ivf, None
-        self._ivf_sharded = None
+        prev_sharded, self._ivf_sharded = self._ivf_sharded, None
         if len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
@@ -172,15 +172,38 @@ class DeviceIndex:
                             # not fit ONE chip of a real slice), then the
                             # cluster-sharded placement with embedded
                             # storage-dtype rows (parallel/sharded_ivf.py).
+                            # `rows` stays host numpy end-to-end: shard_ivf
+                            # gathers on host and device_puts per sharding —
+                            # an unsharded jnp.asarray here would commit the
+                            # whole padded matrix to ONE chip first, the
+                            # exact thing the host build avoids. Centroids
+                            # reuse the previous build's under the same
+                            # growth threshold as the single-device path
+                            # (k-means retrain under the serving lock).
                             from tpuclip.index.ivf import build_ivf
                             from tpuclip.parallel.sharded_ivf import shard_ivf
 
+                            prev_cent = None
+                            prev_n = getattr(self, "_ivf_sharded_built_n", 0)
+                            prev_sh = prev_sharded
+                            if (
+                                prev_sh is not None
+                                and prev_n
+                                and len(ids) >= prev_n
+                                and (len(ids) - prev_n) / prev_n
+                                < self._IVF_RETRAIN_GROWTH
+                            ):
+                                prev_cent = np.asarray(
+                                    prev_sh.centroids, np.float32
+                                )[: prev_sh.k_real]
                             ivf_host = build_ivf(
-                                np.asarray(vectors, np.float32)
+                                np.asarray(vectors, np.float32),
+                                centroids=prev_cent,
                             )
                             self._ivf_sharded = shard_ivf(
-                                ivf_host, jnp.asarray(rows), self.mesh
+                                ivf_host, rows, self.mesh
                             )
+                            self._ivf_sharded_built_n = len(ids)
                             log(
                                 "  sharded IVF index built: "
                                 f"{ivf_host.centroids.shape[0]} buckets over "

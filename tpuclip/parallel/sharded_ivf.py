@@ -73,6 +73,7 @@ class ShardedIVF(NamedTuple):
     nprobe: int
     mesh: Mesh
     n_rows: int
+    k_real: int  # clusters before mesh padding; padded probe lanes mask out
 
 
 def _pad_axis(x: np.ndarray, axis: int, mult: int, fill=0):
@@ -95,7 +96,15 @@ def shard_ivf(index: IVFIndex, rows_full: jnp.ndarray, mesh: Mesh) -> ShardedIVF
     scored to -inf at query time like the single-device path.
     """
     ndev = mesh.shape[DATA_AXIS]
-    cent = np.asarray(index.centroids, np.float32)
+    # Centroids MUST pad in lockstep with the cluster axis: a shorter
+    # centroid array misaligns the boundary shard's dynamic_slice (JAX
+    # clamps the out-of-range start), mapping centroid i's score to bucket
+    # i+pad and making whole real clusters unsearchable whenever K % ndev
+    # != 0 (review r3 finding, reproduced: recall 0.0 for the boundary
+    # cluster at K=11 on 8 devices). Padding centroids are additionally
+    # masked to -inf at probe time (k_real below) so they never consume a
+    # probe slot a real bucket could use.
+    cent = _pad_axis(np.asarray(index.centroids, np.float32), 0, ndev)
     buckets = _pad_axis(np.asarray(index.buckets), 0, ndev)
     bscales = _pad_axis(np.asarray(index.bucket_scales), 0, ndev)
     brows = _pad_axis(np.asarray(index.bucket_rows), 0, ndev, fill=-1)
@@ -130,10 +139,13 @@ def shard_ivf(index: IVFIndex, rows_full: jnp.ndarray, mesh: Mesh) -> ShardedIVF
         nprobe=int(index.nprobe),
         mesh=mesh,
         n_rows=int(n_rows),
+        k_real=int(index.centroids.shape[0]),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "mesh", "n_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "mesh", "n_rows", "k_real")
+)
 def _sharded_ivf_impl(
     q_f32,
     centroids,
@@ -149,6 +161,7 @@ def _sharded_ivf_impl(
     nprobe: int,
     mesh: Mesh,
     n_rows: int,
+    k_real: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     ndev = mesh.shape[DATA_AXIS]
     kk_total = buckets.shape[0]
@@ -163,9 +176,15 @@ def _sharded_ivf_impl(
         cap = bks.shape[2]
         qi, _ = quantize_queries_device(q)
 
-        # 1. probe MY clusters: local slice of the replicated centroids.
+        # 1. probe MY clusters: local slice of the replicated (padded)
+        #    centroids; padding clusters (global id >= k_real) score -inf so
+        #    every probe slot goes to a real bucket when one exists.
         cent_local = jax.lax.dynamic_slice_in_dim(cent, my * kk_local, kk_local, 0)
         cscores = q @ cent_local.T  # (Q, K_local)
+        cid = my * kk_local + jax.lax.broadcasted_iota(
+            jnp.int32, cscores.shape, 1
+        )
+        cscores = jnp.where(cid < k_real, cscores, _NEG_INF)
         _, probe = jax.lax.top_k(cscores, p_local)  # (Q, P)
 
         # 2. score gathered local buckets (int8 MXU dot, exact int32 acc).
@@ -267,5 +286,5 @@ def sharded_ivf_search(
         index.bucket_rows, index.bucket_rows_full, index.over_t,
         index.over_scales, index.over_rows, index.over_rows_full,
         k, int(nprobe if nprobe is not None else index.nprobe),
-        index.mesh, index.n_rows,
+        index.mesh, index.n_rows, index.k_real,
     )
