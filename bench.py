@@ -71,7 +71,11 @@ RESULT = {
     "unit": "ms",
     "vs_baseline": None,
 }
-_EMIT_LOCK = threading.Lock()
+# RLock: the SIGTERM handler runs ON the main thread and calls _emit — with
+# a plain Lock, a signal landing while the main thread is already inside
+# _emit (holding the lock, e.g. blocked on a slow pipe) would deadlock the
+# very flush the handler exists to guarantee (review r3).
+_EMIT_LOCK = threading.RLock()
 _EMITTED = False
 _DONE = threading.Event()
 
@@ -116,8 +120,9 @@ def _emit(final: bool = True):
 
 
 def _flush_and_exit(signum, _frame):
-    RESULT["partial"] = True
-    RESULT["terminated_by"] = signal.Signals(signum).name
+    with _EMIT_LOCK:  # mutations race json.dumps(RESULT) otherwise
+        RESULT["partial"] = True
+        RESULT["terminated_by"] = signal.Signals(signum).name
     _emit()
     os._exit(0)
 
@@ -139,8 +144,9 @@ def _watchdog():
                 _emit(final=False)
             continue
         if now > _BUDGET_T0 + BUDGET_S + WATCHDOG_GRACE_S:
-            RESULT["partial"] = True
-            RESULT["watchdog_flush"] = True
+            with _EMIT_LOCK:
+                RESULT["partial"] = True
+                RESULT["watchdog_flush"] = True
             _emit()
             os._exit(0)
 

@@ -245,6 +245,28 @@ def test_migrate_rejects_non_vec0_db(tmp_path):
         migrate_reference_db(db, verbose=False)
 
 
+def test_migrate_empty_vec0_db_leaves_schema_untouched(tmp_path):
+    """Regression (review r3): a freshly-created reference DB (shadow
+    tables present, zero vectors, no DDL entry) must fail BEFORE any write
+    — the old code stamped meta embedding_dim=0 and created the embeddings
+    table, permanently corrupting the DB for later correct migrations
+    (INSERT OR IGNORE never fixes the meta row)."""
+    db = str(tmp_path / "fresh.db")
+    vecs = np.zeros((0, 4), np.float32)
+    _make_reference_db(db, vecs, with_ddl_entry=False)
+    with pytest.raises(ValueError, match="dimension"):
+        migrate_reference_db(db, verbose=False)
+    conn = sqlite3.connect(db)
+    tables = {
+        r[0]
+        for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    }
+    conn.close()
+    assert "embeddings" not in tables and "meta" not in tables
+
+
 def test_cli_migrate(tmp_path, ref_vecs, capsys):
     from tpuclip.cli import main
 

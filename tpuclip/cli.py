@@ -647,6 +647,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.mode == "gc":
         _run_gc(args, paths)
     elif args.mode == "migrate":
+        import sqlite3
+
         from tpuclip.index.migrate import migrate_reference_db
 
         db_path = _require_db_path(args, paths)
@@ -655,7 +657,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             sys.exit(2)
         try:
             migrate_reference_db(db_path, dry_run=args.dry_run)
-        except ValueError as e:
+        except (ValueError, sqlite3.DatabaseError) as e:
+            # DatabaseError: --db pointed at a non-sqlite file — same
+            # user-facing error contract as the other failure modes.
             log(f"[X] Error: {e}")
             sys.exit(2)
     elif args.mode == "duplicates":

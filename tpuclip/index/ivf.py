@@ -245,6 +245,29 @@ def _ivf_train_assign(rows_full, key, k_clusters, iters, sample_cap, cap):
     return cent, assign, spill
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "cap"))
+def _ivf_assign_device(rows_full, cent, chunk: int, cap: int):
+    """Assignment-only pass against given centroids: chunked argmax + spill
+    count. Module-level jit so the incremental-refresh path (centroid
+    reuse) hits the compile cache instead of re-tracing a fresh closure on
+    every refresh under the serving lock (review r3)."""
+    n, d = rows_full.shape
+    n_pad = -(-n // chunk) * chunk
+    xp = jnp.pad(rows_full, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
+    cent_t = cent.T
+
+    def body(_, xc):
+        return None, jnp.argmax(
+            xc.astype(jnp.float32) @ cent_t, axis=1
+        ).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(body, None, xp)
+    assign = assign.reshape(-1)[:n]
+    counts = jnp.bincount(assign, length=cent.shape[0])
+    spill = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
+    return assign, spill
+
+
 @functools.partial(jax.jit, static_argnames=("k_clusters", "cap", "o_pad"))
 def _ivf_fill_device(rows_full, assign, k_clusters, cap, o_pad):
     """Phase 2 on device: quantize + balanced scatter into fixed blocks.
@@ -338,29 +361,11 @@ def build_ivf_device(
 
     if centroids is not None and centroids.shape == (k_clusters, d):
         cent = jnp.asarray(centroids, jnp.float32)
-        # assignment-only pass (reuses the phase-1 program with iters=0 by
-        # seeding k-means at the provided centroids would retrain; instead
-        # run the chunked argmax directly)
-        chunk = min(131_072, n)
-        n_pad = -(-n // chunk) * chunk
-
-        @jax.jit
-        def _assign_only(rows_full, cent):
-            xp = jnp.pad(rows_full, ((0, n_pad - n), (0, 0))).reshape(-1, chunk, d)
-            cent_t = cent.T
-
-            def body(_, xc):
-                return None, jnp.argmax(
-                    xc.astype(jnp.float32) @ cent_t, axis=1
-                ).astype(jnp.int32)
-
-            _, assign = jax.lax.scan(body, None, xp)
-            assign = assign.reshape(-1)[:n]
-            counts = jnp.bincount(assign, length=cent.shape[0])
-            spill = jnp.sum(jnp.maximum(counts - cap, 0)).astype(jnp.int32)
-            return assign, spill
-
-        assign, spill = _assign_only(rows_full, cent)
+        # assignment-only pass against the provided centroids (seeding
+        # k-means with them would retrain)
+        assign, spill = _ivf_assign_device(
+            rows_full, cent, chunk=min(131_072, n), cap=cap
+        )
     else:
         cent, assign, spill = _ivf_train_assign(
             rows_full,

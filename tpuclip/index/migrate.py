@@ -166,6 +166,16 @@ def migrate_reference_db(
                 f"{db_path}: missing 'image_embeddings' rowid mapping table"
             )
         report.dim = vec0_dim(conn, table) or 0
+        if report.dim <= 0:
+            # Validate BEFORE any write: stamping meta embedding_dim=0 and
+            # creating the embeddings table on a DB we then fail on would
+            # leave a corrupted schema behind (INSERT OR IGNORE means a
+            # later correct migration could not fix the meta row).
+            raise ValueError(
+                f"{db_path}: could not determine the vec0 vector dimension "
+                f"(no '{table}' DDL in sqlite_master and no chunk rows) — "
+                "the database appears to contain no migratable vectors"
+            )
 
         if not dry_run:
             conn.close()

@@ -184,15 +184,20 @@ class DeviceIndex:
                             from tpuclip.parallel.sharded_ivf import shard_ivf
 
                             prev_cent = None
-                            prev_n = getattr(self, "_ivf_sharded_built_n", 0)
+                            trained_n = getattr(
+                                self, "_ivf_sharded_trained_n", 0
+                            )
                             prev_sh = prev_sharded
                             if (
                                 prev_sh is not None
-                                and prev_n
-                                and len(ids) >= prev_n
-                                and (len(ids) - prev_n) / prev_n
+                                and trained_n
+                                and len(ids) >= trained_n
+                                and (len(ids) - trained_n) / trained_n
                                 < self._IVF_RETRAIN_GROWTH
                             ):
+                                # Growth measured against the last TRAINING,
+                                # not the last reuse build (see
+                                # _build_ivf_resident).
                                 prev_cent = np.asarray(
                                     prev_sh.centroids, np.float32
                                 )[: prev_sh.k_real]
@@ -203,7 +208,8 @@ class DeviceIndex:
                             self._ivf_sharded = shard_ivf(
                                 ivf_host, rows, self.mesh
                             )
-                            self._ivf_sharded_built_n = len(ids)
+                            if prev_cent is None:
+                                self._ivf_sharded_trained_n = len(ids)
                             log(
                                 "  sharded IVF index built: "
                                 f"{ivf_host.centroids.shape[0]} buckets over "
@@ -328,25 +334,29 @@ class DeviceIndex:
         Runs entirely on device (index/ivf.py:build_ivf_device) — seconds of
         device time instead of minutes of host numpy at 1M rows, which
         matters because refresh() runs under the serving lock. When the
-        index grew < _IVF_RETRAIN_GROWTH since the previous build, the old
-        centroids are reused and only assignment/quantize/scatter re-run.
+        index grew < _IVF_RETRAIN_GROWTH since the LAST TRAINING (not the
+        last build — re-basing every reuse would let steady sub-threshold
+        growth compound forever on the original centroids; review r3), the
+        old centroids are reused and only assignment/quantize/scatter
+        re-run.
         """
         from tpuclip.index.ivf import build_ivf_device
 
         centroids = None
-        prev_n = getattr(self, "_ivf_built_n", 0)
+        trained_n = getattr(self, "_ivf_trained_n", 0)
         if (
             prev_ivf is not None
-            and prev_n
-            and n_rows >= prev_n
-            and (n_rows - prev_n) / prev_n < self._IVF_RETRAIN_GROWTH
+            and trained_n
+            and n_rows >= trained_n
+            and (n_rows - trained_n) / trained_n < self._IVF_RETRAIN_GROWTH
         ):
             centroids = prev_ivf.centroids
         k_clusters = centroids.shape[0] if centroids is not None else None
         ivf = build_ivf_device(
             self._rows_device, k_clusters=k_clusters, centroids=centroids
         )
-        self._ivf_built_n = n_rows
+        if centroids is None:
+            self._ivf_trained_n = n_rows
         return ivf
 
     @staticmethod
@@ -732,7 +742,11 @@ class DeviceIndex:
         gathered = np.asarray(self._host_vectors[safe], np.float32)  # (Q, Ks, D)
         exact = np.einsum("qkd,qd->qk", gathered, qn)
         exact = np.where(valid, exact, -np.inf)
-        sort_rows = np.where(valid, rows, np.iinfo(np.int64).max)
+        # Sentinel must survive the result dtype: rows is int32, and under
+        # NumPy 2 `np.where(valid, rows, int64_max)` KEEPS int32, wrapping
+        # the sentinel to -1 (review r3). n_ids is > every valid row and
+        # representable, and doubles as the drop marker downstream.
+        sort_rows = np.where(valid, rows, n_ids)
         order = np.lexsort((sort_rows, -exact), axis=-1)[:, :k]
         out_s = np.take_along_axis(exact, order, axis=1)
         out_r = np.take_along_axis(sort_rows, order, axis=1)
