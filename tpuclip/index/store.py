@@ -35,9 +35,18 @@ from tpuclip.utils.logging import log, safe_print_path
 EMBEDDING_DIM = 1152  # SigLIP2 SO400M (image_database.py:235)
 
 
-def connect(db_path: str, timeout: float = 30.0) -> sqlite3.Connection:
-    """Open a connection with WAL enabled (image_database.py:248-253)."""
-    conn = sqlite3.connect(db_path, timeout=timeout)
+def connect(
+    db_path: str, timeout: float = 30.0, check_same_thread: bool = True
+) -> sqlite3.Connection:
+    """Open a connection with WAL enabled (image_database.py:248-253).
+
+    ``check_same_thread=False`` is for connections used by exactly one thread
+    but *closed* from another (e.g. a generator's finally clause running at
+    GC time) — not a license for concurrent cross-thread use.
+    """
+    conn = sqlite3.connect(
+        db_path, timeout=timeout, check_same_thread=check_same_thread
+    )
     conn.execute("PRAGMA journal_mode=WAL")
     return conn
 
@@ -155,7 +164,7 @@ class MetadataStore:
         if not file_metadata:
             return set()
         processed: Set[str] = set()
-        chunk_size = 400  # 200 (path, mtime) pairs per statement
+        chunk_size = 200  # (path, mtime) pairs per statement = 400 bind vars
         for i in range(0, len(file_metadata), chunk_size):
             chunk = file_metadata[i : i + chunk_size]
             placeholders = ",".join(["(?, ?)"] * len(chunk))

@@ -19,6 +19,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
+import threading
 from pathlib import Path
 from typing import Iterator, List, Optional, Tuple
 
@@ -117,6 +118,9 @@ def scan_directory(
         "queued": 0,
         "folders_done": 0,
     }
+    # "errors" is incremented from both the prefetch producer thread
+    # (pending_files) and the main thread (drain); dict += is not atomic.
+    errors_lock = threading.Lock()
     db_batch: List[Tuple[str, float, str, np.ndarray]] = []
 
     log("\n[Step 3/4] Processing images...")
@@ -132,7 +136,11 @@ def scan_directory(
         WAL allows this read connection alongside the main commit connection —
         same per-operation-connection pattern as image_database.py:850).
         """
-        check_conn = connect(engine.db_path)
+        # check_same_thread=False: the connection is used only by this
+        # producer thread, but on early exit (Ctrl-C, stop_event) the
+        # generator's finally clause may run from whichever thread GCs the
+        # suspended generator — a same-thread-checked close would raise.
+        check_conn = connect(engine.db_path, check_same_thread=False)
         check_cursor = check_conn.cursor()
         try:
             for parent_dir, folder_files in folders:
@@ -149,7 +157,17 @@ def scan_directory(
                     folder_metadata = []
                     for img_path in files_to_process:
                         file_path = str(img_path.absolute())
-                        folder_metadata.append((file_path, os.path.getmtime(file_path)))
+                        try:
+                            mtime = os.path.getmtime(file_path)
+                        except OSError:
+                            # File vanished between census and scan: contain
+                            # to the file, not the whole folder.
+                            with errors_lock:
+                                state["errors"] += 1
+                            if pbar:
+                                pbar.update(1)
+                            continue
+                        folder_metadata.append((file_path, mtime))
 
                     with timers.track("check_db"):
                         processed_files = engine.store.batch_check_processed(
@@ -169,7 +187,8 @@ def scan_directory(
                 except Exception as e:  # noqa: BLE001 - folder containment
                     log(f"\n  [ERROR] Error processing folder {state['folders_done']}: {str(parent_dir)[-80:]}")
                     log(f"  Error: {e}")
-                    state["errors"] += len(folder_files)
+                    with errors_lock:
+                        state["errors"] += len(folder_files)
                     if pbar:
                         pbar.update(len(folder_files))
                     continue
@@ -205,7 +224,8 @@ def scan_directory(
                 if valid[i] and item.file_hash is not None:
                     db_batch.append((item.path, item.last_modified, item.file_hash, emb[i]))
                 else:
-                    state["errors"] += 1
+                    with errors_lock:
+                        state["errors"] += 1
             if pbar:
                 pbar.update(len(items))
 
@@ -213,6 +233,11 @@ def scan_directory(
         if getattr(engine, "is_naflex", False):
             v = engine.config.vision
             naflex_cfg = (v.patch_size, v.max_num_patches)
+        # The prefetcher sets this event itself when the consumer stops early
+        # (Ctrl-C, mid-scan failure); without it the producer thread would
+        # keep decoding, block forever on its full queue, and leak its SQLite
+        # check connection while the generator's join() times out.
+        stop_event = threading.Event()
         for batch in prefetch_batches(
             pending_files(),
             batch_size=inference_batch_size,
@@ -220,6 +245,7 @@ def scan_directory(
             with_hash=True,
             num_procs=decode_procs,
             naflex=naflex_cfg,
+            stop_event=stop_event,
         ):
             import jax.numpy as jnp
 

@@ -161,16 +161,25 @@ class MicroBatcher:
                 groups: dict = {}
                 for it in items:
                     groups.setdefault((it.k, it.folders), []).append(it)
+                # Decide fused-ness ONCE per group. can_fuse_text_search
+                # re-reads the DB fingerprint (an implicit refresh), so asking
+                # again later in the batch could flip the answer under a
+                # concurrent writer and orphan the embeds prepared below —
+                # and each extra ask costs full-table fingerprint scans.
+                fused_group: dict = {
+                    key: self.engine.index.can_fuse_text_search(
+                        key[0], list(key[1]) if key[1] else None
+                    )
+                    for key in groups
+                }
                 # LRU-aware batch embed for the groups that need host-side
                 # vectors (folder filters / non-fused indexes); fused-text
                 # groups never materialize embeddings on the host at all.
                 vec_by_text: dict = {}
                 need_vecs = sorted({
                     it.query
-                    for (k, folders), group in groups.items()
-                    if not self.engine.index.can_fuse_text_search(
-                        k, list(folders) if folders else None
-                    )
+                    for key, group in groups.items()
+                    if not fused_group[key]
                     for it in group
                 })
                 if need_vecs:
@@ -182,7 +191,7 @@ class MicroBatcher:
                     # discard results already computed for other groups.
                     try:
                         folder_list = list(folders) if folders else None
-                        if self.engine.index.can_fuse_text_search(k, folder_list):
+                        if fused_group[(k, folders)]:
                             # ONE device round trip: tokenize -> text tower
                             # -> int8 scan -> exact rescore, fused. Dedup
                             # repeated queries first: a batch of identical hot
@@ -206,7 +215,11 @@ class MicroBatcher:
                             it.result = results
                     except Exception as e:  # noqa: BLE001
                         for it in group:
-                            it.error = e
+                            # A failure partway through the group (e.g. in the
+                            # per-item duplicate filter) must not turn items
+                            # that already have results into 500s.
+                            if it.result is None:
+                                it.error = e
         except Exception as e:  # noqa: BLE001 - embed/refresh failure fans out
             for it in items:
                 if it.error is None and it.result is None:
@@ -261,9 +274,14 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             self._json(404, {"error": "not found"})
 
         MAX_BODY = 4 << 20  # 4 MiB request cap
+        MAX_BATCH_QUERIES = 256  # /search_batch fan-out cap (one tower pass)
 
         def _read_json(self):
             length = int(self.headers.get("Content-Length", "0"))
+            if length < 0:
+                # A negative length would make rfile.read() block until the
+                # client closes the connection, hanging the handler thread.
+                raise ValueError(f"invalid Content-Length ({length})")
             if length > self.MAX_BODY:
                 raise ValueError(f"request body too large ({length} bytes)")
             return json.loads(self.rfile.read(length) or b"{}")
@@ -399,10 +417,20 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             if not queries or not isinstance(queries, list):
                 self._json(400, {"error": "missing 'queries' list"})
                 return
+            if len(queries) > self.MAX_BATCH_QUERIES:
+                # Unbounded fan-out would bucket the text tower to the next
+                # power of two and can OOM the device on one bad request.
+                self._json(400, {
+                    "error": f"too many queries ({len(queries)} > "
+                             f"{self.MAX_BATCH_QUERIES})"
+                })
+                return
             k = int(req.get("k", 10))
             try:
                 with lock:
-                    engine.index.refresh()
+                    # No explicit refresh: engine.search_texts refreshes via
+                    # can_fuse_text_search / search_batch — doing it here too
+                    # would just repeat the full-table fingerprint scans.
                     # engine.search_texts fuses tokenize→tower→scan→rescore
                     # into one device pass when the index is eligible.
                     batches = engine.search_texts(
