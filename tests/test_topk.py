@@ -145,6 +145,60 @@ def test_binary_topk_packed_t_matches_oracle():
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
 
 
+def test_binary_topk_masked_rows_sort_last():
+    """Regression (review r3): when the folder mask leaves fewer unmasked
+    rows than k, the INT32_MIN sentinel's negation wrapped in lexsort and
+    ranked masked rows FIRST — prefix-truncating consumers returned masked
+    rows above real matches. Sentinels must sort last in every binary path."""
+    from tpuclip.ops.hamming import (
+        binary_topk,
+        binary_topk_packed,
+        binary_topk_packed_t,
+        pack_bits_to_words,
+        pad_words_t,
+    )
+
+    rng = np.random.default_rng(44)
+    n, d, k = 40, 64, 8
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qbits = (rng.standard_normal((1, d)) >= 0).astype(np.uint8)
+    # mask all but 3 rows: k=8 > 3 unmasked -> 5 sentinel slots in top_k
+    keep = {4, 17, 29}
+    mask = np.asarray(
+        [0.0 if i in keep else -np.inf for i in range(n)], np.float32
+    )
+    sentinel = np.iinfo(np.int32).min
+
+    s, i = binary_topk(
+        jnp.asarray(qbits.astype(np.int8)),
+        jnp.asarray(bits.T.copy().astype(np.int8)),
+        k, mask=jnp.asarray(mask),
+    )
+    s, i = np.asarray(s)[0], np.asarray(i)[0]
+    assert set(i[:3].tolist()) == keep, f"real rows must lead: {i}"
+    assert (s[:3] > sentinel).all() and (s[3:] == sentinel).all()
+
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+    s, i = binary_topk_packed(
+        jnp.asarray(qwords), jnp.asarray(words), k, mask=jnp.asarray(mask)
+    )
+    s, i = np.asarray(s)[0], np.asarray(i)[0]
+    assert set(i[:3].tolist()) == keep
+    assert (s[3:] == sentinel).all()
+
+    wt, nv = pad_words_t(words, tile_n=256)
+    padded_mask = np.full((wt.shape[1],), -np.inf, np.float32)
+    padded_mask[:n] = mask
+    s, i = binary_topk_packed_t(
+        jnp.asarray(qwords), jnp.asarray(wt), k,
+        mask=jnp.asarray(padded_mask), n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    s, i = np.asarray(s)[0], np.asarray(i)[0]
+    assert set(i[:3].tolist()) == keep
+    assert (s[3:] == sentinel).all()
+
+
 def test_binary_topk_pallas_tie_ordering_interpret():
     """Popcount scores tie constantly — ties must go to the lowest index."""
     from tpuclip.ops.hamming import binary_topk_packed_pallas, pad_words_t

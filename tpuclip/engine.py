@@ -108,6 +108,12 @@ class ImageDatabase:
         inference batch size — exactly two compiled programs per tower.
         """
         b = batch_uint8.shape[0]
+        if b > self.inference_batch_size:
+            # Chunk oversized batches so only the two fixed shapes compile.
+            step = self.inference_batch_size
+            return np.concatenate(
+                [self.embed_images_uint8(batch_uint8[i : i + step]) for i in range(0, b, step)]
+            )
         target = 1 if b == 1 else self.inference_batch_size
         pad = target - b
         if pad > 0:
@@ -131,6 +137,16 @@ class ImageDatabase:
         from tpuclip.models.naflex import get_image_features_naflex
 
         b = patches.shape[0]
+        if b > self.inference_batch_size:
+            step = self.inference_batch_size
+            return np.concatenate(
+                [
+                    self.embed_patches_naflex(
+                        patches[i : i + step], masks[i : i + step], shapes[i : i + step]
+                    )
+                    for i in range(0, b, step)
+                ]
+            )
         target = 1 if b == 1 else self.inference_batch_size
         pad = target - b
         if pad > 0:
@@ -149,13 +165,11 @@ class ImageDatabase:
         )
         return np.asarray(out[:b], dtype=np.float32)
 
-    def embed_texts(self, texts: List[str]) -> np.ndarray:
-        """Prompted, tokenized, L2-normalized text embeddings (fp32).
-
-        Batch dims are bucketed to powers of two (pad rows masked out and
-        sliced off) so arbitrary request sizes reuse a handful of compiled
-        programs instead of compiling per length.
-        """
+    def _tokenize_bucketed(self, texts: List[str]):
+        """Prompt + tokenize, padded to the next power-of-two batch size so
+        arbitrary request sizes reuse a handful of compiled programs instead
+        of compiling per length. Returns (ids, mask); pad rows are all-zero
+        (masked out) and must be sliced off by the caller."""
         b = len(texts)
         ids, mask = self.tokenizer.encode_batch_with_mask(
             [build_prompt(t) for t in texts]
@@ -165,6 +179,19 @@ class ImageDatabase:
             pad = bucket - b
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
             mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
+        return ids, mask
+
+    def embed_texts(self, texts: List[str]) -> np.ndarray:
+        """Prompted, tokenized, L2-normalized text embeddings (fp32).
+
+        Batch dims are bucketed to powers of two (pad rows masked out and
+        sliced off) so arbitrary request sizes reuse a handful of compiled
+        programs instead of compiling per length.
+        """
+        b = len(texts)
+        if b == 0:
+            return np.zeros((0, self.embedding_dim), np.float32)
+        ids, mask = self._tokenize_bucketed(texts)
         out = get_text_features(
             self.params,
             jnp.asarray(ids),
@@ -181,20 +208,12 @@ class ImageDatabase:
         device program when the index is eligible (int8 + resident device
         rerank copy, no folder filter) — a single host↔device round trip
         per request group. Falls back to embed + search_batch otherwise."""
+        if not texts:
+            return []
         if self.index.can_fuse_text_search(k, filter_folders):
-            b = len(texts)
-            ids, mask = self.tokenizer.encode_batch_with_mask(
-                [build_prompt(t) for t in texts]
-            )
-            bucket = 1 << max(0, (b - 1)).bit_length()
-            if bucket > b:
-                pad = bucket - b
-                ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
-                mask = np.concatenate(
-                    [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
-                )
+            ids, mask = self._tokenize_bucketed(texts)
             return self.index.search_texts_fused(
-                self.params, ids, mask, self.config, k, self.compute_dtype, b
+                self.params, ids, mask, self.config, k, self.compute_dtype, len(texts)
             )
         vecs = self.embed_texts_cached(texts)
         return self.index.search_batch(vecs, k, filter_folders=filter_folders)
@@ -209,6 +228,7 @@ class ImageDatabase:
             cached = self._text_cache.get(t)
             if cached is not None:
                 out[i] = cached
+                self._text_cache[t] = self._text_cache.pop(t)  # refresh recency
             else:
                 misses.append(i)
         if misses:
@@ -290,14 +310,7 @@ class ImageDatabase:
         query terms constantly (negatives especially); embedding text is pure
         so caching is free accuracy-wise.
         """
-        cached = self._text_cache.get(text)
-        if cached is not None:
-            return cached.copy()
-        emb = self.embed_texts([text])[0]
-        if len(self._text_cache) >= 256:
-            self._text_cache.pop(next(iter(self._text_cache)))
-        self._text_cache[text] = emb
-        return emb.copy()
+        return self.embed_texts_cached([text])[0]
 
     # ------------------------------------------------------------- pipelines
 

@@ -52,11 +52,7 @@ def binary_topk(
     if mask is not None:
         scores = jnp.where(mask[None, :] < 0, jnp.iinfo(jnp.int32).min, scores)
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
-    order = jnp.lexsort((top_idx, -top_scores), axis=-1)
-    return (
-        jnp.take_along_axis(top_scores, order, axis=1),
-        jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
-    )
+    return _merge_int_candidates(top_scores, top_idx.astype(jnp.int32), k_eff)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -82,11 +78,7 @@ def binary_topk_packed(
     if mask is not None:
         scores = jnp.where(mask[None, :] < 0, jnp.iinfo(jnp.int32).min, scores)
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
-    order = jnp.lexsort((top_idx, -top_scores), axis=-1)
-    return (
-        jnp.take_along_axis(top_scores, order, axis=1),
-        jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
-    )
+    return _merge_int_candidates(top_scores, top_idx.astype(jnp.int32), k_eff)
 
 
 # Wide tiles: the grouped q1 kernel views a (W, TILE_N) block as
@@ -353,11 +345,7 @@ def binary_topk_packed_t(
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         scores = jnp.where(col < n_valid, scores, _INT_SENTINEL)
     top_scores, top_idx = jax.lax.top_k(scores, k_eff)
-    order = jnp.lexsort((top_idx, -top_scores), axis=-1)
-    return (
-        jnp.take_along_axis(top_scores, order, axis=1),
-        jnp.take_along_axis(top_idx, order, axis=1).astype(jnp.int32),
-    )
+    return _merge_int_candidates(top_scores, top_idx.astype(jnp.int32), k_eff)
 
 
 def pack_bits_to_words(bits01: np.ndarray) -> np.ndarray:
@@ -411,7 +399,6 @@ def hamming_distance_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def hamming_matrix_packed(rows: np.ndarray) -> np.ndarray:
     """All-pairs Hamming distances for packed uint8 rows (n, W) → (n, n)."""
-    n = rows.shape[0]
     x = np.bitwise_xor(rows[:, None, :], rows[None, :, :])
     return _POPCOUNT_TABLE[x].sum(axis=-1).astype(np.int32)
 
