@@ -109,8 +109,13 @@ class MatrixCache:
         m = self._read_manifest()
         dim = self.store.embedding_dim
 
+        files_ok = all(
+            (self.cache_dir / name).exists()
+            for name in ("vectors.f32", "ids.i64", "bits.u8", "bin_ids.i64")
+        )
         fresh = (
             m is not None
+            and files_ok
             and m["dim"] == dim
             and (m["count"], m["max_image_id"], m.get("sum_image_id")) == full_fp
             and (m.get("bin_count"), m.get("bin_max_image_id"), m.get("bin_sum_image_id"))
@@ -132,7 +137,7 @@ class MatrixCache:
             m is not None
             and m["dim"] == dim
             and m.get("sum_image_id") is not None
-            and (self.cache_dir / "vectors.f32").exists()
+            and files_ok
         ):
             start_id = m["max_image_id"]
             bin_start_id = m.get("bin_max_image_id", 0)
@@ -155,7 +160,13 @@ class MatrixCache:
                 if p.exists():
                     p.unlink()
 
-        new_rows = 0
+        # The manifest must describe what the files actually contain, so the
+        # fingerprint is accumulated from the rows written — not the pre-scan
+        # table fingerprint. Rows committed while we stream would otherwise
+        # land in the files but not in the manifest, and the next append-only
+        # refresh would write them a second time (latent duplication that
+        # corrupts the id/vector pairing once further rows are appended).
+        new_rows, new_sum, new_max = 0, 0, start_id
         with open(self.cache_dir / "vectors.f32", mode) as vf, open(
             self.cache_dir / "ids.i64", mode
         ) as idf:
@@ -163,8 +174,10 @@ class MatrixCache:
                 vf.write(np.ascontiguousarray(vecs, dtype=np.float32).tobytes())
                 idf.write(ids.tobytes())
                 new_rows += len(ids)
+                new_sum += int(ids.sum())
+                new_max = max(new_max, int(ids.max()))
 
-        bin_rows = 0
+        bin_rows, bin_sum, bin_max = 0, 0, bin_start_id
         with open(self.cache_dir / "bits.u8", mode) as bf, open(
             self.cache_dir / "bin_ids.i64", mode
         ) as bidf:
@@ -173,10 +186,20 @@ class MatrixCache:
                 bf.write(np.ascontiguousarray(packed).tobytes())
                 bidf.write(ids.tobytes())
                 bin_rows += len(ids)
+                bin_sum += int(ids.sum())
+                bin_max = max(bin_max, int(ids.max()))
+
+        if appendable:
+            prior = (m["count"], m["sum_image_id"])
+            bin_prior = (m.get("bin_count", 0), m.get("bin_sum_image_id", 0))
+        else:
+            prior = bin_prior = (0, 0)
+        full_stamp = (prior[0] + new_rows, new_max, prior[1] + new_sum)
+        bin_stamp = (bin_prior[0] + bin_rows, bin_max, bin_prior[1] + bin_sum)
 
         if new_rows or bin_rows or m is None:
             log(
                 f"  Matrix cache refreshed: +{new_rows} vectors, +{bin_rows} binary rows "
-                f"({full_fp[0]:,} total)"
+                f"({full_stamp[0]:,} total)"
             )
-        self._write_manifest(dim, full_fp, bin_fp)
+        self._write_manifest(dim, full_stamp, bin_stamp)

@@ -156,12 +156,16 @@ def prefetch_batches(
     """
     out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=queue_depth)
     error_holder: List[BaseException] = []
+    if stop_event is None:
+        # Own the stop signal: an early consumer exit (generator close) must
+        # be able to halt the producer, or it keeps decoding — forever on an
+        # infinite ``files`` stream — blocked on the bounded queue.
+        stop_event = threading.Event()
 
     def producer() -> None:
         try:
             with _make_decode_executor(num_workers, num_procs) as pool:
                 pending: List = []
-                metas: List[Tuple[str, float]] = []
 
                 def flush() -> None:
                     if not pending:
@@ -192,15 +196,13 @@ def prefetch_batches(
                                 valid[i] = True
                         out_q.put(Batch(pixels=pixels, items=items, valid=valid))
                     pending.clear()
-                    metas.clear()
 
                 for path, last_modified in files:
-                    if stop_event is not None and stop_event.is_set():
+                    if stop_event.is_set():
                         break
                     pending.append(
                         pool.submit(_decode_one, path, last_modified, image_size, with_hash, naflex)
                     )
-                    metas.append((path, last_modified))
                     if len(pending) >= batch_size:
                         flush()
                 flush()
@@ -220,15 +222,17 @@ def prefetch_batches(
         if error_holder:
             raise error_holder[0]
     finally:
-        if stop_event is not None:
-            stop_event.set()
-        # Drain so the producer can exit if the consumer stopped early.
-        while thread.is_alive():
+        stop_event.set()
+        # Drain so the producer can exit if the consumer stopped early. Keep
+        # draining while the producer winds down (it may refill the queue
+        # from already-submitted decodes), bounded at ~5s like join used to be.
+        deadline = 50
+        while thread.is_alive() and deadline > 0:
             try:
                 out_q.get_nowait()
             except queue.Empty:
-                break
-        thread.join(timeout=5.0)
+                thread.join(timeout=0.1)
+                deadline -= 1
 
 
 def decode_single(path: str, image_size: int) -> Optional[np.ndarray]:

@@ -41,7 +41,9 @@ _NP_TO_ST = {
 
 
 def _st_dtype_name(arr: np.ndarray) -> str:
-    if arr.dtype == np.dtype("bfloat16") or str(arr.dtype) == "bfloat16":
+    # Compare by name: np.dtype("bfloat16") raises TypeError unless ml_dtypes
+    # has registered the type, which would break writing even plain f32 arrays.
+    if str(arr.dtype) == "bfloat16":
         return "BF16"
     try:
         return _NP_TO_ST[arr.dtype]

@@ -326,7 +326,10 @@ class SentencePieceModel:
                 if pid is None:
                     continue
                 t = self.types[pid]
-                if t in (_UNKNOWN, _UNUSED):
+                # Only NORMAL and USER_DEFINED pieces are matchable in text
+                # (sentencepiece builds its matcher trie from those alone);
+                # control/byte pieces must never match their literal spelling.
+                if t in (_UNKNOWN, _UNUSED, _CONTROL, _BYTE):
                     continue
                 score = best[i] + self.scores[pid]
                 if score > best[j]:
@@ -360,7 +363,7 @@ class SentencePieceModel:
             for i in range(len(symbols) - 1):
                 merged = symbols[i] + symbols[i + 1]
                 pid = p2i.get(merged)
-                if pid is None or self.types[pid] in (_UNKNOWN, _UNUSED, _CONTROL):
+                if pid is None or self.types[pid] in (_UNKNOWN, _UNUSED, _CONTROL, _BYTE):
                     continue
                 s = self.scores[pid]
                 if best_score is None or s > best_score:
@@ -467,8 +470,7 @@ def serialize_model(m: SentencePieceModel) -> bytes:
     trainer = bytearray()
     trainer += _field(3, 0, _varint(m.model_type))
     trainer += _field(35, 0, _varint(int(m.byte_fallback)))
-    trainer += _field(40, 0, _varint(m.unk_id))
-    for num, vid in ((41, m.bos_id), (42, m.eos_id), (43, m.pad_id)):
+    for num, vid in ((40, m.unk_id), (41, m.bos_id), (42, m.eos_id), (43, m.pad_id)):
         trainer += _field(num, 0, _varint(vid & 0xFFFFFFFFFFFFFFFF if vid < 0 else vid))
     out += _field(2, 2, _varint(len(trainer)) + bytes(trainer))
     norm = bytearray()
