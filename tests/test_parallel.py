@@ -51,6 +51,58 @@ def test_sharded_search_matches_single_device(mesh8):
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
 
 
+def test_sharded_search_negative_scores_survive_padding(mesh8):
+    """Regression (review r3): the sharded XLA scans did not pass a
+    shard-local n_valid, so zero-padded columns (score exactly 0) evicted
+    real NEGATIVE-scoring rows from the per-shard top-k before the post-hoc
+    global mask ran — searches silently returned -inf placeholders instead
+    of k real rows. Both the float and int8 local paths must return every
+    real row when all similarities are negative."""
+    from tpuclip.ops.topk_int8 import quantize_matrix_t, quantize_query
+    from tpuclip.parallel.sharded_search import (
+        pad_for_mesh,
+        shard_matrix,
+        sharded_topk,
+        sharded_topk_int8,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuclip.parallel.mesh import DATA_AXIS
+
+    rng = np.random.default_rng(9)
+    n, d, k = 10, 32, 5
+    query = rng.standard_normal((1, d)).astype(np.float32)
+    query /= np.linalg.norm(query)
+    # rows anti-aligned with the query: every true score is negative
+    matrix = -np.abs(rng.standard_normal((n, 1))).astype(np.float32) * query
+    matrix += 0.01 * rng.standard_normal((n, d)).astype(np.float32)
+
+    mt = np.ascontiguousarray(matrix.T)
+    rem = (-n) % 512  # large zero pad in every shard
+    mt = np.concatenate([mt, np.zeros((d, rem), np.float32)], axis=1)
+    mt, n_valid = pad_for_mesh(mt, mesh8)
+    dev_matrix = shard_matrix(jnp.asarray(mt), mesh8)
+    nv = jnp.asarray(n, jnp.int32)
+
+    s, i = sharded_topk(jnp.asarray(query), dev_matrix, k, mesh8, nv)
+    s = np.asarray(s)[0]
+    assert np.isfinite(s).all(), f"padding evicted real rows: {s}"
+    assert (s < 0).all()
+
+    mq, scales = quantize_matrix_t(mt)
+    mq_dev = shard_matrix(jnp.asarray(mq), mesh8)
+    sc_dev = jax.device_put(
+        jnp.asarray(scales), NamedSharding(mesh8, P(DATA_AXIS))
+    )
+    qi, qs = quantize_query(query)
+    s8, i8 = sharded_topk_int8(
+        jnp.asarray(qi), mq_dev, sc_dev, jnp.asarray(qs, jnp.float32), k,
+        mesh8, nv,
+    )
+    s8 = np.asarray(s8)[0]
+    assert np.isfinite(s8).all(), f"padding evicted real rows (int8): {s8}"
+    assert (s8 < 0).all()
+
+
 def test_sharded_search_pallas_local_kernel(mesh8):
     """Fused Pallas kernel per shard (interpret mode on the CPU mesh) must
     match the XLA local path and the single-device scan exactly."""

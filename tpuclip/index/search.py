@@ -460,7 +460,11 @@ class DeviceIndex:
         """Top-k for Q queries in ONE device pass (the matrix is read once for
         the whole batch — amortizes the scan across concurrent queries)."""
         self.refresh()
-        if self._matrix is None or len(queries) == 0:
+        if len(queries) == 0:
+            # atleast_2d would turn an empty list into one zero-length query
+            # row and return a spurious result list for zero queries.
+            return []
+        if self._matrix is None:
             return [self.search(q, k, filter_folders) for q in np.atleast_2d(queries)]
         q = jnp.asarray(np.asarray(queries, np.float32).reshape(len(queries), -1))
         mask = (

@@ -7,6 +7,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -108,11 +109,12 @@ int tpuclip_sha256_file(const char* path, uint8_t out[32]) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   Sha256Ctx ctx;
-  static thread_local uint8_t* chunk = nullptr;
   constexpr size_t kChunk = 1 << 20;
-  if (!chunk) chunk = new uint8_t[kChunk];
+  // thread_local vector: reused across calls on the same thread, freed on
+  // thread exit (a raw new'd buffer leaked 1 MiB per exiting thread).
+  static thread_local std::vector<uint8_t> chunk(kChunk);
   size_t n;
-  while ((n = fread(chunk, 1, kChunk, f)) > 0) ctx.update(chunk, n);
+  while ((n = fread(chunk.data(), 1, kChunk, f)) > 0) ctx.update(chunk.data(), n);
   int err = ferror(f);
   fclose(f);
   if (err) return -1;

@@ -100,14 +100,17 @@ def _sharded_topk_impl(
         my = jax.lax.axis_index(DATA_AXIS)
         base = my * shard_cols
         local_mask = mask_shard[0] if has_mask else None
+        # n_valid must reach the scan shard-locally: zero-padded columns
+        # score exactly 0 and would otherwise evict real negative-scoring
+        # rows from the local top-k BEFORE the post-hoc gi < n_valid mask
+        # runs (same failure mode fixed in _sharded_int8_rerank_impl).
+        local_nv = jnp.clip(n_valid - base, 0, shard_cols)
         if use_pallas and not has_mask:
-            # fused kernel per shard; n_valid translated to local columns
-            local_nv = jnp.clip(n_valid - base, 0, shard_cols)
             from tpuclip.ops.topk import topk_pallas
 
             s, i = topk_pallas(q, m_shard, k_eff, n_valid=local_nv, interpret=interpret)
         else:
-            s, i = topk_xla(q, m_shard, k_eff, mask=local_mask)
+            s, i = topk_xla(q, m_shard, k_eff, mask=local_mask, n_valid=local_nv)
         # mask local candidates that fall past the valid column count
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
@@ -179,7 +182,14 @@ def _sharded_topk_int8_impl(
         my = jax.lax.axis_index(DATA_AXIS)
         base = my * shard_cols
         local_mask = mask_shard[0] if has_mask else None
-        s, i = topk_int8_xla(q, m_shard, sc_shard[0], qs, k_eff, mask=local_mask)
+        # Shard-local n_valid: zero-padded columns score exactly 0 (their
+        # int8 column is all zeros) and would otherwise evict real
+        # negative-scoring rows from the local top-k BEFORE the post-hoc
+        # gi < n_valid mask runs (same fix as _sharded_int8_rerank_impl).
+        local_nv = jnp.clip(n_valid - base, 0, shard_cols)
+        s, i = topk_int8_xla(
+            q, m_shard, sc_shard[0], qs, k_eff, n_valid=local_nv, mask=local_mask
+        )
         gi = i + base
         s = jnp.where(gi < n_valid, s, -jnp.inf)
         return _merge_shard_candidates(s, gi, ndev, k_eff)

@@ -7,8 +7,6 @@ softmax: Zhai et al. 2023) with a jit-compiled, mesh-sharded train step:
 - batch sharded over ``data`` (DP), params optionally TP-sharded over
   ``model`` via tpuclip.parallel.sharding — XLA inserts the grad psums and
   TP collectives from the sharding annotations alone.
-- ``jax.checkpoint`` on the encoder step bounds activation memory (remat
-  trades FLOPs for HBM, the standard TPU recipe).
 """
 
 from __future__ import annotations
@@ -63,7 +61,13 @@ def make_optimizer(
     grad_clip_norm: Optional[float] = 1.0,
 ):
     """AdamW with optional global-norm clipping and warmup(+cosine) schedule —
-    the standard contrastive fine-tuning recipe."""
+    the standard contrastive fine-tuning recipe.
+
+    Weight decay applies only to matrix-shaped params (kernels/embeddings):
+    biases, layer-norm scales, and SigLIP's logit_scale/logit_bias
+    calibration scalars are excluded — decaying logit_bias (initialized
+    near -10) toward 0 would steadily mis-calibrate the sigmoid loss.
+    """
     if warmup_steps > 0 or total_steps is not None:
         if total_steps is not None and total_steps > warmup_steps:
             schedule = optax.warmup_cosine_decay_schedule(
@@ -76,10 +80,13 @@ def make_optimizer(
             schedule = optax.linear_schedule(0.0, learning_rate, max(1, warmup_steps))
     else:
         schedule = learning_rate
+    def decay_mask(params):
+        return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
     parts = []
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
-    parts.append(optax.adamw(schedule, weight_decay=weight_decay))
+    parts.append(optax.adamw(schedule, weight_decay=weight_decay, mask=decay_mask))
     return optax.chain(*parts)
 
 

@@ -47,9 +47,10 @@ def apply_negative_embeddings(
     log("Warning: Embedding became zero after negative subtraction, using original")
     if embedding2 is None:
         return embedding1
-    total = weights[0] + weights[1]
-    w1, w2 = weights[0] / total, weights[1] / total
-    return _normalize(w1 * embedding1 + w2 * embedding2)
+    # Re-derive the original blend through combine_embeddings so the
+    # zero-total-weight guard applies here too (a hand-rolled copy divided
+    # by zero when weights == (0, 0)).
+    return combine_embeddings(embedding1, embedding2, weights)
 
 
 def combine_embeddings(
