@@ -107,7 +107,7 @@ def parse_interactive_line(
 
     # Negatives: "<query> - <neg1> - <neg2> ..." (split precedes '+' parsing,
     # image_database.py:2156-2190); skipped when the CLI already set one.
-    if spec.negative_query is None and " - " in spec.query:
+    if spec.negative_query is None and not spec.is_image and " - " in spec.query:
         head, negative_str = spec.query.split(" - ", 1)
         spec.query = head.strip()
         negative_parts = [p.strip() for p in negative_str.strip().split(" - ")]
@@ -126,8 +126,9 @@ def parse_interactive_line(
             spec.negative_weights = [default_negative_weight] * len(qs)
 
     # Combined: "q1 + q2" (split on '+', image_database.py:2192-2213);
-    # skipped when the CLI already set --query2.
-    if spec.query2 is None:
+    # skipped when the CLI already set --query2, or marked the query as an
+    # image path with --image (a path must not be split or prefix-stripped).
+    if spec.query2 is None and not spec.is_image:
         query_parts = [q.strip() for q in spec.query.split("+", 1)]
         if len(query_parts) == 2:
             q1, is1 = _strip_image_prefix(query_parts[0])
@@ -136,7 +137,10 @@ def parse_interactive_line(
             spec.query2, spec.is_image2 = q2, is2
         else:
             q1, is1 = _strip_image_prefix(spec.query)
-            spec.query, spec.is_image = q1, is1
+            if is1:
+                spec.query, spec.is_image = q1, is1
+            # No prefix found: keep spec.is_image as-is so a CLI --image
+            # preset is not clobbered (plain lines default to False anyway).
 
     return ReplCommand("search", search=spec)
 
@@ -200,7 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
     search_parser.add_argument("--db", default=None, help="Database path (required unless using --db-name)")
     search_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir} (e.g. photos_database.db)")
     search_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
-    search_parser.add_argument("--output", default="results.html", help="Output HTML file")
+    search_parser.add_argument("--output", default=None, help="Output HTML file (default: derived from the query under the results dir)")
     search_parser.add_argument("--interactive", "-i", action="store_true", help="Interactive session mode (default when query provided)")
     search_parser.add_argument("--no-session", action="store_true", help="Exit after processing query instead of keeping session open")
     search_parser.add_argument("--folder", action="append", help="Filter results to images in this folder (repeatable)")
@@ -429,7 +433,7 @@ def _run_search(args, paths) -> None:
     for file_path, similarity in results:
         log(f"  {similarity:.4f}: {file_path}")
 
-    if args.output == "results.html":  # default → derive from query
+    if args.output is None:  # no explicit --output → derive from query
         if args.query2:
             output_file = combined_output_filename(
                 args.query, args.query2, args.image, args.image2,
@@ -484,6 +488,9 @@ def _interactive_session(db, args) -> None:
     interactive = is_tty()
 
     first_cli_query = args.query
+    # An explicit --output applies to the CLI-provided query's gallery;
+    # subsequent interactive queries derive their own filenames.
+    cli_output: Optional[str] = args.output if args.query else None
 
     while True:
         try:
@@ -586,9 +593,12 @@ def _interactive_session(db, args) -> None:
 
             if results:
                 _print_results(results)
-                output_file = generate_output_filename(
-                    spec.query, spec.is_image, results_dir=Path(db.results_dir)
-                )
+                if cli_output:
+                    output_file, cli_output = cli_output, None
+                else:
+                    output_file = generate_output_filename(
+                        spec.query, spec.is_image, results_dir=Path(db.results_dir)
+                    )
                 db.generate_html_gallery(
                     results, output_file, query=display_query_string(spec)
                 )

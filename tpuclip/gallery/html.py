@@ -80,14 +80,15 @@ def generate_html_gallery(
     query: Optional[str] = None,
     thumbnailer=None,
 ) -> None:
+    from tpuclip.io.thumbnails import needs_thumbnail
+
     cards = []
     for file_path, similarity in results:
         file_url = f"localexplorer:{file_path}"
         folder_url = f"localexplorer:{Path(file_path).parent}"
         filename = Path(file_path).name
 
-        ext = Path(file_path).suffix.lower()
-        if ext in {".pdf", ".tif", ".tiff", ".bmp"} and thumbnailer is not None:
+        if thumbnailer is not None and needs_thumbnail(file_path):
             thumb = thumbnailer.create(file_path)
             display_url = file_display_url(thumb) if thumb else _PLACEHOLDER_NO_THUMB
         else:

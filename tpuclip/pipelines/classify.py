@@ -33,6 +33,14 @@ def classify_image(
     from tpuclip.text.tokenizer import build_prompt, load_tokenizer
 
     cfg, params = load_model(model_name, model_cache_dir)
+    if cfg.vision.naflex:
+        # The square-resize decode + vision_forward path below does not match
+        # NaFlex's patchified input contract (models/naflex.py); feeding it
+        # square pixels would crash in the position-embedding add.
+        raise ValueError(
+            f"{model_name} is a NaFlex model, which classify does not support yet; "
+            "use a fixed-resolution preset"
+        )
     compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     params = jax.device_put(cast_params(params, compute_dtype))
     ckpt = find_local_checkpoint(model_name, model_cache_dir)

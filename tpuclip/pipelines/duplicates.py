@@ -8,8 +8,10 @@ O(n²) pairwise approach with the standard banding trick:
 For Hamming tolerance t over D bits, split each signature into (t + 1)
 bands — two signatures within t differing bits must agree EXACTLY on at
 least one band (pigeonhole). Bucket rows by each band's bytes, then verify
-candidate pairs with a real popcount. Exact (no false negatives), and the
-verification work collapses to within-bucket pairs.
+candidate pairs with a real popcount. Exact (no false negatives) unless a
+degenerate bucket exceeds ``max_bucket`` — capped buckets trade completeness
+for bounded work and are reported with a warning. Verification work
+collapses to within-bucket pairs.
 
 Cluster representative = lowest image_id (stable across runs); union-find
 merges overlapping pairs.

@@ -17,12 +17,26 @@ from tpuclip.utils.logging import log
 
 
 def merge_databases(dst_path: str, src_paths: List[str], embedding_dim: int = 1152) -> None:
-    # Infer embedding dim from the first source that records one.
-    for src in src_paths:
-        dim = MetadataStore(src).stored_embedding_dim()
-        if dim:
-            embedding_dim = dim
-            break
+    # Infer embedding dim from the sources; mixed dims would silently corrupt
+    # the destination (search reshapes every vector blob to one dim).
+    src_dims = {
+        dim for src in src_paths if (dim := MetadataStore(src).stored_embedding_dim())
+    }
+    if len(src_dims) > 1:
+        raise ValueError(
+            f"Source databases record mismatched embedding dims {sorted(src_dims)}; "
+            "refusing to merge"
+        )
+    dst_dim = MetadataStore(dst_path).stored_embedding_dim()
+    if src_dims:
+        embedding_dim = src_dims.pop()
+        if dst_dim and dst_dim != embedding_dim:
+            raise ValueError(
+                f"Destination records embedding dim {dst_dim} but sources use "
+                f"{embedding_dim}; refusing to merge"
+            )
+    elif dst_dim:
+        embedding_dim = dst_dim
     dst_store = MetadataStore(dst_path, embedding_dim=embedding_dim)
     dst_store.init_schema(verbose=False)
 

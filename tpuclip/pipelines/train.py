@@ -59,11 +59,23 @@ def _batches(
 
     caption_of = dict(pairs)
     produced = 0
+    consecutive_skips = 0
+    # A bad image only poisons the batches it lands in, so skipping works —
+    # but if every batch fails to decode this would spin forever on the
+    # infinite path stream. Bail after roughly two epochs of pure failures.
+    max_consecutive_skips = max(10, 2 * (len(pairs) // batch_size + 1))
     for batch in prefetch_batches(
         path_stream(), batch_size, image_size, with_hash=False
     ):
         if not batch.valid.all():
+            consecutive_skips += 1
+            if consecutive_skips >= max_consecutive_skips:
+                raise RuntimeError(
+                    f"{consecutive_skips} consecutive batches contained decode "
+                    "failures; check the dataset for corrupt/unreadable images"
+                )
             continue  # skip batches with decode failures (pairs must align)
+        consecutive_skips = 0
         ids = tokenizer.encode_batch(
             [caption_of[item.path].lower() for item in batch.items]
         )
@@ -108,6 +120,11 @@ def train(
     log(f"Dataset: {len(pairs)} image/caption pairs from {data_dir}")
 
     cfg, params = load_model(model_name, model_cache_dir)
+    if cfg.vision.naflex:
+        # The square-pixel prefetcher + vision_forward train step do not
+        # match NaFlex's patchified input contract (models/naflex.py).
+        log(f"[X] {model_name} is a NaFlex model; training does not support NaFlex yet")
+        return
     ckpt_dir = find_local_checkpoint(model_name, model_cache_dir)
     tokenizer = load_tokenizer(
         model_name, str(ckpt_dir) if ckpt_dir else None, vocab_size=cfg.text.vocab_size
