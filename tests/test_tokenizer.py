@@ -120,11 +120,12 @@ def test_sentencepiece_backend_padding(tmp_path):
     out = tok.encode("ab")
     assert out.shape == (MAX_LENGTH,)
     assert out.dtype == np.int32
-    # siglip1 convention: eos appended, padded with pad_id (0 here)
+    # siglip1 convention: eos appended, padded with eos (HF SiglipTokenizer
+    # pads with "</s>" regardless of the spm proto's pad_id)
     ids = m.encode("ab")
     assert list(out[: len(ids)]) == ids
     assert out[len(ids)] == m.eos_id
-    assert out[-1] == 0
+    assert out[-1] == m.eos_id
 
     tok2 = SentencePieceBackend(str(path), model_name="google/siglip2-so400m-patch14-224")
     out2 = tok2.encode("ab")

@@ -236,7 +236,9 @@ class MetadataStore:
                         continue  # already processed in the requested mode
 
                 if thumbnailer is not None:
-                    thumbnailer(file_path)
+                    # Reuse the scan's hash — thumbnails are content-hash
+                    # named, and recomputing SHA-256 re-reads the whole file.
+                    thumbnailer(file_path, file_hash)
 
                 # A modified file (same path, new mtime) is re-inserted via
                 # INSERT OR REPLACE, which assigns a NEW id — capture the old

@@ -61,15 +61,15 @@ def load_image(
                 return None
             try:
                 doc = fitz.open(image_path)
-                if len(doc) == 0:
+                try:
+                    if len(doc) == 0:
+                        return None
+                    page = doc[0]
+                    mat = fitz.Matrix(150 / 72, 150 / 72)  # 150 DPI render
+                    pix = page.get_pixmap(matrix=mat)
+                    return Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+                finally:
                     doc.close()
-                    return None
-                page = doc[0]
-                mat = fitz.Matrix(150 / 72, 150 / 72)  # 150 DPI render
-                pix = page.get_pixmap(matrix=mat)
-                img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
-                doc.close()
-                return img
             except Exception as pdf_error:  # noqa: BLE001
                 safe_print_path("Error converting PDF ", image_path, pdf_error)
                 return None

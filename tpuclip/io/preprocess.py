@@ -35,10 +35,7 @@ def resize_to_uint8(image: Image.Image, image_size: int) -> np.ndarray:
         image = image.convert("RGB")
     if image.size != (image_size, image_size):
         image = image.resize((image_size, image_size), Image.Resampling.BICUBIC)
-    arr = np.asarray(image, dtype=np.uint8)
-    if arr.shape != (image_size, image_size, 3):  # paranoid: palette edge cases
-        arr = np.ascontiguousarray(arr[..., :3])
-    return arr
+    return np.asarray(image, dtype=np.uint8)
 
 
 def preprocess_batch(

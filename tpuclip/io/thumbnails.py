@@ -51,16 +51,32 @@ class Thumbnailer:
             image.thumbnail(max_size, Image.Resampling.LANCZOS)
             if image.mode != "RGB":
                 image = image.convert("RGB")
-            image.save(thumbnail_path, "JPEG", quality=85)
+            # Write-then-rename: a crash/disk-full mid-save must not leave a
+            # truncated .jpg behind — the exists() check above would serve it
+            # as a valid cached thumbnail forever after.
+            tmp_path = f"{thumbnail_path}.{os.getpid()}.tmp"
+            try:
+                image.save(tmp_path, "JPEG", quality=85)
+                os.replace(tmp_path, thumbnail_path)
+            except BaseException:
+                try:
+                    os.unlink(tmp_path)
+                except OSError:
+                    pass
+                raise
             return thumbnail_path
         except Exception as e:  # noqa: BLE001
             safe_print_path("Error creating thumbnail for ", file_path, e)
             return None
 
-    def ensure_for(self, file_path: str) -> None:
-        """Commit-time hook: thumbnail PDF/TIF/BMP only (image_database.py:1132)."""
+    def ensure_for(self, file_path: str, file_hash: Optional[str] = None) -> None:
+        """Commit-time hook: thumbnail PDF/TIF/BMP only (image_database.py:1132).
+
+        ``file_hash``: pass the scan's already-computed SHA-256 to avoid
+        re-reading and re-hashing the whole file just to name the thumbnail.
+        """
         if needs_thumbnail(file_path):
-            self.create(file_path)
+            self.create(file_path, file_hash=file_hash)
 
     def gc_orphans(self, referenced_hashes, dry_run: bool = False) -> Tuple[int, int]:
         """Delete sha-named thumbnails whose hash no database references.
@@ -95,7 +111,9 @@ def referenced_hashes_for_dbs(db_paths) -> set:
 
     hashes: set = set()
     for db in db_paths:
-        conn = sqlite3.connect(db)
+        # Read-only open: a plain connect() on a mistyped path would CREATE an
+        # empty db file before failing on the query.
+        conn = sqlite3.connect(f"file:{db}?mode=ro", uri=True)
         try:
             rows = conn.execute(
                 "SELECT file_hash FROM images WHERE file_hash IS NOT NULL"

@@ -39,6 +39,8 @@ def patch_embed_fused(
 ) -> jnp.ndarray:
     r, pin = patches_u8.shape
     d = kernel.shape[1]
+    if r == 0:  # avoid tile=0 → division by zero in the grid computation
+        return jnp.zeros((0, d), out_dtype)
     tile = min(tile_rows, r)
     rem = (-r) % tile
     if rem:

@@ -52,10 +52,13 @@ class TokenizerConventions:
             return TokenizerConventions(add_bos=True, add_eos=False, pad_id=0)
         # SigLIP v1 sentencepiece tokenizer: punctuation canonicalized away
         # (HF SiglipTokenizer.canonicalize_text, after big_vision's prompt
-        # engineering), EOS appended, pad with eos/pad id.
-        pad = 1
-        if sp_model is not None:
-            pad = sp_model.pad_id if sp_model.pad_id >= 0 else sp_model.eos_id
+        # engineering), EOS appended. HF SiglipTokenizer hardcodes
+        # pad_token="</s>" (= eos), IGNORING the spm proto's pad_id — the
+        # c4/T5-style spm defines pad_id=0, and padding with it would put a
+        # different token at the pooled last position (text_forward pools
+        # hidden[:, -1, :]), diverging from the reference for every short
+        # text. Always pad with eos.
+        pad = sp_model.eos_id if sp_model is not None else 1
         return TokenizerConventions(add_bos=False, add_eos=True, pad_id=pad, canonicalize=True)
 
 
@@ -97,7 +100,13 @@ class Tokenizer:
         if conv.add_bos:
             ids = [self.bos_id] + ids
         if conv.add_eos:
+            # HF truncation reserves room for special tokens (prepare_for_model
+            # truncates to max_length - 1 BEFORE appending eos), so the output
+            # always ends with EOS — and the text tower pools the last
+            # position. Truncate content, keep EOS.
             ids = ids + [self.eos_id]
+            if len(ids) > max_length:
+                ids = ids[: max_length - 1] + [self.eos_id]
         ids = ids[:max_length]
         out = np.full((max_length,), conv.pad_id, dtype=np.int32)
         out[: len(ids)] = ids
@@ -167,12 +176,16 @@ def load_tokenizer(
     """Resolve the best available backend for a checkpoint."""
     if checkpoint_dir:
         d = Path(checkpoint_dir)
-        sp_file = d / "tokenizer.model"
-        if sp_file.exists():
-            try:
-                return SentencePieceBackend(str(sp_file), model_name)
-            except Exception as e:  # noqa: BLE001
-                print(f"Warning: sentencepiece load failed ({e}); trying HF tokenizer")
+        # SigLIP2/Gemma checkpoints ship "tokenizer.model"; SigLIP v1 ships
+        # "spiece.model" (HF SiglipTokenizer.vocab_files_names) — check both.
+        for sp_name in ("tokenizer.model", "spiece.model"):
+            sp_file = d / sp_name
+            if sp_file.exists():
+                try:
+                    return SentencePieceBackend(str(sp_file), model_name)
+                except Exception as e:  # noqa: BLE001
+                    print(f"Warning: sentencepiece load failed ({e}); trying HF tokenizer")
+                break
         if (d / "tokenizer.json").exists() or (d / "tokenizer_config.json").exists():
             try:
                 return HFBackend(str(d))
@@ -187,7 +200,7 @@ def load_tokenizer(
         f"  [WARNING] No tokenizer files found for {model_name or '<model>'}"
         + (f" under {checkpoint_dir}" if checkpoint_dir else " (no checkpoint dir)")
         + "; using the deterministic HASH tokenizer. Only valid for"
-        " random-weight smoke runs — real checkpoints need tokenizer.model"
-        " or tokenizer.json beside the weights."
+        " random-weight smoke runs — real checkpoints need tokenizer.model,"
+        " spiece.model, or tokenizer.json beside the weights."
     )
     return HashBackend(vocab_size)
