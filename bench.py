@@ -114,7 +114,20 @@ def _emit(final: bool = True):
         if _EMITTED:
             return
         RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
-        print(json.dumps(RESULT), flush=True)
+        # The benches mutate RESULT from the main thread WITHOUT the lock, so
+        # a dump from the watchdog thread can catch the dict mid-mutation
+        # (RuntimeError: dictionary changed size during iteration). Retry —
+        # writes are sporadic and a few bytecodes wide, so one retry is
+        # virtually always enough; never let the flush die on it.
+        for _ in range(1000):
+            try:
+                line = json.dumps(RESULT)
+                break
+            except RuntimeError:
+                continue
+        else:
+            return  # un-dumpable right now; a later flush will retry
+        print(line, flush=True)
         if final:
             _EMITTED = True
 
@@ -127,28 +140,37 @@ def _flush_and_exit(signum, _frame):
     os._exit(0)
 
 
+def _watchdog_tick(last_beat: float) -> float:
+    now = time.perf_counter()
+    if RESULT.get("value") is None and now < _T0 + _STALL_CREDIT_CAP_S:
+        # Still inside the init/session-warm stall window with nothing
+        # measured: flushing now would record a null value while the
+        # tunnel may yet come up (measured init stalls reach 17+ min).
+        # Hold until the stall-credit cap; the driver's own timeout is
+        # the absolute backstop. A ~60 s heartbeat line keeps the last
+        # stdout line fresh (elapsed + stage) if that timeout SIGKILLs
+        # us mid-stall — nothing enforces that it exceeds the cap.
+        if now - last_beat > 60.0:
+            last_beat = now
+            _emit(final=False)
+        return last_beat
+    if now > _BUDGET_T0 + BUDGET_S + WATCHDOG_GRACE_S:
+        with _EMIT_LOCK:
+            RESULT["partial"] = True
+            RESULT["watchdog_flush"] = True
+        _emit()
+        os._exit(0)
+    return last_beat
+
+
 def _watchdog():
     last_beat = _T0
     while not _DONE.wait(2.0):
-        now = time.perf_counter()
-        if RESULT.get("value") is None and now < _T0 + _STALL_CREDIT_CAP_S:
-            # Still inside the init/session-warm stall window with nothing
-            # measured: flushing now would record a null value while the
-            # tunnel may yet come up (measured init stalls reach 17+ min).
-            # Hold until the stall-credit cap; the driver's own timeout is
-            # the absolute backstop. A ~60 s heartbeat line keeps the last
-            # stdout line fresh (elapsed + stage) if that timeout SIGKILLs
-            # us mid-stall — nothing enforces that it exceeds the cap.
-            if now - last_beat > 60.0:
-                last_beat = now
-                _emit(final=False)
+        # Never let an exception kill this thread: it IS the flush guarantee.
+        try:
+            last_beat = _watchdog_tick(last_beat)
+        except Exception:  # noqa: BLE001
             continue
-        if now > _BUDGET_T0 + BUDGET_S + WATCHDOG_GRACE_S:
-            with _EMIT_LOCK:
-                RESULT["partial"] = True
-                RESULT["watchdog_flush"] = True
-            _emit()
-            os._exit(0)
 
 
 def _remaining() -> float:
@@ -699,13 +721,11 @@ def bench_end_to_end_scan(jax):
         # whose only job is compiling the embed program).
         warm_dir = os.path.join(tmp, "warm")
         os.makedirs(warm_dir, exist_ok=True)
-        import shutil as _sh
-
         mains = []
         for dp, _, fns in os.walk(main_dir):
             mains.extend(os.path.join(dp, f) for f in sorted(fns))
         for i in range(2 * batch + 16):
-            _sh.copyfile(mains[i % len(mains)], os.path.join(warm_dir, f"w_{i:04d}.jpg"))
+            shutil.copyfile(mains[i % len(mains)], os.path.join(warm_dir, f"w_{i:04d}.jpg"))
         _dbg("e2e: trees ready")
 
         # Decode-only rate on the same files: quantifies how host-bound the
@@ -788,12 +808,15 @@ def _ivf_recall_on_scanned(jax, engine, k=20, n_queries=16):
         true_sets.append(set(order.tolist()))
         kth_scores.append(exact[r][order[-1]])
     out = {}
+    # The bucket layout is nprobe-independent (nprobe is only a stored search
+    # default), so build the index ONCE and sweep nprobe at search time —
+    # rebuilding ran the device k-means three times for identical buckets.
+    idx = build_ivf_device(rows_dev, k_clusters=max(8, n // 40))
     for nprobe in (2, 4, 8):
-        idx = build_ivf_device(rows_dev, k_clusters=max(8, n // 40), nprobe=nprobe)
         got_s, got = ivf_topk_rerank(
             jnp.asarray(q), idx.centroids, idx.buckets, idx.bucket_scales,
             idx.bucket_rows, idx.over_t, idx.over_scales, idx.over_rows,
-            rows_dev, k, idx.nprobe,
+            rows_dev, k, nprobe,
         )
         got, got_s = np.asarray(got), np.asarray(got_s)
         out[f"nprobe{nprobe}"] = round(

@@ -18,7 +18,7 @@ _ENABLED = False
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
     """Idempotently point jax at an on-disk compilation cache."""
     global _ENABLED
-    if _ENABLED or os.environ.get("TPUCLIP_NO_COMPILE_CACHE") == "1":
+    if _ENABLED or os.environ.get("TPUCLIP_NO_COMPILE_CACHE", "") in ("1", "true", "yes"):
         return
     import jax
 

@@ -33,8 +33,11 @@ def safe_print_path(message: str, file_path: str, error: Optional[Exception] = N
     try:
         log(f"{message}{file_path}{suffix}")
     except UnicodeEncodeError:
-        safe = file_path.encode("ascii", "replace").decode("ascii")
-        log(f"{message}{safe}{suffix}")
+        # Sanitize the WHOLE line: the error text usually embeds the same
+        # non-encodable path (e.g. FileNotFoundError), so replacing only
+        # file_path would re-raise from the fallback itself.
+        safe = f"{message}{file_path}{suffix}".encode("ascii", "replace").decode("ascii")
+        log(safe)
 
 
 def banner(title: str, width: int = 60) -> None:
