@@ -102,6 +102,27 @@ def _credit_stall():
     RESULT["session_warm_stall_credit_s"] = round(_BUDGET_T0 - _T0, 1)
 
 
+# Context attached to a value-less flush (backend never came up): the most
+# recent ON-HARDWARE measurements this round, with provenance. These are NOT
+# fresh numbers — they exist so a dead-tunnel record still tells the reader
+# what the chip measured days earlier instead of a bare null. Source:
+# docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
+# the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
+_LAST_HARDWARE_RUN = {
+    "recorded": "2026-08-17 (round 3, before the dev-tunnel relay died)",
+    "source": "docs/benchmarks.md round-3 on-hardware table",
+    "headline_int8_fused_exact_p50_ms": 4.26,
+    "bf16_scan_p50_ms": 4.33,
+    "binary_p50_ms": 2.65,
+    "int8_scan_only_p50_ms": 2.78,
+    "batch16_qps": 2191,
+    "batch64_qps": 3446,
+    "text_query_fused_ms": 5.86,
+    "indexing_images_per_min": 38600,
+    "end_to_end_images_per_min": 6300,
+}
+
+
 def _emit(final: bool = True):
     """Print the cumulative result as ONE JSON line.
 
@@ -114,6 +135,11 @@ def _emit(final: bool = True):
         if _EMITTED:
             return
         RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        if RESULT.get("value") is None and RESULT.get("stage") == "backend_init":
+            # Backend init is stalled/dead: label the failure mode and carry
+            # the last hardware numbers (clearly marked stale) in the record.
+            RESULT["backend_init_stalled"] = True
+            RESULT["last_hardware_run"] = _LAST_HARDWARE_RUN
         # The benches mutate RESULT from the main thread WITHOUT the lock, so
         # a dump from the watchdog thread can catch the dict mid-mutation
         # (RuntimeError: dictionary changed size during iteration). Retry —
@@ -870,6 +896,11 @@ def main():
             pass
         RESULT["backend"] = jax.default_backend()
         RESULT["stage"] = "measuring"
+        # The backend came up: drop the dead-tunnel context the bootstrap
+        # emission may have attached (fresh numbers supersede it).
+        with _EMIT_LOCK:
+            RESULT.pop("backend_init_stalled", None)
+            RESULT.pop("last_hardware_run", None)
         n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
         chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
         RESULT["n_vectors"] = n
