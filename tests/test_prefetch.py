@@ -84,3 +84,62 @@ def test_process_pool_decode_matches_threads(files, tmp_path):
         assert rb.valid.tolist() == gb.valid.tolist()
         assert [i.path for i in rb.items] == [i.path for i in gb.items]
         assert [i.file_hash for i in rb.items] == [i.file_hash for i in gb.items]
+
+
+def test_fast_decode_levels(tmp_path, monkeypatch):
+    """Level parsing + the draft targets each level hands libjpeg.
+
+    Level 1 drafts at image_size (never upsamples); level 2 drafts at
+    image_size//2 (the final resize may upsample <=2x). Both must still
+    produce fixed-shape uint8 batches with hashes intact."""
+    from tpuclip.io.prefetch import _fast_decode_level
+
+    for raw, want in [("", 0), ("0", 0), ("1", 1), ("true", 1), ("yes", 1), ("2", 2)]:
+        monkeypatch.setenv("TPUCLIP_FAST_DECODE", raw)
+        assert _fast_decode_level() == want, raw
+
+    p = tmp_path / "photo.jpg"
+    rng = np.random.default_rng(3)
+    low = rng.integers(0, 256, size=(96, 128, 3), dtype=np.uint8)
+    arr = np.asarray(Image.fromarray(low).resize((1024, 768), Image.BILINEAR))
+    Image.fromarray(arr).save(p, "JPEG", quality=85)
+
+    outs = {}
+    for level in ("0", "1", "2"):
+        monkeypatch.setenv("TPUCLIP_FAST_DECODE", level)
+        (b,) = list(prefetch_batches(iter([(str(p), 0.0)]), batch_size=1, image_size=224))
+        assert b.pixels.shape == (1, 224, 224, 3) and b.pixels.dtype == np.uint8
+        assert b.valid.tolist() == [True] and b.items[0].file_hash
+        outs[level] = b.pixels[0].astype(np.int16)
+
+    # level 1 stays close to the exact decode; level 2 is coarser but bounded
+    d1 = np.abs(outs["1"] - outs["0"]).mean()
+    d2 = np.abs(outs["2"] - outs["0"]).mean()
+    assert d1 < 3.0
+    assert d1 < d2 < 10.0
+
+
+def test_decode_modes_normalize_to_rgb(tmp_path):
+    """Palette/grayscale sources resize to the same pixels as an explicit
+    RGB convert (the decode layer no longer force-copies RGB frames)."""
+    from tpuclip.io.decode import load_image
+    from tpuclip.io.preprocess import resize_to_uint8
+
+    rng = np.random.default_rng(5)
+    base = Image.fromarray(rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8))
+    cases = {
+        "rgb.jpg": base,
+        "gray.png": base.convert("L"),
+        "palette.gif": base.convert("P"),
+        "rgba.png": base.convert("RGBA"),
+    }
+    for name, img in cases.items():
+        p = tmp_path / name
+        img.save(p)
+        loaded = load_image(str(p))
+        assert loaded is not None
+        want = np.asarray(
+            resize_to_uint8(Image.open(p).convert("RGB"), 16), dtype=np.uint8
+        )
+        got = resize_to_uint8(loaded, 16)
+        np.testing.assert_array_equal(got, want)

@@ -89,7 +89,14 @@ def _decode_raster(fp, draft_size: Optional[int]) -> Image.Image:
         # conservative choice — silently disabled scaling for common
         # 1024x768 photos: 768/2 < 448, so no scale qualified.)
         img.draft("RGB", (draft_size, draft_size))
-    return img.convert("RGB")
+    if img.mode != "RGB":
+        return img.convert("RGB")
+    # Already RGB (the common JPEG case): convert() would copy the full
+    # frame for nothing (~0.7 ms/megapixel-decoded). Decode NOW regardless —
+    # truncated/corrupt files must raise here, inside the callers'
+    # containment (-> None), not later in a consumer's resize.
+    img.load()
+    return img
 
 
 def load_image_bytes(

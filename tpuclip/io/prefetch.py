@@ -59,8 +59,20 @@ class Batch:
     shapes: Optional[np.ndarray] = None  # naflex: (B, 2) int32
 
 
-def _fast_decode_enabled() -> bool:
-    return os.environ.get("TPUCLIP_FAST_DECODE", "") in ("1", "true", "yes")
+def _fast_decode_level() -> int:
+    """0 = exact decode; 1 = DCT draft that never upsamples (mean pixel
+    diff ~0.07/255, docs/benchmarks.md); 2 = aggressive draft covering
+    image_size/2 — decoded frame may be upsampled up to 2x by the final
+    resize. Level 2 trades visible high-frequency detail (mean pixel diff
+    ~3/255 on 1024x768 q85 photos) for ~25% less decode time; opt-in for
+    decode-bound hosts where indexing throughput matters more than exact
+    preprocessing parity."""
+    v = os.environ.get("TPUCLIP_FAST_DECODE", "")
+    if v in ("1", "true", "yes"):
+        return 1
+    if v == "2":
+        return 2
+    return 0
 
 
 def _decode_one(
@@ -72,7 +84,12 @@ def _decode_one(
 ) -> DecodedImage:
     """``naflex``: (patch_size, max_num_patches) switches output from a
     square resize to native-aspect patchification (io.preprocess)."""
-    draft = image_size if _fast_decode_enabled() else None
+    level = _fast_decode_level()
+    draft = (
+        None if level == 0
+        else image_size if level == 1
+        else max(1, image_size // 2)
+    )
 
     def finish(img, file_hash):
         if img is None:
