@@ -278,3 +278,51 @@ def test_file_hash_differential(ref, tmp_path):
     p = tmp_path / "blob.bin"
     p.write_bytes(np.random.default_rng(0).bytes(100_000))
     assert file_sha256(str(p)) == ref.ImageDatabase._get_file_hash(_Shim(), str(p))
+
+
+# ------------------------------------------------------------- HTML gallery
+
+
+def _extract_cards(html: str):
+    """Structural view of a gallery: per-card (img src, open/folder links,
+    filename, path, similarity) plus the query banner text."""
+    import html as html_mod
+    import re
+
+    cards = []
+    for m in re.finditer(
+        r'<img src="([^"]*)" alt="([^"]*)"[\s\S]*?'
+        r'Similarity: (-?[0-9.]+)[\s\S]*?'
+        r'<a href="([^"]*)">Open Image</a>\s*'
+        r'<a href="([^"]*)"[^>]*>Open Folder</a>',
+        html,
+    ):
+        cards.append(tuple(html_mod.unescape(g) for g in m.groups()))
+    query = re.search(r'<div class="query">([\s\S]*?)</div>', html)
+    return cards, (html_mod.unescape(query.group(1)).strip() if query else None)
+
+
+def test_html_gallery_differential(ref, tmp_path):
+    """Same structural gallery (image URLs incl. Windows drive-letter and
+    relative forms, localexplorer links, 4-dp scores, query banner) for
+    escape-neutral inputs; ours additionally HTML-escapes, so comparison is
+    on the unescaped structure."""
+    from tpuclip.gallery.html import generate_html_gallery
+
+    results = [
+        ("/abs/unix path/img one.jpg", 0.91234567),
+        ("C:\\Photos\\vacation\\beach.png", 0.85),
+        ("relative/dir/pic.webp", 0.5),
+        ("/negative/score.gif", -0.125),
+    ]
+    ours_file = tmp_path / "ours.html"
+    refs_file = tmp_path / "refs.html"
+    generate_html_gallery(list(results), str(ours_file), query="red car + sunset")
+    ref.ImageDatabase.generate_html_gallery(
+        _Shim(), list(results), str(refs_file), query="red car + sunset"
+    )
+    got_cards, got_query = _extract_cards(ours_file.read_text(encoding="utf-8"))
+    want_cards, want_query = _extract_cards(refs_file.read_text(encoding="utf-8"))
+    assert len(want_cards) == len(results)  # the regex really matched the ref
+    assert got_cards == want_cards
+    assert got_query == want_query
