@@ -121,3 +121,88 @@ def test_gc_cli(tmp_path, vecs, monkeypatch, capsys):
     assert "Removed 1" in out
     assert not os.path.exists(os.path.join(paths.thumbnails_dir, "gone.jpg"))
     assert os.path.exists(os.path.join(paths.thumbnails_dir, "hash0.jpg"))
+
+
+def test_int8_blobs_quarter_storage_and_roundtrip(tmp_path, vecs):
+    s32 = MetadataStore(str(tmp_path / "q32.db"), embedding_dim=DIM)
+    s32.init_schema(verbose=False)
+    _commit(s32, vecs)
+    s8 = MetadataStore(str(tmp_path / "q8.db"), embedding_dim=DIM, vector_dtype="int8")
+    s8.init_schema(verbose=False)
+    _commit(s8, vecs)
+
+    blob8 = sqlite3.connect(s8.db_path).execute(
+        "SELECT vector FROM embeddings LIMIT 1"
+    ).fetchone()[0]
+    assert len(blob8) == DIM + 4
+
+    for ids, out in s8.iter_embeddings():
+        assert out.dtype == np.float32
+        # dequantized values stay within one quantization step of the source
+        step = np.abs(vecs[ids - 1]).max(axis=1, keepdims=True) / 127.0
+        assert (np.abs(out - vecs[ids - 1]) <= step * 0.5 + 1e-7).all()
+
+
+def test_int8_storage_requantizes_bit_identically(tmp_path, vecs):
+    """The load-time int8 derivation over an int8-stored DB must reproduce
+    the EXACT same int8 matrix + scales as over an fp32-stored DB — int8
+    storage then cannot change any int8-scan search result."""
+    from tpuclip.ops.topk_int8 import quantize_matrix_t
+
+    s8 = MetadataStore(str(tmp_path / "rq.db"), embedding_dim=DIM, vector_dtype="int8")
+    s8.init_schema(verbose=False)
+    _commit(s8, vecs)
+    (ids, dequant), = list(s8.iter_embeddings())
+
+    q_from_fp32, scales_from_fp32 = quantize_matrix_t(vecs.T)
+    q_from_int8, scales_from_int8 = quantize_matrix_t(dequant.T)
+    np.testing.assert_array_equal(q_from_int8, q_from_fp32)
+    np.testing.assert_allclose(scales_from_int8, scales_from_fp32, rtol=1e-6)
+
+
+def test_int8_zero_vector_roundtrip(tmp_path):
+    s8 = MetadataStore(str(tmp_path / "z.db"), embedding_dim=DIM, vector_dtype="int8")
+    s8.init_schema(verbose=False)
+    z = np.zeros((2, DIM), np.float32)
+    z[1, 0] = 1.0
+    _commit(s8, z)
+    (ids, out), = list(s8.iter_embeddings())
+    np.testing.assert_array_equal(out, z[ids - 1])
+
+
+def test_int8_search_ordering_close_to_fp32(tmp_path, vecs):
+    rng = np.random.default_rng(9)
+    s32 = MetadataStore(str(tmp_path / "o32.db"), embedding_dim=DIM)
+    s32.init_schema(verbose=False)
+    _commit(s32, vecs)
+    s8 = MetadataStore(str(tmp_path / "o8.db"), embedding_dim=DIM, vector_dtype="int8")
+    s8.init_schema(verbose=False)
+    _commit(s8, vecs)
+    q = rng.standard_normal(DIM).astype(np.float32)
+    r32 = DeviceIndex(s32).search(q, 10)
+    r8 = DeviceIndex(s8).search(q, 10)
+    # int8 quantization of 64-dim unit vectors: expect near-total overlap
+    assert len(set(p for p, _ in r8) & set(p for p, _ in r32)) >= 9
+    np.testing.assert_allclose(
+        sorted(s for _, s in r8), sorted(s for _, s in r32), atol=2e-2
+    )
+
+
+def test_mixed_int8_fp32_db_reads_back(tmp_path, vecs):
+    """A DB scanned partly fp32 and partly int8 (resumed with a different
+    flag) must read back per-row."""
+    store = MetadataStore(str(tmp_path / "mix8.db"), embedding_dim=DIM)
+    store.init_schema(verbose=False)
+    _commit(store, vecs[:60], prefix="/a")
+    store.vector_dtype = "int8"
+    _commit(store, vecs[60:], prefix="/b")
+    got = np.concatenate([v for _, v in store.iter_embeddings()])
+    assert got.shape == (120, DIM)
+    np.testing.assert_allclose(got[:60], vecs[:60], atol=1e-7)
+    step = np.abs(vecs[60:]).max(axis=1, keepdims=True) / 127.0
+    assert (np.abs(got[60:] - vecs[60:]) <= step * 0.5 + 1e-7).all()
+
+
+def test_int8_dim4_guard():
+    with pytest.raises(ValueError):
+        MetadataStore("unused.db", embedding_dim=4, vector_dtype="int8")

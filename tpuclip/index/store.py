@@ -35,6 +35,23 @@ from tpuclip.utils.logging import log, safe_print_path
 EMBEDDING_DIM = 1152  # SigLIP2 SO400M (image_database.py:235)
 
 
+def _quantize_int8_blob(vec: np.ndarray) -> bytes:
+    """Per-vector symmetric int8 blob: dim int8 values + one trailing fp32
+    scale (little-endian), dim+4 bytes total.
+
+    The formula MUST match ops/topk_int8.quantize_matrix_t (scale =
+    max|v|/127, zero vectors get scale 1.0) so that a database stored int8
+    produces bit-identical device scan matrices to one stored fp32 and
+    quantized at load time (asserted by tests/test_storage_features.py).
+    Kept inline so the store never imports jax."""
+    v = np.asarray(vec, np.float32).reshape(-1)
+    scale = np.float32(np.abs(v).max() / 127.0)
+    if scale == 0:
+        scale = np.float32(1.0)
+    q = np.clip(np.rint(v / scale), -127, 127).astype(np.int8)
+    return q.tobytes() + scale.tobytes()
+
+
 def connect(
     db_path: str, timeout: float = 30.0, check_same_thread: bool = True
 ) -> sqlite3.Connection:
@@ -62,14 +79,23 @@ class MetadataStore:
     ):
         self.db_path = str(db_path)
         self.embedding_dim = embedding_dim
-        # "fp32" (default, reference-compatible) or "fp16" (half the DB size;
-        # readers detect per-row by blob length, so mixed DBs stay valid and
-        # search re-ranks against the fp32-converted cache).
+        # "fp32" (default, reference-compatible), "fp16" (half the DB size),
+        # or "int8" (quarter: per-vector symmetric int8 + a trailing fp32
+        # scale, dim+4 bytes/row — the same quantization the TPU search path
+        # derives on device, so int8-stored and fp32-stored databases search
+        # identically under the default int8 scan). Readers detect per-row by
+        # blob length, so mixed DBs stay valid.
         self.vector_dtype = (
             vector_dtype or os.environ.get("TPUCLIP_VECTOR_DTYPE", "fp32")
         ).lower()
-        if self.vector_dtype not in ("fp32", "fp16"):
-            raise ValueError(f"vector_dtype must be fp32 or fp16, got {self.vector_dtype}")
+        if self.vector_dtype not in ("fp32", "fp16", "int8"):
+            raise ValueError(
+                f"vector_dtype must be fp32, fp16, or int8, got {self.vector_dtype}"
+            )
+        if self.vector_dtype == "int8" and embedding_dim == 4:
+            # The only dim where the int8 blob length (d+4) collides with
+            # the fp16 length (2d), breaking per-row dtype detection.
+            raise ValueError("int8 vector storage requires embedding_dim != 4")
 
     # ------------------------------------------------------------------ init
 
@@ -272,11 +298,12 @@ class MetadataStore:
 
                 vec = np.asarray(embedding, dtype=np.float32).reshape(-1)
                 if save_full_embeddings:
-                    blob = (
-                        vec.astype(np.float16).tobytes()
-                        if self.vector_dtype == "fp16"
-                        else vec.tobytes()
-                    )
+                    if self.vector_dtype == "fp16":
+                        blob = vec.astype(np.float16).tobytes()
+                    elif self.vector_dtype == "int8":
+                        blob = _quantize_int8_blob(vec)
+                    else:
+                        blob = vec.tobytes()
                     cursor.execute(
                         """
                         INSERT OR REPLACE INTO embeddings (image_id, vector)
@@ -450,10 +477,20 @@ class MetadataStore:
         finally:
             conn.close()
 
-    def _blob_dtype(self, n_bytes: int):
-        """fp16 blobs are dim*2 bytes, fp32 dim*4 (dim from the store's
-        configured embedding_dim, which matches the DB's stored dim)."""
-        return np.float16 if n_bytes == 2 * self.embedding_dim else np.float32
+    def _decode_vector_rows(self, blobs: List[bytes]) -> np.ndarray:
+        """Decode same-length vector blobs to fp32 (n, D). Per-row dtype by
+        blob length: dim*4 = fp32, dim*2 = fp16, dim+4 = int8 values followed
+        by one fp32 scale (see _quantize_int8_blob)."""
+        d = self.embedding_dim
+        n_bytes = len(blobs[0])
+        raw = b"".join(blobs)
+        if n_bytes == d + 4:
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(len(blobs), d + 4)
+            q = rows[:, :d].view(np.int8).astype(np.float32)
+            scales = rows[:, d:].copy().view(np.float32)
+            return q * scales
+        dt = np.float16 if n_bytes == 2 * d else np.float32
+        return np.frombuffer(raw, dtype=dt).astype(np.float32).reshape(len(blobs), -1)
 
     def iter_embeddings(
         self, min_image_id: int = 0, batch_rows: int = 8192
@@ -472,18 +509,15 @@ class MetadataStore:
                 if not rows:
                     break
                 ids = np.array([r[0] for r in rows], dtype=np.int64)
-                # Per-row dtype detection by blob length: dim*4 bytes = fp32,
-                # dim*2 = fp16. Rows within one fetch usually share a dtype,
-                # so decode contiguous same-length runs in bulk.
+                # Per-row dtype detection by blob length (_decode_vector_rows).
+                # Rows within one fetch usually share a dtype, so decode
+                # same-length runs in bulk; mixed batches decode row by row.
                 lens = {len(r[1]) for r in rows}
                 if len(lens) == 1:
-                    dt = self._blob_dtype(next(iter(lens)))
-                    vecs = np.frombuffer(b"".join(r[1] for r in rows), dtype=dt).astype(np.float32)
-                    yield ids, vecs.reshape(len(rows), -1)
+                    yield ids, self._decode_vector_rows([r[1] for r in rows])
                 else:
-                    yield ids, np.stack([
-                        np.frombuffer(r[1], dtype=self._blob_dtype(len(r[1]))).astype(np.float32)
-                        for r in rows
+                    yield ids, np.concatenate([
+                        self._decode_vector_rows([r[1]]) for r in rows
                     ])
         finally:
             conn.close()
