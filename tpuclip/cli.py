@@ -189,6 +189,7 @@ def build_parser() -> argparse.ArgumentParser:
         "pixels differ slightly from a full decode)",
     )
     scan_parser.add_argument("--decode-procs", type=int, default=None, help="Decode in N worker processes instead of threads (for many-core hosts where Python overhead caps the thread pool)")
+    scan_parser.add_argument("--reuse-embeddings", action="store_true", help="Skip decode+embed for byte-identical files already indexed (same sha256): moved/copied libraries rescan at hash speed. Thread-pool decode only; needs full embeddings in the DB")
     scan_parser.add_argument("--num-shards", type=int, default=1, help="Multi-worker indexing: total workers")
     scan_parser.add_argument("--shard-index", type=int, default=0, help="Multi-worker indexing: this worker's shard")
 
@@ -353,6 +354,7 @@ def _run_scan(args, paths) -> None:
         num_shards=args.num_shards,
         shard_index=args.shard_index,
         decode_procs=args.decode_procs,
+        reuse_embeddings=args.reuse_embeddings,
     )
 
 

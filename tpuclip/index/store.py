@@ -117,6 +117,11 @@ class MetadataStore:
                 )
                 """
             )
+            # Content-hash lookup for scan-time embedding reuse
+            # (scan --reuse-embeddings): byte-identical files skip decode+embed.
+            cursor.execute(
+                "CREATE INDEX IF NOT EXISTS idx_images_file_hash ON images(file_hash)"
+            )
             # Float vectors: plain BLOB keyed by image_id. Replaces vec0
             # (image_database.py:290-294); scanning happens on-device instead.
             cursor.execute(
@@ -491,6 +496,20 @@ class MetadataStore:
             return q * scales
         dt = np.float16 if n_bytes == 2 * d else np.float32
         return np.frombuffer(raw, dtype=dt).astype(np.float32).reshape(len(blobs), -1)
+
+    def fetch_embedding_by_hash(self, cursor, file_hash: str) -> Optional[np.ndarray]:
+        """Full embedding of any already-indexed file with this content hash,
+        or None. Backs scan-time reuse (byte-identical files decode+embed
+        once); only full rows qualify — binary-only rows can't seed a full
+        embedding for the new path."""
+        row = cursor.execute(
+            "SELECT e.vector FROM images i JOIN embeddings e ON e.image_id = i.id "
+            "WHERE i.file_hash = ? LIMIT 1",
+            (file_hash,),
+        ).fetchone()
+        if row is None:
+            return None
+        return self._decode_vector_rows([row[0]])[0]
 
     def iter_embeddings(
         self, min_image_id: int = 0, batch_rows: int = 8192

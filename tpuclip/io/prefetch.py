@@ -48,6 +48,10 @@ class DecodedImage:
     file_hash: Optional[str]
     mask: Optional[np.ndarray] = None  # naflex: (L,) 1=real patch
     shape: Optional[Tuple[int, int]] = None  # naflex: (h, w) patch grid
+    # Scan-time reuse: the embedding of an already-indexed byte-identical
+    # file. When set, pixels is None and the consumer commits this vector
+    # instead of embedding (decode was skipped entirely).
+    reused_embedding: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -81,6 +85,7 @@ def _decode_one(
     image_size: int,
     with_hash: bool,
     naflex: Optional[Tuple[int, int]] = None,
+    reuse_lookup=None,
 ) -> DecodedImage:
     """``naflex``: (patch_size, max_num_patches) switches output from a
     square resize to native-aspect patchification (io.preprocess)."""
@@ -114,6 +119,17 @@ def _decode_one(
         except OSError:
             return DecodedImage(path, last_modified, None, None)
         file_hash = hashlib.sha256(data).hexdigest()
+        if reuse_lookup is not None:
+            # A byte-identical file is already indexed: skip decode+embed and
+            # carry its embedding straight to the commit.
+            try:
+                vec = reuse_lookup(file_hash)
+            except Exception:  # noqa: BLE001 - reuse is best-effort
+                vec = None
+            if vec is not None:
+                return DecodedImage(
+                    path, last_modified, None, file_hash, reused_embedding=vec
+                )
         return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
     img = load_image(path, draft_size=draft)
     out = finish(img, None)
@@ -162,6 +178,7 @@ def prefetch_batches(
     stop_event: Optional[threading.Event] = None,
     num_procs: Optional[int] = None,
     naflex: Optional[Tuple[int, int]] = None,
+    reuse_lookup=None,
 ) -> Iterator[Batch]:
     """Yield fixed-shape decoded batches, decoding ahead of the device.
 
@@ -170,7 +187,16 @@ def prefetch_batches(
     (default: ``TPUCLIP_DECODE_PROCS`` env, else a thread pool).
     ``naflex``: (patch_size, max_num_patches) yields patchified batches with
     masks/shapes instead of square pixel batches (still fixed-shape).
+    ``reuse_lookup``: optional hash -> embedding callable; hits skip
+    decode and come back as ``DecodedImage.reused_embedding`` slots.
+    Thread-pool only — a closure over a SQLite connection can't cross a
+    process boundary, so it is dropped (with the decode still correct)
+    when worker processes are selected.
     """
+    if reuse_lookup is not None:
+        procs = default_procs() if num_procs is None else num_procs
+        if procs > 0:
+            reuse_lookup = None
     out_q: "queue.Queue[Optional[Batch]]" = queue.Queue(maxsize=queue_depth)
     error_holder: List[BaseException] = []
     if stop_event is None:
@@ -218,7 +244,10 @@ def prefetch_batches(
                     if stop_event.is_set():
                         break
                     pending.append(
-                        pool.submit(_decode_one, path, last_modified, image_size, with_hash, naflex)
+                        pool.submit(
+                            _decode_one, path, last_modified, image_size,
+                            with_hash, naflex, reuse_lookup,
+                        )
                     )
                     if len(pending) >= batch_size:
                         flush()

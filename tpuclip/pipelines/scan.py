@@ -52,6 +52,7 @@ def scan_directory(
     num_shards: int = 1,
     shard_index: int = 0,
     decode_procs: Optional[int] = None,
+    reuse_embeddings: bool = False,
 ) -> None:
     try:
         from tqdm import tqdm
@@ -117,6 +118,7 @@ def scan_directory(
         "files_removed": 0,
         "queued": 0,
         "folders_done": 0,
+        "reused": 0,
     }
     # "errors" is incremented from both the prefetch producer thread
     # (pending_files) and the main thread (drain); dict += is not atomic.
@@ -203,6 +205,37 @@ def scan_directory(
             )
         state["processed"] += len(batch)
 
+    # --reuse-embeddings: byte-identical files (same sha256) skip decode AND
+    # the device pass, committing the already-indexed embedding under the
+    # new path. Covers the common "library reorganized / folders copied"
+    # rescan, which the (path, mtime) resume check cannot: a moved file is a
+    # new path. Lookup order: this run's recent results (dict, no I/O), then
+    # the DB by the idx_images_file_hash index. Called from decode worker
+    # THREADS — one shared read connection behind a lock.
+    reuse_lookup = None
+    reuse_state = {}
+    if reuse_embeddings and save_full_embeddings:
+        reuse_conn = connect(engine.db_path, check_same_thread=False)
+        reuse_cursor = reuse_conn.cursor()
+        reuse_mutex = threading.Lock()
+        run_cache: dict = {}  # sha256 -> np.ndarray, this run's embeddings
+        _RUN_CACHE_MAX = 20_000  # ~90 MB at 1152 fp32
+
+        def reuse_lookup(file_hash: str):
+            with reuse_mutex:
+                vec = run_cache.get(file_hash)
+                if vec is not None:
+                    return vec
+                return engine.store.fetch_embedding_by_hash(reuse_cursor, file_hash)
+
+        def remember(file_hash: str, vec: np.ndarray) -> None:
+            with reuse_mutex:
+                if len(run_cache) >= _RUN_CACHE_MAX:
+                    run_cache.clear()  # simple epoch reset; DB backstops misses
+                run_cache[file_hash] = vec
+
+        reuse_state = {"conn": reuse_conn, "remember": remember}
+
     # Opt-in device tracing behind the same --profile flag: the wall-clock
     # timers show host time; a perfetto trace under TPUCLIP_TRACE_DIR shows
     # the device/host overlap (SURVEY.md §5 tracing upgrade).
@@ -216,13 +249,26 @@ def scan_directory(
     pending_embed = None  # (dispatched embeddings device array, items, valid)
     try:
         def drain(pe):
-            """Block on a dispatched embed and stage rows for commit."""
+            """Block on a dispatched embed and stage rows for commit.
+
+            ``emb_dev`` is None for batches where every slot was a reuse hit
+            (no device program was dispatched)."""
             emb_dev, items, valid = pe
-            with timers.track("inference", count=len(items)):
-                emb = np.asarray(emb_dev, dtype=np.float32)
+            emb = None
+            if emb_dev is not None:
+                with timers.track("inference", count=len(items)):
+                    emb = np.asarray(emb_dev, dtype=np.float32)
+            remember = reuse_state.get("remember")
             for i, item in enumerate(items):
-                if valid[i] and item.file_hash is not None:
+                if item.reused_embedding is not None:
+                    db_batch.append(
+                        (item.path, item.last_modified, item.file_hash, item.reused_embedding)
+                    )
+                    state["reused"] += 1
+                elif valid[i] and item.file_hash is not None:
                     db_batch.append((item.path, item.last_modified, item.file_hash, emb[i]))
+                    if remember is not None:
+                        remember(item.file_hash, emb[i])
                 else:
                     with errors_lock:
                         state["errors"] += 1
@@ -246,8 +292,18 @@ def scan_directory(
             num_procs=decode_procs,
             naflex=naflex_cfg,
             stop_event=stop_event,
+            reuse_lookup=reuse_lookup,
         ):
             import jax.numpy as jnp
+
+            if not batch.valid.any():
+                # Every slot is a reuse hit or a decode failure: nothing for
+                # the device to embed — stage rows directly.
+                drain((None, batch.items, batch.valid))
+                if len(db_batch) >= batch_size:
+                    flush, db_batch = db_batch, []
+                    commit(flush)
+                continue
 
             # Dispatch this batch (async), then drain the previous one while
             # the device works.
@@ -314,12 +370,19 @@ def scan_directory(
             log(f"  Device trace written to {trace_dir}")
         if pbar:
             pbar.close()
+        if reuse_state.get("conn") is not None:
+            reuse_state["conn"].close()
         conn.close()
 
     if not interrupted:
         log("\n[Step 4/4] Finalizing...")
         banner("Scan Complete!")
         log(f"  Processed: {state['processed']:,} images")
+        if state["reused"]:
+            log(
+                f"  Reused: {state['reused']:,} embeddings "
+                "(byte-identical files, decode+embed skipped)"
+            )
         log(f"  Skipped: {state['skipped']:,} images (already in database)")
         log(f"  Errors: {state['errors']:,}" if state["errors"] else "  Errors: 0")
         if profile:
