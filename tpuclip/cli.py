@@ -286,6 +286,15 @@ def build_parser() -> argparse.ArgumentParser:
     migrate_parser.add_argument("--db", default=None, help="Database path")
     migrate_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
     migrate_parser.add_argument("--dry-run", action="store_true", help="Report what would be migrated without writing")
+
+    export_parser = subparsers.add_parser(
+        "export", help="Export embeddings to npz/npy/jsonl for external tooling (no model load)"
+    )
+    export_parser.add_argument("output", help="Output file path")
+    export_parser.add_argument("--db", default=None, help="Database path")
+    export_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    export_parser.add_argument("--format", default=None, choices=["npz", "npy", "jsonl"], help="Output format (default: inferred from the output extension, else npz)")
+    export_parser.add_argument("--binary", action="store_true", help="Also export the binary (sign-bit) embeddings (npz only)")
     return parser
 
 
@@ -678,6 +687,22 @@ def main(argv: Optional[List[str]] = None) -> None:
         except (ValueError, sqlite3.DatabaseError) as e:
             # DatabaseError: --db pointed at a non-sqlite file — same
             # user-facing error contract as the other failure modes.
+            log(f"[X] Error: {e}")
+            sys.exit(2)
+    elif args.mode == "export":
+        from tpuclip.pipelines.export import export_embeddings
+
+        db_path = _require_db_path(args, paths)
+        if not os.path.exists(db_path):
+            log(f"[X] Error: Database file does not exist: {db_path}")
+            sys.exit(2)
+        fmt = args.format
+        if fmt is None:
+            ext = os.path.splitext(args.output)[1].lower().lstrip(".")
+            fmt = ext if ext in ("npz", "npy", "jsonl") else "npz"
+        try:
+            export_embeddings(db_path, args.output, fmt=fmt, include_binary=args.binary)
+        except ValueError as e:
             log(f"[X] Error: {e}")
             sys.exit(2)
     elif args.mode == "duplicates":
