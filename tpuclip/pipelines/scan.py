@@ -232,7 +232,9 @@ def scan_directory(
             with reuse_mutex:
                 if len(run_cache) >= _RUN_CACHE_MAX:
                     run_cache.clear()  # simple epoch reset; DB backstops misses
-                run_cache[file_hash] = vec
+                # copy: vec is a row view into the whole (B, D) batch array —
+                # caching the view would pin every batch in memory.
+                run_cache[file_hash] = np.array(vec)
 
         reuse_state = {"conn": reuse_conn, "remember": remember}
 
