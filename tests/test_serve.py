@@ -268,3 +268,69 @@ def test_fused_concurrent_requests(fused_server):
     for t in threads:
         t.join()
     assert all(status == 200 and len(body["results"]) == 2 for status, body in results)
+
+
+def test_image_b64_search(server, engine):
+    """Uploading the exact bytes of an indexed image must rank that image
+    first (its own embedding is the query)."""
+    import base64
+    import sqlite3
+
+    conn = sqlite3.connect(engine.db_path)
+    a_path = conn.execute(
+        "SELECT file_path FROM images ORDER BY id LIMIT 1"
+    ).fetchone()[0]
+    conn.close()
+    with open(a_path, "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+
+    status, body = _post(server, "/search", {"image_b64": b64, "k": 3})
+    assert status == 200
+    assert body["results"][0]["path"] == a_path
+    assert body["results"][0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+
+    # both query and image_b64 → 400
+    status, body = _post(server, "/search", {"image_b64": b64, "query": "x"})
+    assert status == 400
+
+    # garbage base64 → 400
+    status, body = _post(server, "/search", {"image_b64": "!!!not-base64!!!"})
+    assert status == 400
+
+    # valid base64, not an image → 400
+    import base64 as b64mod
+
+    status, body = _post(
+        server, "/search", {"image_b64": b64mod.b64encode(b"hello").decode()}
+    )
+    assert status == 400
+
+
+def test_embed_images_b64(server, engine):
+    import base64
+    import sqlite3
+
+    conn = sqlite3.connect(engine.db_path)
+    a_path = conn.execute(
+        "SELECT file_path FROM images ORDER BY id LIMIT 1"
+    ).fetchone()[0]
+    conn.close()
+    with open(a_path, "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+    status, body = _post(
+        server, "/embed", {"images_b64": [b64, base64.b64encode(b"junk").decode()]}
+    )
+    assert status == 200
+    embs = body["image_b64_embeddings"]
+    assert len(embs) == 2
+    assert embs[1] is None  # undecodable slot maps to None
+    import numpy as np
+
+    v = np.asarray(embs[0], np.float32)
+    assert v.shape == (body["dim"],)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    # must equal the path-based embedding of the same file
+    status, body2 = _post(server, "/embed", {"images": [a_path]})
+    np.testing.assert_allclose(
+        v, np.asarray(body2["image_embeddings"][0], np.float32), atol=1e-5
+    )

@@ -324,6 +324,36 @@ class ImageDatabase:
 
         return search(self, query, **kwargs)
 
+    def search_by_embedding(self, embedding: np.ndarray, k: int = 10, **kwargs):
+        from tpuclip.pipelines.search import search_by_embedding
+
+        return search_by_embedding(self, embedding, k, **kwargs)
+
+    def embed_image_bytes(self, data: bytes) -> Optional[np.ndarray]:
+        """L2-normalized embedding for in-memory raster bytes (serve's
+        base64 image queries; same containment as path decodes → None)."""
+        try:
+            from tpuclip.io.decode import load_image_bytes
+
+            img = load_image_bytes(data, "<bytes>")
+            if img is None:
+                return None
+            if self.is_naflex:
+                from tpuclip.io.preprocess import preprocess_naflex
+
+                v = self.config.vision
+                patches, mask, shape = preprocess_naflex(img, v.patch_size, v.max_num_patches)
+                return self.embed_patches_naflex(
+                    patches[None], mask[None], np.asarray([shape], np.int32)
+                )[0].flatten()
+            from tpuclip.io.preprocess import resize_to_uint8
+
+            pixels = resize_to_uint8(img, self.image_size)
+            return self.embed_images_uint8(pixels[None])[0].flatten()
+        except Exception as e:  # noqa: BLE001 - containment
+            safe_print_path("Error processing ", "<image bytes>", e)
+            return None
+
     def generate_html_gallery(self, results, output_file="results.html", query=None):
         from tpuclip.gallery.html import generate_html_gallery
 

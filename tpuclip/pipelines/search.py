@@ -227,6 +227,29 @@ def search(
     if embedding is None:
         return []
 
+    results = search_by_embedding(
+        engine, embedding, k,
+        filter_folders=filter_folders,
+        show_duplicates=show_duplicates,
+        timings=timings,
+    )
+    if profile:
+        timings.report()
+    return results
+
+
+def search_by_embedding(
+    engine,
+    embedding: np.ndarray,
+    k: int = 10,
+    filter_folders: Optional[List[str]] = None,
+    show_duplicates: bool = False,
+    timings: Optional["Timings"] = None,
+) -> List[Tuple[str, float]]:
+    """Index scan + duplicate filter for an already-built query vector
+    (the second half of ``search``; also the entry point for callers that
+    bring their own embedding, e.g. serve's base64 image queries)."""
+    timings = timings or Timings()
     full_count, binary_count = engine.store.count_embeddings()
     if full_count == 0 and binary_count == 0:
         log("Error: Database has no embeddings. Please run scan first.")
@@ -250,7 +273,4 @@ def search(
     if not show_duplicates and len(results) > 0:
         with timings.track("filter_duplicates"):
             results = filter_duplicates(engine.store, results, tolerance_bits=2)
-
-    if profile:
-        timings.report()
     return results

@@ -12,6 +12,11 @@ wraps the same engine in a small threaded HTTP server (stdlib only):
                             "show_duplicates": bool?}
                             (query strings support the same mini-language as
                             the REPL: "a + b", "a - b", "image:<path>")
+                            OR {"image_b64": <base64 raster bytes>, "k"?,
+                            "folders"?, "show_duplicates"?} for clients that
+                            upload the query image instead of naming a
+                            server-local path (raise TPUCLIP_MAX_BODY_MB for
+                            large photos)
 
 The model and the HBM-resident index stay warm across requests. Plain text
 queries are MICRO-BATCHED: concurrent requests arriving within a short window
@@ -273,7 +278,10 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 return
             self._json(404, {"error": "not found"})
 
-        MAX_BODY = 4 << 20  # 4 MiB request cap
+        # Request cap: 4 MiB default; image_b64 uploads of large photos may
+        # need more (TPUCLIP_MAX_BODY_MB). Bounded either way — one body per
+        # handler thread.
+        MAX_BODY = max(1, int(os.environ.get("TPUCLIP_MAX_BODY_MB", "4") or 4)) << 20
         MAX_BATCH_QUERIES = 256  # /search_batch fan-out cap (one tower pass)
 
         def _read_json(self):
@@ -300,6 +308,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 return
             if self.path != "/search":
                 self._json(404, {"error": "not found"})
+                return
+            if req.get("image_b64") is not None:
+                # Remote image query: the client uploads the image instead of
+                # naming a server-local path (image:<path> still works for
+                # local deployments).
+                self._handle_image_b64_search(req)
                 return
             query = req.get("query")
             if not query or not isinstance(query, str):
@@ -386,13 +400,59 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 },
             )
 
+        def _handle_image_b64_search(self, req) -> None:
+            """POST /search with {"image_b64": <base64 raster bytes>}: embed
+            the uploaded image and scan the index. k / folders /
+            show_duplicates apply as usual; 'query' must not also be set
+            (blend algebra stays path/text-based)."""
+            import base64
+            import time as _time
+
+            if req.get("query"):
+                self._json(400, {"error": "provide either 'query' or 'image_b64', not both"})
+                return
+            try:
+                data = base64.b64decode(req["image_b64"], validate=True)
+            except Exception:  # noqa: BLE001
+                self._json(400, {"error": "image_b64 is not valid base64"})
+                return
+            t0 = _time.perf_counter()
+            try:
+                with lock:
+                    emb = engine.embed_image_bytes(data)
+                    if emb is None:
+                        self._json(400, {"error": "could not decode image bytes"})
+                        return
+                    results = engine.search_by_embedding(
+                        emb,
+                        int(req.get("k", 10)),
+                        filter_folders=req.get("folders"),
+                        show_duplicates=bool(req.get("show_duplicates", False)),
+                    )
+            except Exception as e:  # noqa: BLE001
+                metrics.record(ok=False)
+                self._json(500, {"error": str(e)})
+                return
+            metrics.record(ok=True, latency_ms=(_time.perf_counter() - t0) * 1000)
+            self._json(
+                200,
+                {
+                    "query": "<image upload>",
+                    "results": [
+                        {"path": p, "similarity": round(s, 6)} for p, s in results
+                    ],
+                },
+            )
+
         def _handle_embed(self, req) -> None:
             """Raw embeddings for integrations: {"texts": [...]} and/or
-            {"images": [paths...]} → L2-normalized fp32 vectors."""
+            {"images": [paths...]} / {"images_b64": [...]} → L2-normalized
+            fp32 vectors."""
             texts = req.get("texts") or []
             images = req.get("images") or []
-            if not texts and not images:
-                self._json(400, {"error": "provide 'texts' and/or 'images'"})
+            images_b64 = req.get("images_b64") or []
+            if not texts and not images and not images_b64:
+                self._json(400, {"error": "provide 'texts', 'images', and/or 'images_b64'"})
                 return
             try:
                 out = {}
@@ -405,6 +465,19 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                             e = engine._get_image_embedding(str(p))
                             embs.append(e.tolist() if e is not None else None)
                         out["image_embeddings"] = embs
+                    if images_b64:
+                        import base64
+
+                        embs = []
+                        for b in images_b64:
+                            try:
+                                e = engine.embed_image_bytes(
+                                    base64.b64decode(b, validate=True)
+                                )
+                            except Exception:  # noqa: BLE001
+                                e = None
+                            embs.append(e.tolist() if e is not None else None)
+                        out["image_b64_embeddings"] = embs
                 out["dim"] = engine.embedding_dim
                 self._json(200, out)
             except Exception as e:  # noqa: BLE001
