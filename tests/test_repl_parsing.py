@@ -102,3 +102,44 @@ def test_hyphenated_words_not_negatives():
 def test_display_query_string():
     s = parse_interactive_line("a + b - c - d").search
     assert display_query_string(s) == "a + b - c - d"
+
+
+def test_parser_fuzz_never_crashes():
+    """Property fuzz: the parser must return a well-formed ReplCommand for
+    ANY input line — a malformed session line may produce an 'error' command
+    but never an exception (the reference's loop survives bad input too,
+    image_database.py:2297-2299)."""
+    import random
+
+    from tpuclip.cli import ReplCommand, SearchSpec, parse_interactive_line
+
+    rng = random.Random(99)
+    tokens = [
+        "image:", "k:", "folder:", "duplicates:", "+", " - ", "-", ":", "",
+        "quit", "a red car", "C:\\photos\\x.jpg", "/abs/path.png", "show",
+        "hide", "clear", "0", "-3", "9999999999999999999999", "café",
+        "\x00", "\t", " ", '"', "'", "image:image:", "k:k:", "++", "--",
+        "a + b + c", "a - ", " - b", "+ a", "\u202e", "🙂",
+    ]
+    kinds = {"quit", "empty", "set_k", "folder", "folder_clear",
+             "duplicates", "search", "error"}
+    for trial in range(3000):
+        parts = [rng.choice(tokens) for _ in range(rng.randrange(1, 6))]
+        line = rng.choice(["", " "]).join(parts)
+        for weight in (0.5, 0.0, -1.0, 2.5):
+            cmd = parse_interactive_line(line, weight)
+            assert isinstance(cmd, ReplCommand)
+            assert cmd.kind in kinds, (line, cmd.kind)
+            if cmd.kind == "search":
+                spec = cmd.search
+                assert isinstance(spec, SearchSpec)
+                assert isinstance(spec.query, str)
+                # an empty query1 is reachable only through the combined
+                # form ("+ b" splits to '', 'b') — the reference tolerates
+                # the same degenerate case (image_database.py:2194-2213)
+                assert spec.query or spec.query2 is not None
+                if spec.negative_queries is not None:
+                    assert len(spec.negative_queries) == len(spec.negative_is_images)
+                    assert len(spec.negative_queries) == len(spec.negative_weights)
+            if cmd.kind == "set_k":
+                assert isinstance(cmd.k, int)
