@@ -134,10 +134,12 @@ def test_parser_fuzz_never_crashes():
                 spec = cmd.search
                 assert isinstance(spec, SearchSpec)
                 assert isinstance(spec.query, str)
-                # an empty query1 is reachable only through the combined
-                # form ("+ b" splits to '', 'b') — the reference tolerates
-                # the same degenerate case (image_database.py:2194-2213)
-                assert spec.query or spec.query2 is not None
+                # an empty query1 is reachable through the combined form
+                # ("+ b" splits to '', 'b') and through a bare "image:" —
+                # the reference tolerates both degenerate cases and its
+                # embed containment turns them into "no results"
+                # (image_database.py:2194-2213, :2227-2230)
+                assert spec.query or spec.query2 is not None or spec.is_image
                 if spec.negative_queries is not None:
                     assert len(spec.negative_queries) == len(spec.negative_is_images)
                     assert len(spec.negative_queries) == len(spec.negative_weights)
