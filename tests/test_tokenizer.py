@@ -303,3 +303,48 @@ def test_charsmap_through_model_roundtrip(tmp_path):
     assert loaded.charsmap is not None
     # "ﬁle" → charsmap → "file" → "▁file" as one piece
     assert loaded.encode("ﬁle", out_type="piece") == ["▁file"]
+
+
+def test_unigram_viterbi_vs_rust_tokenizers_oracle():
+    """Independent-implementation oracle: our pure-Python Unigram Viterbi vs
+    the Rust `tokenizers` Unigram on a shared synthetic vocab (continuous
+    random scores — no ties), with and without byte fallback. Normalization
+    is disabled on both sides to isolate the segmentation algorithm."""
+    import random
+
+    import pytest
+
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models
+
+    from tpuclip.text.sentencepiece import UNIGRAM, SentencePieceModel
+
+    rng = random.Random(7)
+    base = ["▁"] + list("abcdefg") + [
+        "ab", "abc", "bc", "cd", "fg", "▁a", "▁ab", "efg", "de", "abcd",
+        "fgab", "▁abc",
+    ]
+    byte_pieces = [f"<0x{b:02X}>" for b in range(256)]
+    pieces = ["<unk>"] + base + byte_pieces
+    scores = [0.0] + [round(-rng.uniform(1.0, 10.0), 6) for _ in base] + [
+        round(-rng.uniform(15.0, 20.0), 6) for _ in byte_pieces
+    ]
+    types = [2] + [1] * len(base) + [6] * len(byte_pieces)
+
+    for byte_fallback in (False, True):
+        hf = Tokenizer(
+            models.Unigram(list(zip(pieces, scores)), unk_id=0, byte_fallback=byte_fallback)
+        )
+        ours = SentencePieceModel(
+            pieces=list(pieces), scores=list(scores), types=list(types),
+            model_type=UNIGRAM, unk_id=0, add_dummy_prefix=False,
+            remove_extra_whitespaces=False, escape_whitespaces=False,
+            normalizer_name="identity", byte_fallback=byte_fallback,
+        ).finalize()
+
+        for trial in range(400):
+            chars = "abcdefg" if trial % 2 == 0 else "abcdefgzé🙂"
+            s = "▁" + "".join(rng.choice(chars) for _ in range(rng.randrange(1, 24)))
+            got = ours.encode(s)
+            want = hf.encode(s, add_special_tokens=False).ids
+            assert got == want, (byte_fallback, repr(s), got, want)

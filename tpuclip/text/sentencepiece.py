@@ -293,16 +293,25 @@ class SentencePieceModel:
 
     def _pieces_to_ids(self, pieces: List[str]) -> List[int]:
         ids: List[int] = []
+        last_unknown = False
         for p in pieces:
             pid = self.piece_to_id.get(p)
             if pid is not None and self.types[pid] != _UNUSED:
                 ids.append(pid)
+                last_unknown = False
                 continue
             if self.byte_fallback:
                 for b in p.encode("utf-8"):
                     ids.append(self._byte_ids.get(b, self.unk_id))
+                last_unknown = False
             else:
-                ids.append(self.unk_id)
+                # sentencepiece fuses consecutive unknown pieces into ONE
+                # <unk> (HF's SpmConverter mirrors this as fuse_unk=True);
+                # one id per unknown char would diverge from the canonical
+                # tokenizer on unknown runs.
+                if not last_unknown:
+                    ids.append(self.unk_id)
+                last_unknown = True
         return ids
 
     def _encode_unigram(self, text: str) -> List[str]:
