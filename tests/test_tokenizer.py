@@ -348,3 +348,91 @@ def test_unigram_viterbi_vs_rust_tokenizers_oracle():
             got = ours.encode(s)
             want = hf.encode(s, add_special_tokens=False).ids
             assert got == want, (byte_fallback, repr(s), got, want)
+
+
+def test_precompiled_charsmap_vs_rust_oracle():
+    """Our darts-clone charsmap reader AND builder vs the Rust
+    `tokenizers.normalizers.Precompiled` on the same blob — an independent
+    implementation of the same sentencepiece format (previously validated
+    only against self-built tries)."""
+    import random
+
+    import pytest
+
+    pytest.importorskip("tokenizers")
+    from tokenizers import normalizers
+
+    from tpuclip.text.sentencepiece import (
+        PrecompiledCharsMap,
+        build_precompiled_charsmap,
+    )
+
+    rules = {
+        "é": "e", "ﬁ": "fi", "Ａ": "A", "～": "~", "ば": "ば",
+        "㍿": "株式会社",  # 1 codepoint -> many
+        "­": "",      # soft hyphen deleted
+    }
+    blob = build_precompiled_charsmap(rules)
+    ours = PrecompiledCharsMap(blob)
+    rust = normalizers.Precompiled(blob)
+
+    rng = random.Random(11)
+    chars = list("abc xyz") + list(rules.keys()) + ["é", "日", "ﬁ", "🙂"]
+    for trial in range(1000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randrange(0, 32)))
+        assert ours.normalize(s) == rust.normalize_str(s), repr(s)
+
+
+def test_full_tokenizer_pipeline_vs_rust_oracle():
+    """End-to-end oracle for realistic (single-spaced) query text: our
+    charsmap normalize -> dummy prefix -> Viterbi -> byte fallback vs the
+    Rust pipeline transformers' SpmConverter builds for sentencepiece models
+    (Precompiled + Strip + Replace + Metaspace + Unigram(fuse_unk,
+    byte_fallback)). The two stacks share only the model file format."""
+    import random
+
+    import pytest
+
+    pytest.importorskip("tokenizers")
+    from tokenizers import Regex, Tokenizer, models, normalizers, pre_tokenizers
+
+    from tpuclip.text.sentencepiece import (
+        UNIGRAM,
+        SentencePieceModel,
+        build_precompiled_charsmap,
+    )
+
+    rng = random.Random(5)
+    words = ["cat", "dog", "a", "photo", "of", "the", "red", "car", "caat", "zz", "é", "🙂x"]
+    base = ["▁"] + list("abcdefghijklmnopqrstuvwxyz") + [
+        "▁cat", "▁dog", "▁a", "photo", "▁photo", "▁of", "▁the", "▁red",
+        "car", "▁car", "at", "ca", "og", "é", "▁é",
+    ]
+    bytes_p = [f"<0x{b:02X}>" for b in range(256)]
+    pieces = ["<unk>"] + base + bytes_p
+    scores = [0.0] + [round(-rng.uniform(1, 10), 6) for _ in base] + [
+        round(-rng.uniform(15, 20), 6) for _ in bytes_p
+    ]
+    types = [2] + [1] * len(base) + [6] * len(bytes_p)
+    blob = build_precompiled_charsmap({"é": "e", "Ａ": "A"})
+
+    ours = SentencePieceModel(
+        pieces=list(pieces), scores=list(scores), types=list(types),
+        model_type=UNIGRAM, unk_id=0, add_dummy_prefix=True,
+        remove_extra_whitespaces=True, escape_whitespaces=True,
+        byte_fallback=True, precompiled_charsmap=blob,
+    ).finalize()
+
+    rust = Tokenizer(models.Unigram(list(zip(pieces, scores)), unk_id=0, byte_fallback=True))
+    rust.normalizer = normalizers.Sequence([
+        normalizers.Precompiled(blob),
+        normalizers.Strip(left=False, right=True),
+        normalizers.Replace(Regex(" {2,}"), "▁"),
+    ])
+    rust.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁", prepend_scheme="first")
+
+    for trial in range(600):
+        s = " ".join(rng.choice(words) for _ in range(rng.randrange(1, 8)))
+        got = ours.encode(s)
+        want = rust.encode(s, add_special_tokens=False).ids
+        assert got == want, (repr(s), got, want)

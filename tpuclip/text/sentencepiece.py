@@ -200,7 +200,12 @@ def build_precompiled_charsmap(rules: Dict[str, str]) -> bytes:
             place(node[l], child_pos)
 
     place(root, 0)
-    size = max(units) + 1
+    # darts-clone allocates the double-array in 256-unit blocks, so readers
+    # may probe base ^ label (label <= 0xFF) WITHOUT a bounds check — the
+    # Rust spm_precompiled reader panics on a short array (found by the
+    # tokenizers-oracle test with a 4-byte UTF-8 lead byte). Pad to the
+    # block boundary; padding units are 0 (label 0 ≠ any probe byte).
+    size = -(-(max(units) + 1) // 256) * 256
     trie = bytearray(size * 4)
     for p, u in units.items():
         trie[p * 4 : p * 4 + 4] = struct.pack("<I", u)
