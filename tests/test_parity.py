@@ -199,3 +199,33 @@ def test_bf16_parity_loose(models):
         )
     ).astype(np.float32)
     assert _cos(ours, ref) > 0.999
+
+
+def test_fixed_res_preprocessing_vs_hf_image_processor():
+    """PIL image → our resize_to_uint8 + reference normalize must be
+    BIT-IDENTICAL to HF SiglipImageProcessor across random sizes and modes
+    (SURVEY hard part #1: exact preprocessing reproduction)."""
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    from PIL import Image
+
+    from tpuclip.io.preprocess import normalize_reference, resize_to_uint8
+
+    proc = transformers.SiglipImageProcessor(size={"height": 224, "width": 224})
+    rng = np.random.default_rng(4)
+    cases = []
+    for _ in range(8):
+        h, w = (int(x) for x in rng.integers(50, 900, 2))
+        cases.append(Image.fromarray(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+    base = Image.fromarray(rng.integers(0, 256, size=(100, 160, 3), dtype=np.uint8))
+    # Non-RGB sources reach the processor only AFTER the loader's RGB convert
+    # (image_database.py:438; our io.decode does the same) — mirror that flow.
+    cases.append(base.convert("L").convert("RGB"))
+    cases.append(base.convert("P").convert("RGB"))
+    cases.append(base.resize((224, 224)))    # already target size (no resize)
+
+    for img in cases:
+        hf = proc(images=img, return_tensors="np")["pixel_values"][0]  # (3, S, S)
+        ours = normalize_reference(resize_to_uint8(img, 224)[None])[0].transpose(2, 0, 1)
+        np.testing.assert_array_equal(ours, hf)
