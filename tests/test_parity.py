@@ -229,3 +229,40 @@ def test_fixed_res_preprocessing_vs_hf_image_processor():
         hf = proc(images=img, return_tensors="np")["pixel_values"][0]  # (3, S, S)
         ours = normalize_reference(resize_to_uint8(img, 224)[None])[0].transpose(2, 0, 1)
         np.testing.assert_array_equal(ours, hf)
+
+
+def test_sigmoid_contrastive_loss_vs_hf(models):
+    """Training-loss oracle: our sigmoid contrastive loss (and its gradients
+    w.r.t. the calibration scalars) vs HF SiglipModel(return_loss=True) +
+    torch autograd on the same weights and batch. Tower gradients follow from
+    forward parity + autodiff; the loss arithmetic itself is what can
+    silently diverge."""
+    from tpuclip.parallel.training import sigmoid_contrastive_loss
+
+    hf, cfg, params = models
+    rng = np.random.default_rng(12)
+    for trial in range(3):
+        pix = rng.standard_normal((4, 3, 56, 56)).astype(np.float32)
+        ids = rng.integers(0, 200, size=(4, 64), dtype=np.int64)
+
+        hf.zero_grad(set_to_none=True)
+        out = hf(
+            input_ids=torch.from_numpy(ids),
+            pixel_values=torch.from_numpy(pix),
+            return_loss=True,
+        )
+        out.loss.backward()
+        want_loss = float(out.loss.detach())
+        want_gs = float(hf.logit_scale.grad)
+        want_gb = float(hf.logit_bias.grad)
+
+        loss, grads = jax.value_and_grad(sigmoid_contrastive_loss)(
+            params,
+            jnp.asarray(pix.transpose(0, 2, 3, 1)),  # NHWC
+            jnp.asarray(ids.astype(np.int32)),
+            cfg,
+            jnp.float32,
+        )
+        assert float(loss) == pytest.approx(want_loss, rel=1e-5), trial
+        assert float(grads["logit_scale"]) == pytest.approx(want_gs, rel=1e-4, abs=1e-7)
+        assert float(grads["logit_bias"]) == pytest.approx(want_gb, rel=1e-4, abs=1e-7)
