@@ -754,6 +754,16 @@ def _run_info(args, paths) -> None:
     log(f"  Embedding dim:     {dim or 'unknown'}")
     conn = sqlite3.connect(db_path)
     try:
+        if dim and full:
+            names = {dim * 4: "fp32", dim * 2: "fp16", dim + 4: "int8"}
+            parts = [
+                f"{names.get(ln, f'{ln}B?')} x {n:,}"
+                for ln, n in conn.execute(
+                    "SELECT LENGTH(vector), COUNT(*) FROM embeddings "
+                    "GROUP BY LENGTH(vector) ORDER BY COUNT(*) DESC"
+                )
+            ]
+            log(f"  Vector storage:    {' + '.join(parts)}")
         newest = conn.execute("SELECT MAX(created_at) FROM images").fetchone()[0]
         log(f"  Last insert:       {newest or '-'}")
     finally:

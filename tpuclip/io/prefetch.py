@@ -131,14 +131,25 @@ def _decode_one(
                     path, last_modified, None, file_hash, reused_embedding=vec
                 )
         return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
-    img = load_image(path, draft_size=draft)
-    out = finish(img, None)
-    if with_hash and out.pixels is not None:
+    # PDF path: fitz renders from the file, so hash FIRST (cheap read, page
+    # cache warm for the render) — a reuse hit then skips the render too.
+    file_hash = None
+    if with_hash:
         try:
-            out.file_hash = file_sha256(path)
+            file_hash = file_sha256(path)
         except OSError:
-            out.pixels = None
-    return out
+            return DecodedImage(path, last_modified, None, None)
+        if reuse_lookup is not None:
+            try:
+                vec = reuse_lookup(file_hash)
+            except Exception:  # noqa: BLE001 - reuse is best-effort
+                vec = None
+            if vec is not None:
+                return DecodedImage(
+                    path, last_modified, None, file_hash, reused_embedding=vec
+                )
+    img = load_image(path, draft_size=draft)
+    return finish(img, file_hash)
 
 
 def default_workers() -> int:
