@@ -52,8 +52,24 @@ def data_sharded(mesh: Mesh, rank: int = 1, axis: int = 0) -> NamedSharding:
 
 
 def maybe_distributed_init() -> None:
-    """Multi-host bootstrap (v5e-16 style): no-op on a single host."""
+    """Multi-host bootstrap (v5e-16 style): no-op on a single host.
+
+    With TPUCLIP_MULTIHOST=1, initializes the JAX distributed runtime. On
+    TPU pods the cluster auto-detects; elsewhere (manual launch, CPU
+    multi-process tests) jax.distributed.initialize() has no detector and
+    raises, so pass the coordinator explicitly when the standard env vars
+    are set (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
     import os
 
     if os.environ.get("TPUCLIP_MULTIHOST", "") in ("1", "true"):
-        jax.distributed.initialize()
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if addr and nproc is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=int(nproc),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()
