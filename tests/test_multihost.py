@@ -58,6 +58,35 @@ _WORKER = textwrap.dedent(
         want = np.lexsort((np.arange(N), -exact[qi]))[:k]
         assert list(ridx[qi]) == list(want), (qi, ridx[qi], want)
         np.testing.assert_allclose(scores[qi], exact[qi][want], rtol=1e-5)
+
+    # DP training step across the two processes: batch data-sharded over the
+    # global mesh, gradients psum over DCN; loss must match the unsharded
+    # local computation and decrease when memorizing one batch.
+    from tpuclip.models import get_config, init_params
+    from tpuclip.parallel import shard_params
+    from tpuclip.parallel.training import (
+        init_train_state, make_optimizer, make_train_step,
+        sigmoid_contrastive_loss,
+    )
+
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    sharded = shard_params(params, mesh)
+    opt = make_optimizer(learning_rate=1e-3)
+    state = init_train_state(sharded, opt)
+    step = make_train_step(cfg, opt, mesh=mesh, compute_dtype=jnp.float32)
+    rng2 = np.random.default_rng(4)
+    images_h = rng2.integers(0, 256, size=(16, cfg.vision.image_size, cfg.vision.image_size, 3), dtype=np.uint8)
+    ids_h = rng2.integers(0, cfg.text.vocab_size, size=(16, 64))
+    first = float(sigmoid_contrastive_loss(params, jnp.asarray(images_h), jnp.asarray(ids_h), cfg, jnp.float32))
+    images_g = jax.device_put(images_h, NamedSharding(mesh, P(DATA_AXIS)))
+    ids_g = jax.device_put(ids_h, NamedSharding(mesh, P(DATA_AXIS)))
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, images_g, ids_g)
+        losses.append(float(loss))
+    assert abs(losses[0] - first) < 1e-3 * max(1.0, abs(first)), (losses[0], first)
+    assert losses[-1] < losses[0], losses
     print(f"MULTIHOST-OK {pid}", flush=True)
     """
 )
