@@ -206,3 +206,28 @@ def test_mixed_int8_fp32_db_reads_back(tmp_path, vecs):
 def test_int8_dim4_guard():
     with pytest.raises(ValueError):
         MetadataStore("unused.db", embedding_dim=4, vector_dtype="int8")
+
+
+def test_merge_mixed_dtype_shards(tmp_path, vecs):
+    """A merge of an fp32 shard and an int8 shard must produce a searchable
+    destination: blobs copy verbatim and readers detect dtype per row."""
+    from tpuclip.pipelines.merge import merge_databases
+
+    s32 = MetadataStore(str(tmp_path / "sh32.db"), embedding_dim=DIM)
+    s32.init_schema(verbose=False)
+    _commit(s32, vecs[:50], prefix="/a")
+    s8 = MetadataStore(str(tmp_path / "sh8.db"), embedding_dim=DIM, vector_dtype="int8")
+    s8.init_schema(verbose=False)
+    _commit(s8, vecs[50:], prefix="/b")
+
+    dst = str(tmp_path / "merged.db")
+    merge_databases(dst, [s32.db_path, s8.db_path], embedding_dim=DIM)
+    merged = MetadataStore(dst, embedding_dim=DIM)
+    got = np.concatenate([v for _, v in merged.iter_embeddings()])
+    assert got.shape == (120, DIM)
+    # search over the merged DB returns sane top-1 (its own vector)
+    r = DeviceIndex(merged).search(vecs[0], 1)
+    assert r[0][0] == "/a/img0.jpg"
+    # _commit renumbers per shard: vecs[60] landed as the int8 shard's img10
+    r = DeviceIndex(merged).search(vecs[60], 1)
+    assert r[0][0] == "/b/img10.jpg"
