@@ -767,8 +767,14 @@ def bench_end_to_end_scan(jax):
         decode_rate = count / (time.perf_counter() - t0)
         _dbg(f"e2e: decode-only pass done ({decode_rate:.0f} img/s)")
 
+        # TPUCLIP_BENCH_E2E_MODEL: CPU smoke runs override to the tiny preset
+        # (SO400M on a CPU host is ~7 s/img — the path, not the number, is
+        # what a smoke run validates). Real runs keep the flagship default.
+        kwargs = {}
+        if os.environ.get("TPUCLIP_BENCH_E2E_MODEL"):
+            kwargs["model_name"] = os.environ["TPUCLIP_BENCH_E2E_MODEL"]
         engine = ImageDatabase(
-            db_path=os.path.join(tmp, "bench.db"), inference_batch_size=batch
+            db_path=os.path.join(tmp, "bench.db"), inference_batch_size=batch, **kwargs
         )
         _dbg("e2e: engine init done")
         # Warm-up scan compiles the embed program and opens the DB paths.
