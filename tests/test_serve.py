@@ -334,3 +334,15 @@ def test_embed_images_b64(server, engine):
     np.testing.assert_allclose(
         v, np.asarray(body2["image_embeddings"][0], np.float32), atol=1e-5
     )
+
+
+def test_embed_rejects_non_list_fields(server):
+    """A bare string would iterate per character (one embed attempt per
+    char); the endpoint must reject non-list fields outright."""
+    for payload in (
+        {"texts": "a red car"},
+        {"images": "/some/path.jpg"},
+        {"images_b64": "QUJD"},
+    ):
+        status, body = _post(server, "/embed", payload)
+        assert status == 400, payload

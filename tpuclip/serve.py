@@ -451,6 +451,11 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             texts = req.get("texts") or []
             images = req.get("images") or []
             images_b64 = req.get("images_b64") or []
+            if not all(isinstance(x, list) for x in (texts, images, images_b64)):
+                # a bare string would iterate per-character: one embed
+                # attempt per char of a path/base64 body
+                self._json(400, {"error": "'texts'/'images'/'images_b64' must be lists"})
+                return
             if not texts and not images and not images_b64:
                 self._json(400, {"error": "provide 'texts', 'images', and/or 'images_b64'"})
                 return
