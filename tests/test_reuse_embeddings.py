@@ -134,11 +134,45 @@ def test_fetch_embedding_by_hash(tmp_path):
     store.commit_with_retry(
         cur, conn, [("/p/b.jpg", 0.0, "hash_b", vec * 2)], save_full_embeddings=False
     )
-    got = store.fetch_embedding_by_hash(cur, "hash_a")
-    np.testing.assert_array_equal(got, vec)
+    got_vec, got_blob = store.fetch_embedding_by_hash(cur, "hash_a")
+    np.testing.assert_array_equal(got_vec, vec)
+    assert got_blob == (vec >= 0).astype(np.uint8).tobytes()
     assert store.fetch_embedding_by_hash(cur, "hash_b") is None
     assert store.fetch_embedding_by_hash(cur, "missing") is None
     conn.close()
+
+
+def test_reuse_preserves_binary_blob_for_int8_storage(tmp_path, monkeypatch):
+    """With int8-stored vectors, deriving sign bits from the dequantized
+    embedding flips near-zero dims — enough to push an exact copy past the
+    duplicate filter's 2-bit tolerance. Reuse must copy the SOURCE row's
+    binary blob verbatim."""
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_VECTOR_DTYPE", "int8")
+    engine = ImageDatabase(
+        db_path=str(tmp_path / "q.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",
+        inference_batch_size=4,
+    )
+    src = tmp_path / "one"
+    _write_image(src / "a.jpg", (120, 64, 33))
+    engine.scan_directory(str(src), batch_size=10)
+    dst = tmp_path / "two"
+    dst.mkdir()
+    shutil.copyfile(src / "a.jpg", dst / "copy.jpg")
+    engine.scan_directory(str(dst), batch_size=10, reuse_embeddings=True)
+
+    conn = sqlite3.connect(engine.db_path)
+    blobs = {
+        Path(p).name: b
+        for p, b in conn.execute(
+            "SELECT i.file_path, be.embedding FROM images i "
+            "JOIN binary_embeddings be ON be.image_id = i.id"
+        )
+    }
+    conn.close()
+    assert blobs["copy.jpg"] == blobs["a.jpg"]
 
 
 def test_hash_index_exists(tmp_path):

@@ -248,9 +248,17 @@ class MetadataStore:
     ) -> None:
         """Idempotent per-row commit (image_database.py:1098-1205).
 
-        batch rows: (file_path, last_modified, file_hash, embedding[float32]).
+        batch rows: (file_path, last_modified, file_hash, embedding[float32])
+        — optionally with a 5th element: a pre-built binary blob (one uint8
+        per bit) to store verbatim instead of deriving sign bits from the
+        embedding. Scan-time reuse passes the SOURCE row's blob so a
+        byte-identical copy stays within the duplicate filter's Hamming
+        tolerance even when the stored vector is quantized (int8 dequant
+        flips near-zero signs).
         """
-        for file_path, last_modified, file_hash, embedding in batch:
+        for row in batch:
+            file_path, last_modified, file_hash, embedding = row[:4]
+            given_binary = row[4] if len(row) > 4 else None
             try:
                 cursor.execute(
                     "SELECT id FROM images WHERE file_path = ? AND last_modified = ?",
@@ -323,7 +331,11 @@ class MetadataStore:
                     "SELECT 1 FROM binary_embeddings WHERE image_id = ?", (image_id,)
                 )
                 if not cursor.fetchone():
-                    binary_blob = (vec >= 0).astype(np.uint8).tobytes()
+                    binary_blob = (
+                        bytes(given_binary)
+                        if given_binary is not None
+                        else (vec >= 0).astype(np.uint8).tobytes()
+                    )
                     cursor.execute(
                         """
                         INSERT INTO binary_embeddings (image_id, embedding)
@@ -497,19 +509,26 @@ class MetadataStore:
         dt = np.float16 if n_bytes == 2 * d else np.float32
         return np.frombuffer(raw, dtype=dt).astype(np.float32).reshape(len(blobs), -1)
 
-    def fetch_embedding_by_hash(self, cursor, file_hash: str) -> Optional[np.ndarray]:
-        """Full embedding of any already-indexed file with this content hash,
-        or None. Backs scan-time reuse (byte-identical files decode+embed
-        once); only full rows qualify — binary-only rows can't seed a full
-        embedding for the new path."""
+    def fetch_embedding_by_hash(
+        self, cursor, file_hash: str
+    ) -> Optional[Tuple[np.ndarray, Optional[bytes]]]:
+        """(full embedding, binary blob) of any already-indexed file with
+        this content hash, or None. Backs scan-time reuse (byte-identical
+        files decode+embed once); only full rows qualify — binary-only rows
+        can't seed a full embedding for the new path. The source's binary
+        blob rides along so the copy's blob is IDENTICAL (deriving signs
+        from a dequantized int8 vector flips near-zero bits, pushing exact
+        copies past the duplicate filter's Hamming tolerance)."""
         row = cursor.execute(
-            "SELECT e.vector FROM images i JOIN embeddings e ON e.image_id = i.id "
+            "SELECT e.vector, be.embedding FROM images i "
+            "JOIN embeddings e ON e.image_id = i.id "
+            "LEFT JOIN binary_embeddings be ON be.image_id = i.id "
             "WHERE i.file_hash = ? LIMIT 1",
             (file_hash,),
         ).fetchone()
         if row is None:
             return None
-        return self._decode_vector_rows([row[0]])[0]
+        return self._decode_vector_rows([row[0]])[0], row[1]
 
     def iter_embeddings(
         self, min_image_id: int = 0, batch_rows: int = 8192

@@ -48,10 +48,11 @@ class DecodedImage:
     file_hash: Optional[str]
     mask: Optional[np.ndarray] = None  # naflex: (L,) 1=real patch
     shape: Optional[Tuple[int, int]] = None  # naflex: (h, w) patch grid
-    # Scan-time reuse: the embedding of an already-indexed byte-identical
-    # file. When set, pixels is None and the consumer commits this vector
-    # instead of embedding (decode was skipped entirely).
+    # Scan-time reuse: the embedding (and the source row's binary blob) of an
+    # already-indexed byte-identical file. When set, pixels is None and the
+    # consumer commits these instead of embedding (decode was skipped).
     reused_embedding: Optional[np.ndarray] = None
+    reused_binary: Optional[bytes] = None
 
 
 @dataclass
@@ -121,14 +122,16 @@ def _decode_one(
         file_hash = hashlib.sha256(data).hexdigest()
         if reuse_lookup is not None:
             # A byte-identical file is already indexed: skip decode+embed and
-            # carry its embedding straight to the commit.
+            # carry its embedding (and binary blob) straight to the commit.
             try:
-                vec = reuse_lookup(file_hash)
+                hit = reuse_lookup(file_hash)
             except Exception:  # noqa: BLE001 - reuse is best-effort
-                vec = None
-            if vec is not None:
+                hit = None
+            if hit is not None:
+                vec, blob = hit
                 return DecodedImage(
-                    path, last_modified, None, file_hash, reused_embedding=vec
+                    path, last_modified, None, file_hash,
+                    reused_embedding=vec, reused_binary=blob,
                 )
         return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
     # PDF path: fitz renders from the file, so hash FIRST (cheap read, page
@@ -141,12 +144,14 @@ def _decode_one(
             return DecodedImage(path, last_modified, None, None)
         if reuse_lookup is not None:
             try:
-                vec = reuse_lookup(file_hash)
+                hit = reuse_lookup(file_hash)
             except Exception:  # noqa: BLE001 - reuse is best-effort
-                vec = None
-            if vec is not None:
+                hit = None
+            if hit is not None:
+                vec, blob = hit
                 return DecodedImage(
-                    path, last_modified, None, file_hash, reused_embedding=vec
+                    path, last_modified, None, file_hash,
+                    reused_embedding=vec, reused_binary=blob,
                 )
     img = load_image(path, draft_size=draft)
     return finish(img, file_hash)

@@ -222,10 +222,14 @@ def scan_directory(
         _RUN_CACHE_MAX = 20_000  # ~90 MB at 1152 fp32
 
         def reuse_lookup(file_hash: str):
+            """hash -> (embedding, binary-blob-or-None) or None. Run-cache
+            hits return blob=None: commit then derives sign(vec) from the
+            SAME fp32 vector the source row's commit derived from, so the
+            blobs match without caching them."""
             with reuse_mutex:
                 vec = run_cache.get(file_hash)
                 if vec is not None:
-                    return vec
+                    return vec, None
                 return engine.store.fetch_embedding_by_hash(reuse_cursor, file_hash)
 
         def remember(file_hash: str, vec: np.ndarray) -> None:
@@ -264,7 +268,8 @@ def scan_directory(
             for i, item in enumerate(items):
                 if item.reused_embedding is not None:
                     db_batch.append(
-                        (item.path, item.last_modified, item.file_hash, item.reused_embedding)
+                        (item.path, item.last_modified, item.file_hash,
+                         item.reused_embedding, item.reused_binary)
                     )
                     state["reused"] += 1
                 elif valid[i] and item.file_hash is not None:
