@@ -478,3 +478,46 @@ def test_derive_int8_matrix_device_matches_host_quantize():
     np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-6)
     assert np.all(np.asarray(q_dev)[:, 1000:] == 0)
     assert np.all(np.asarray(s_dev)[1000:] == 1.0)
+
+
+def test_fused_rerank_shape_boundary_fuzz():
+    """Randomized boundary fuzz: valid-row counts straddling tile, sublane
+    (8), lane (128), and shortlist boundaries; k from 1 to the index size.
+    Each case must return EXACTLY the fp32 oracle's top-k (the fused path's
+    rescore is exact) — tile-edge bugs show up as dropped or phantom rows."""
+    import random
+
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import (
+        INT8_TILE_N,
+        quantize_matrix_t,
+        topk_int8_rerank_fused,
+    )
+
+    rng_py = random.Random(17)
+    rng = np.random.default_rng(17)
+    d = 64
+    boundary_ns = [1, 2, 7, 8, 9, 127, 128, 129, 255, 511, 513]
+    for trial in range(10):
+        n = rng_py.choice(boundary_ns + [rng_py.randrange(1, 700)])
+        k = rng_py.choice([1, 2, 5, min(64, n), n, n + 3])
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        mt, nv = pad_matrix_t(np.ascontiguousarray(rows.T), tile_n=INT8_TILE_N)
+        q8, scales = quantize_matrix_t(mt)
+        queries = rng.standard_normal((2, d)).astype(np.float32)
+        scores, ridx = topk_int8_rerank_fused(
+            jnp.asarray(queries), jnp.asarray(q8), jnp.asarray(scales),
+            jnp.asarray(rows), min(k, 128),
+            n_valid=jnp.asarray(nv, jnp.int32), use_pallas=False,
+        )
+        scores, ridx = np.asarray(scores), np.asarray(ridx)
+        exact = queries @ rows.T
+        k_eff = min(min(k, 128), n)
+        for qi in range(2):
+            want = np.lexsort((np.arange(n), -exact[qi]))[:k_eff]
+            got = ridx[qi][ridx[qi] < n][:k_eff]
+            assert list(got) == list(want), (trial, n, k, qi)
+            np.testing.assert_allclose(
+                scores[qi][: len(want)], exact[qi][want], rtol=1e-5, atol=1e-6
+            )
