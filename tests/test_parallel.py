@@ -611,3 +611,53 @@ def test_sharded_int8_rerank_all_negative_scores_with_padding(mesh8):
     assert got_i.max() < n
     assert got_i[0] == 99, "global best row evicted by pad columns"
     np.testing.assert_allclose(got_s[0], exact[99], rtol=1e-6)
+
+
+def test_sharded_int8_rerank_shape_boundary_fuzz(mesh8):
+    """Mesh analog of the single-device boundary fuzz: valid-row counts that
+    leave some shards mostly padding (n < ndev, n % ndev != 0, one row);
+    every case must return exactly the fp32 oracle's top-k. Padding eviction
+    and per-shard merge bugs (found in round-3 sweeps) live exactly here."""
+    import random
+
+    from tpuclip.ops.topk import pad_matrix_t
+    from tpuclip.ops.topk_int8 import quantize_matrix_t
+    from tpuclip.parallel.sharded_search import (
+        shard_matrix,
+        sharded_topk_int8_rerank,
+    )
+
+    ndev = mesh8.shape[DATA_AXIS]
+    rng_py = random.Random(23)
+    rng = np.random.default_rng(23)
+    d = 64
+    for trial in range(6):
+        n = rng_py.choice([1, ndev - 1, ndev, ndev + 1, 100, 1000, 2047])
+        k = rng_py.choice([1, 5, min(32, n), n])
+        rows = rng.standard_normal((n, d)).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        mt, nv = pad_matrix_t(np.ascontiguousarray(rows.T), tile_n=2048 * ndev)
+        q8, scales = quantize_matrix_t(mt)
+        matrix = shard_matrix(jnp.asarray(q8), mesh8)
+        scales_d = jax.device_put(
+            jnp.asarray(scales), NamedSharding(mesh8, P(DATA_AXIS))
+        )
+        rows_pad = np.pad(rows, ((0, mt.shape[1] - n), (0, 0)))
+        rows_d = jax.device_put(
+            jnp.asarray(rows_pad), NamedSharding(mesh8, P(DATA_AXIS, None))
+        )
+        queries = rng.standard_normal((2, d)).astype(np.float32)
+        scores, ridx = sharded_topk_int8_rerank(
+            jnp.asarray(queries), matrix, scales_d, rows_d, min(k, 128),
+            mesh8, jnp.asarray(nv, jnp.int32),
+        )
+        scores, ridx = np.asarray(scores), np.asarray(ridx)
+        exact = queries @ rows.T
+        k_eff = min(min(k, 128), n)
+        for qi in range(2):
+            want = np.lexsort((np.arange(n), -exact[qi]))[:k_eff]
+            got = ridx[qi][ridx[qi] < n][:k_eff]
+            assert list(got) == list(want), (trial, n, k, qi, got, want)
+            np.testing.assert_allclose(
+                scores[qi][: len(want)], exact[qi][want], rtol=1e-5, atol=1e-6
+            )
