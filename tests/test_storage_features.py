@@ -231,3 +231,15 @@ def test_merge_mixed_dtype_shards(tmp_path, vecs):
     # _commit renumbers per shard: vecs[60] landed as the int8 shard's img10
     r = DeviceIndex(merged).search(vecs[60], 1)
     assert r[0][0] == "/b/img10.jpg"
+
+
+def test_dim4_fp16_blobs_decode_as_fp16():
+    """At dim 4 the int8 blob length (d+4) collides with fp16 (2d); int8
+    WRITING is blocked for that dim, so decode must prefer fp16 (existing
+    tiny fp16 DBs would otherwise misdecode as int8 garbage)."""
+    store = MetadataStore("unused.db", embedding_dim=4, vector_dtype="fp16")
+    vec = np.array([0.5, -0.25, 1.0, -1.0], np.float32)
+    blob = vec.astype(np.float16).tobytes()
+    assert len(blob) == 8 == 4 + 4  # the colliding length
+    out = store._decode_vector_rows([blob])
+    np.testing.assert_allclose(out[0], vec, atol=1e-3)

@@ -501,7 +501,10 @@ class MetadataStore:
         d = self.embedding_dim
         n_bytes = len(blobs[0])
         raw = b"".join(blobs)
-        if n_bytes == d + 4:
+        # At d == 4 the int8 length (d+4) collides with fp16 (2d); int8
+        # WRITING is blocked for that dim (__init__ guard), so an 8-byte
+        # blob there can only be fp16 — prefer the float interpretation.
+        if n_bytes == d + 4 and n_bytes != 2 * d:
             rows = np.frombuffer(raw, dtype=np.uint8).reshape(len(blobs), d + 4)
             q = rows[:, :d].view(np.int8).astype(np.float32)
             scales = rows[:, d:].copy().view(np.float32)

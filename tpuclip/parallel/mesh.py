@@ -65,7 +65,10 @@ def maybe_distributed_init() -> None:
         addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
         nproc = os.environ.get("JAX_NUM_PROCESSES")
         pid = os.environ.get("JAX_PROCESS_ID")
-        if addr and nproc is not None and pid is not None:
+        # truthiness, not `is not None`: exported-but-empty vars (common in
+        # launcher scripts) must fall through to auto-detection, and pid="0"
+        # is a non-empty string so process 0 still takes the explicit path.
+        if addr and nproc and pid:
             jax.distributed.initialize(
                 coordinator_address=addr,
                 num_processes=int(nproc),

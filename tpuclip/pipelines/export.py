@@ -30,22 +30,9 @@ from tpuclip.utils.logging import log
 FORMATS = ("npz", "npy", "jsonl")
 
 
-def _paths_for_ids(db_path: str, ids: np.ndarray) -> list:
-    conn = connect(db_path)
-    try:
-        out = {}
-        idl = [int(i) for i in ids]
-        cur = conn.cursor()
-        for start in range(0, len(idl), 900):
-            chunk = idl[start : start + 900]
-            marks = ",".join("?" * len(chunk))
-            for image_id, fp in cur.execute(
-                f"SELECT id, file_path FROM images WHERE id IN ({marks})", chunk
-            ):
-                out[image_id] = fp
-        return [out.get(int(i), "") for i in ids]
-    finally:
-        conn.close()
+def _paths_for_ids(store: MetadataStore, ids: np.ndarray) -> list:
+    by_id = store.fetch_paths_for_ids([int(i) for i in ids])
+    return [by_id.get(int(i), "") for i in ids]
 
 
 def export_embeddings(
@@ -60,17 +47,20 @@ def export_embeddings(
         raise ValueError(f"format must be one of {FORMATS}, got {fmt}")
     if embedding_dim is None:
         # The store decodes fp16/int8 blobs by length relative to the dim, so
-        # the DB's true dim matters. A binary row's blob length IS the dim
-        # (one uint8 per bit) and every full row has a binary sibling.
-        conn = connect(db_path)
-        try:
-            row = conn.execute(
-                "SELECT LENGTH(embedding) FROM binary_embeddings LIMIT 1"
-            ).fetchone()
-        finally:
-            conn.close()
-        if row is not None:
-            embedding_dim = int(row[0])
+        # the DB's true dim matters: the recorded meta value first, else a
+        # binary row's blob length (one uint8 per bit; every full row has a
+        # binary sibling — covers pre-meta or externally-created DBs).
+        embedding_dim = MetadataStore(db_path).stored_embedding_dim()
+        if embedding_dim is None:
+            conn = connect(db_path)
+            try:
+                row = conn.execute(
+                    "SELECT LENGTH(embedding) FROM binary_embeddings LIMIT 1"
+                ).fetchone()
+            finally:
+                conn.close()
+            if row is not None:
+                embedding_dim = int(row[0])
     store = (
         MetadataStore(db_path, embedding_dim=embedding_dim)
         if embedding_dim
@@ -81,7 +71,7 @@ def export_embeddings(
         n = 0
         with open(output, "w", encoding="utf-8") as f:
             for ids, vecs in store.iter_embeddings():
-                paths = _paths_for_ids(db_path, ids)
+                paths = _paths_for_ids(store, ids)
                 for i in range(len(ids)):
                     f.write(
                         json.dumps(
@@ -107,15 +97,18 @@ def export_embeddings(
     else:
         all_ids = np.zeros((0,), np.int64)
         all_vecs = np.zeros((0, store.embedding_dim), np.float32)
-    paths = np.asarray(_paths_for_ids(db_path, all_ids))
+    paths = np.asarray(_paths_for_ids(store, all_ids))
 
     if fmt == "npy":
-        np.save(output, all_vecs)
-        base = output[:-4] if output.endswith(".npy") else output
+        # np.save appends ".npy" when absent — normalize first so the logged
+        # path and the sidecar names match the file actually written.
+        out_path = output if output.endswith(".npy") else output + ".npy"
+        np.save(out_path, all_vecs)
+        base = out_path[:-4]
         np.save(base + ".ids.npy", all_ids)
         with open(base + ".paths.txt", "w", encoding="utf-8") as f:
             f.write("\n".join(paths.tolist()))
-        log(f"Exported {len(all_ids):,} embeddings to {output} (+ .ids.npy, .paths.txt)")
+        log(f"Exported {len(all_ids):,} embeddings to {out_path} (+ .ids.npy, .paths.txt)")
         return len(all_ids)
 
     arrays = {"image_ids": all_ids, "file_paths": paths, "vectors": all_vecs}

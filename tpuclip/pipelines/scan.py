@@ -215,6 +215,20 @@ def scan_directory(
     reuse_lookup = None
     reuse_state = {}
     if reuse_embeddings and save_full_embeddings:
+        from tpuclip.io.prefetch import default_procs
+
+        procs = default_procs() if decode_procs is None else decode_procs
+        if procs > 0:
+            # prefetch would silently drop the lookup (a SQLite-backed
+            # closure can't cross the process-pool boundary) while this
+            # function kept feeding a never-read run cache.
+            log(
+                "  [WARNING] --reuse-embeddings is ignored with process-pool "
+                "decode (--decode-procs / TPUCLIP_DECODE_PROCS); use thread "
+                "decode to reuse embeddings."
+            )
+            reuse_embeddings = False
+    if reuse_embeddings and save_full_embeddings:
         reuse_conn = connect(engine.db_path, check_same_thread=False)
         reuse_cursor = reuse_conn.cursor()
         reuse_mutex = threading.Lock()

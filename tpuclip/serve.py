@@ -280,8 +280,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
 
         # Request cap: 4 MiB default; image_b64 uploads of large photos may
         # need more (TPUCLIP_MAX_BODY_MB). Bounded either way — one body per
-        # handler thread.
-        MAX_BODY = max(1, int(os.environ.get("TPUCLIP_MAX_BODY_MB", "4") or 4)) << 20
+        # handler thread. A malformed value falls back to the default
+        # instead of killing server startup.
+        try:
+            MAX_BODY = max(1, int(float(os.environ.get("TPUCLIP_MAX_BODY_MB", "4") or 4))) << 20
+        except ValueError:
+            MAX_BODY = 4 << 20
         MAX_BATCH_QUERIES = 256  # /search_batch fan-out cap (one tower pass)
 
         def _read_json(self):
