@@ -175,12 +175,23 @@ def test_reuse_preserves_binary_blob_for_int8_storage(tmp_path, monkeypatch):
     assert blobs["copy.jpg"] == blobs["a.jpg"]
 
 
-def test_hash_index_exists(tmp_path):
+def test_hash_index_is_lazy(tmp_path):
+    """The content-hash index is a reuse-only cost: absent after plain
+    schema init (no per-insert maintenance for scans that never reuse),
+    created by ensure_hash_index when the reuse setup runs."""
     store = MetadataStore(str(tmp_path / "i.db"), embedding_dim=8)
     store.init_schema(verbose=False)
-    conn = sqlite3.connect(store.db_path)
-    names = {r[0] for r in conn.execute(
-        "SELECT name FROM sqlite_master WHERE type='index'"
-    )}
+
+    def index_names():
+        conn = sqlite3.connect(store.db_path)
+        names = {r[0] for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='index'"
+        )}
+        conn.close()
+        return names
+
+    assert "idx_images_file_hash" not in index_names()
+    conn = connect(store.db_path)
+    store.ensure_hash_index(conn)
     conn.close()
-    assert "idx_images_file_hash" in names
+    assert "idx_images_file_hash" in index_names()

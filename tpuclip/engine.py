@@ -29,7 +29,6 @@ import numpy as np
 from tpuclip.config import default_paths
 from tpuclip.index.search import DeviceIndex
 from tpuclip.index.store import MetadataStore
-from tpuclip.io.prefetch import decode_single
 from tpuclip.io.preprocess import preprocess_batch
 from tpuclip.io.thumbnails import Thumbnailer
 from tpuclip.models.configs import DEFAULT_MODEL
@@ -246,24 +245,30 @@ class ImageDatabase:
     def is_naflex(self) -> bool:
         return self.config.vision.naflex
 
+    def _embed_pil(self, img) -> np.ndarray:
+        """Decoded PIL image → L2-normalized embedding (naflex-aware); the
+        single embed path shared by path- and bytes-based image queries."""
+        if self.is_naflex:
+            from tpuclip.io.preprocess import preprocess_naflex
+
+            v = self.config.vision
+            patches, mask, shape = preprocess_naflex(img, v.patch_size, v.max_num_patches)
+            return self.embed_patches_naflex(
+                patches[None], mask[None], np.asarray([shape], np.int32)
+            )[0].flatten()
+        from tpuclip.io.preprocess import resize_to_uint8
+
+        pixels = resize_to_uint8(img, self.image_size)
+        return self.embed_images_uint8(pixels[None])[0].flatten()
+
     def _get_image_embedding(self, image_path: str) -> Optional[np.ndarray]:
         try:
-            if self.is_naflex:
-                from tpuclip.io.decode import load_image
-                from tpuclip.io.preprocess import preprocess_naflex
+            from tpuclip.io.decode import load_image
 
-                img = load_image(image_path)
-                if img is None:
-                    return None
-                v = self.config.vision
-                patches, mask, shape = preprocess_naflex(img, v.patch_size, v.max_num_patches)
-                return self.embed_patches_naflex(
-                    patches[None], mask[None], np.asarray([shape], np.int32)
-                )[0].flatten()
-            pixels = decode_single(image_path, self.image_size)
-            if pixels is None:
+            img = load_image(image_path)
+            if img is None:
                 return None
-            return self.embed_images_uint8(pixels[None])[0].flatten()
+            return self._embed_pil(img)
         except Exception as e:  # noqa: BLE001 - containment
             safe_print_path("Error processing ", image_path, e)
             return None
@@ -338,18 +343,7 @@ class ImageDatabase:
             img = load_image_bytes(data, "<bytes>")
             if img is None:
                 return None
-            if self.is_naflex:
-                from tpuclip.io.preprocess import preprocess_naflex
-
-                v = self.config.vision
-                patches, mask, shape = preprocess_naflex(img, v.patch_size, v.max_num_patches)
-                return self.embed_patches_naflex(
-                    patches[None], mask[None], np.asarray([shape], np.int32)
-                )[0].flatten()
-            from tpuclip.io.preprocess import resize_to_uint8
-
-            pixels = resize_to_uint8(img, self.image_size)
-            return self.embed_images_uint8(pixels[None])[0].flatten()
+            return self._embed_pil(img)
         except Exception as e:  # noqa: BLE001 - containment
             safe_print_path("Error processing ", "<image bytes>", e)
             return None

@@ -117,11 +117,6 @@ class MetadataStore:
                 )
                 """
             )
-            # Content-hash lookup for scan-time embedding reuse
-            # (scan --reuse-embeddings): byte-identical files skip decode+embed.
-            cursor.execute(
-                "CREATE INDEX IF NOT EXISTS idx_images_file_hash ON images(file_hash)"
-            )
             # Float vectors: plain BLOB keyed by image_id. Replaces vec0
             # (image_database.py:290-294); scanning happens on-device instead.
             cursor.execute(
@@ -511,6 +506,17 @@ class MetadataStore:
             return q * scales
         dt = np.float16 if n_bytes == 2 * d else np.float32
         return np.frombuffer(raw, dtype=dt).astype(np.float32).reshape(len(blobs), -1)
+
+    def ensure_hash_index(self, conn: sqlite3.Connection) -> None:
+        """Content-hash index backing fetch_embedding_by_hash. Created
+        lazily by the reuse setup (scan --reuse-embeddings) rather than in
+        init_schema: every database would otherwise pay the one-time build
+        stall plus per-insert maintenance for a feature most scans never
+        use."""
+        conn.execute(
+            "CREATE INDEX IF NOT EXISTS idx_images_file_hash ON images(file_hash)"
+        )
+        conn.commit()
 
     def fetch_embedding_by_hash(
         self, cursor, file_hash: str

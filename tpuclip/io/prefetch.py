@@ -97,6 +97,23 @@ def _decode_one(
         else max(1, image_size // 2)
     )
 
+    def reuse_hit(file_hash):
+        """DecodedImage carrying an already-indexed byte-identical file's
+        embedding + binary blob, or None (lookup miss or failure)."""
+        if reuse_lookup is None:
+            return None
+        try:
+            hit = reuse_lookup(file_hash)
+        except Exception:  # noqa: BLE001 - reuse is best-effort
+            hit = None
+        if hit is None:
+            return None
+        vec, blob = hit
+        return DecodedImage(
+            path, last_modified, None, file_hash,
+            reused_embedding=vec, reused_binary=blob,
+        )
+
     def finish(img, file_hash):
         if img is None:
             return DecodedImage(path, last_modified, None, file_hash)
@@ -120,19 +137,10 @@ def _decode_one(
         except OSError:
             return DecodedImage(path, last_modified, None, None)
         file_hash = hashlib.sha256(data).hexdigest()
-        if reuse_lookup is not None:
-            # A byte-identical file is already indexed: skip decode+embed and
-            # carry its embedding (and binary blob) straight to the commit.
-            try:
-                hit = reuse_lookup(file_hash)
-            except Exception:  # noqa: BLE001 - reuse is best-effort
-                hit = None
-            if hit is not None:
-                vec, blob = hit
-                return DecodedImage(
-                    path, last_modified, None, file_hash,
-                    reused_embedding=vec, reused_binary=blob,
-                )
+        # A byte-identical file already indexed skips decode+embed entirely.
+        reused = reuse_hit(file_hash)
+        if reused is not None:
+            return reused
         return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
     # PDF path: fitz renders from the file, so hash FIRST (cheap read, page
     # cache warm for the render) — a reuse hit then skips the render too.
@@ -142,17 +150,9 @@ def _decode_one(
             file_hash = file_sha256(path)
         except OSError:
             return DecodedImage(path, last_modified, None, None)
-        if reuse_lookup is not None:
-            try:
-                hit = reuse_lookup(file_hash)
-            except Exception:  # noqa: BLE001 - reuse is best-effort
-                hit = None
-            if hit is not None:
-                vec, blob = hit
-                return DecodedImage(
-                    path, last_modified, None, file_hash,
-                    reused_embedding=vec, reused_binary=blob,
-                )
+        reused = reuse_hit(file_hash)
+        if reused is not None:
+            return reused
     img = load_image(path, draft_size=draft)
     return finish(img, file_hash)
 

@@ -120,6 +120,9 @@ def export_embeddings(
         if bid_parts:
             arrays["binary_image_ids"] = np.concatenate(bid_parts)
             arrays["binary"] = np.concatenate(bit_parts)
-    np.savez_compressed(output, **arrays)
-    log(f"Exported {len(all_ids):,} embeddings to {output} (npz)")
+    # np.savez_compressed appends ".npz" when absent — normalize so the
+    # logged path matches the file actually written (same as the npy branch).
+    out_path = output if output.endswith(".npz") else output + ".npz"
+    np.savez_compressed(out_path, **arrays)
+    log(f"Exported {len(all_ids):,} embeddings to {out_path} (npz)")
     return len(all_ids)

@@ -214,6 +214,12 @@ def scan_directory(
     # THREADS — one shared read connection behind a lock.
     reuse_lookup = None
     reuse_state = {}
+    if reuse_embeddings and not save_full_embeddings:
+        log(
+            "  [WARNING] --reuse-embeddings is ignored with --binary-only: "
+            "there is no full embedding row to reuse."
+        )
+        reuse_embeddings = False
     if reuse_embeddings and save_full_embeddings:
         from tpuclip.io.prefetch import default_procs
 
@@ -230,6 +236,10 @@ def scan_directory(
             reuse_embeddings = False
     if reuse_embeddings and save_full_embeddings:
         reuse_conn = connect(engine.db_path, check_same_thread=False)
+        # The hash index exists only when reuse is used (see
+        # store.ensure_hash_index) — build it now, before worker threads
+        # start issuing lookups against a full-table scan.
+        engine.store.ensure_hash_index(reuse_conn)
         reuse_cursor = reuse_conn.cursor()
         reuse_mutex = threading.Lock()
         run_cache: dict = {}  # sha256 -> np.ndarray, this run's embeddings

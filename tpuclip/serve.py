@@ -284,7 +284,7 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
         # instead of killing server startup.
         try:
             MAX_BODY = max(1, int(float(os.environ.get("TPUCLIP_MAX_BODY_MB", "4") or 4))) << 20
-        except ValueError:
+        except (ValueError, OverflowError):  # int(float("inf")) overflows
             MAX_BODY = 4 << 20
         MAX_BATCH_QUERIES = 256  # /search_batch fan-out cap (one tower pass)
 
