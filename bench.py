@@ -564,6 +564,79 @@ def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
     )
 
 
+def bench_cascade(jax, n, d=1152, k=20, chain=32):
+    """Binary-cascade mode (TPUCLIP_SEARCH_MODE=cascade): packed-binary
+    device shortlist at depth 32*k + exact host rescore. HBM holds only
+    N/8 bytes/row (~1.4 GB at 10M x 1152) — the single-chip mode for
+    indexes whose int8+full copies exceed the budget. Device part chained
+    like the other latency benches; the host rescore is measured separately
+    on a representative gather (its cost scales with depth*d, not N)."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from tpuclip.ops.hamming import (
+        BINARY_TILE_N,
+        binary_topk_packed,
+        binary_topk_packed_t,
+        pack_bits_to_words,
+        pack_bits_to_words_device,
+    )
+
+    depth = 32 * k
+    p = _device_prep(jax, n, d)
+    use_tpu = jax.default_backend() == "tpu"
+    w = -(-d // 32)
+    np_bin = -(-n // BINARY_TILE_N) * BINARY_TILE_N
+
+    @jax.jit
+    def derive_words(matrix):
+        bits = (matrix[:, :n] >= 0).T.astype(jnp.uint8)
+        words = pack_bits_to_words_device(bits)
+        if use_tpu:
+            return jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+        return words
+
+    matrix_words = derive_words(p["matrix"])
+    matrix_words.block_until_ready()
+    nv = jnp.asarray(n, jnp.int32)
+    rng = np.random.default_rng(0)
+    qwords = jnp.asarray(
+        pack_bits_to_words(rng.integers(0, 2, (chain, d), dtype=np.uint8))
+    ).reshape(chain, 1, -1)
+
+    def step(carry, q, matrix_words, nv):
+        q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
+        if use_tpu:
+            # depth > 128 exceeds the Pallas kernel's shortlist register
+            # budget — the words_t XLA path serves the cascade prefilter
+            s, i = binary_topk_packed_t(q, matrix_words, depth, n_valid=nv)
+        else:
+            s, i = binary_topk_packed(q, matrix_words, depth)
+        return jnp.max(s).astype(jnp.uint32), (s, i)
+
+    device_ms = _chained_p50(
+        jax, step, qwords, chain, jnp.zeros((), jnp.uint32),
+        consts=(matrix_words, nv),
+    )
+
+    # Host rescore: gather depth rows from a page-cache-resident fp32 matrix
+    # + one (depth, d) @ (d,) product. Representative slice, not the full N
+    # (the per-query cost is N-independent; a full 1M x 1152 host matrix
+    # would repeat round 2's multi-GB host-alloc mistake).
+    rows_host = np.random.default_rng(1).standard_normal(
+        (min(n, 50_000), d)
+    ).astype(np.float32)
+    qs = np.random.default_rng(2).standard_normal((chain, d)).astype(np.float32)
+    idxs = np.random.default_rng(3).integers(0, len(rows_host), (chain, depth))
+    t0 = _time.perf_counter()
+    for c in range(chain):
+        gathered = rows_host[idxs[c]]
+        _ = gathered @ qs[c]
+    host_ms = (_time.perf_counter() - t0) / chain * 1000
+    return device_ms, host_ms
+
+
 def bench_ivf(jax, n, d=1152, k=20, chain=32):
     """IVF bucketed approximate search (TPUCLIP_SEARCH_MODE=ivf): p50 over
     CLUSTERED data (1024 modes, generated and index-built ON DEVICE via
@@ -1029,6 +1102,12 @@ def main():
                 bench_binary_latency(jax, n, chain=chain), 3
             )
 
+        def _cascade():
+            dev_ms, host_ms = bench_cascade(jax, n, chain=chain)
+            RESULT["cascade_device_p50_ms"] = round(dev_ms, 3)
+            RESULT["cascade_host_rescore_ms"] = round(host_ms, 3)
+            RESULT["cascade_p50_ms"] = round(dev_ms + host_ms, 3)
+
         def _int8():
             RESULT["int8_p50_ms"] = round(
                 bench_query_latency_int8(jax, n, chain=chain), 3
@@ -1069,6 +1148,7 @@ def main():
         run("bf16_scan", 20, _bf16_scan)
         run("batch", 15, _batch)
         run("binary", 30, _binary)
+        run("cascade", 30, _cascade)
         run("int8", 15, _int8)
         run("text_fused", 45, _text_fused)
         run("ivf_scanned", 120, _ivf_scanned)

@@ -89,7 +89,14 @@ class DeviceIndex:
         # smaller scan at >=0.95 measured recall, exact scores via the same
         # device rescore. Requires int8 + device-rerank copy. With a mesh the
         # cluster-sharded variant serves (parallel/sharded_ivf.py).
+        # "cascade" = packed-binary device prefilter (1 bit/dim in HBM) +
+        # exact rescore of the shortlist from the host memmap. No flat
+        # int8/bf16 matrix is uploaded at all, so HBM holds N/8 bytes/row
+        # (~1.4 GB at 10M x 1152) — the single-chip mode for indexes whose
+        # int8+full copies exceed the budget. Recall is data-dependent
+        # (sign-bit prefilter); depth via TPUCLIP_CASCADE_DEPTH.
         self.search_mode = os.environ.get("TPUCLIP_SEARCH_MODE", "exact")
+        self._cascade = False
         self._ivf = None
         self._ivf_sharded = None  # mesh analog (parallel/sharded_ivf.py)
         self._rows_device = None  # (N_rows, D) bf16/f32 row-major, int8 mode
@@ -126,7 +133,27 @@ class DeviceIndex:
         # index is kept locally so a rebuild can reuse its centroids.
         prev_ivf, self._ivf = self._ivf, None
         prev_sharded, self._ivf_sharded = self._ivf_sharded, None
-        if len(ids):
+        # Cascade gate: single device, full rows on host, and the binary
+        # rows EXACTLY aligned with the full rows (both caches are
+        # image_id-ordered, so set equality means index equality). When it
+        # holds, skip the flat device matrix entirely — that's the mode's
+        # whole point.
+        self._cascade = False
+        if self.search_mode == "cascade" and self.mesh is None and len(ids):
+            bin_preview, _ = self.cache.load_binary()
+            if len(bin_preview) == len(ids) and np.array_equal(bin_preview, ids):
+                self._cascade = True
+            else:
+                log(
+                    "  [WARNING] cascade search mode needs binary rows aligned "
+                    "with full rows; falling back to the exact scan"
+                )
+        if len(ids) and self._cascade:
+            self._matrix = None
+            self._scales = None
+            self._rows_device = None
+            self._n_valid = None
+        elif len(ids):
             # Feature-major (D, N) device layout, pre-padded to the kernel
             # tile so the per-query path never copies the matrix (see
             # tpuclip.ops.topk layout/padding notes).
@@ -445,6 +472,11 @@ class DeviceIndex:
         otherwise (same preference order as image_database.py:1532-1556).
         """
         self.refresh()
+        if self._cascade_ready():
+            out = self._search_cascade(
+                np.asarray(query, np.float32).reshape(1, -1), k, filter_folders
+            )
+            return out[0] if out else []
         if self._matrix is not None:
             return self._search_full(query, k, filter_folders)
         if self._bin_matrix is not None:
@@ -464,6 +496,11 @@ class DeviceIndex:
             # atleast_2d would turn an empty list into one zero-length query
             # row and return a spurious result list for zero queries.
             return []
+        if self._cascade_ready():
+            return self._search_cascade(
+                np.asarray(queries, np.float32).reshape(len(queries), -1),
+                k, filter_folders,
+            )
         if self._matrix is None:
             return [self.search(q, k, filter_folders) for q in np.atleast_2d(queries)]
         q = jnp.asarray(np.asarray(queries, np.float32).reshape(len(queries), -1))
@@ -757,48 +794,100 @@ class DeviceIndex:
         out_r = np.where(np.isfinite(out_s), out_r, n_ids)
         return out_s, out_r
 
-    def _search_binary(self, query, k, filter_folders):
-        from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
-
-        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.uint8)
-        qwords = pack_bits_to_words(qbits)
-        padded_n = (
+    def _binary_padded_n(self) -> int:
+        return (
             self._bin_matrix.shape[1]
             if self._bin_layout == "words_t"
             else self._bin_matrix.shape[0]
         )
-        mask = (
-            self._folder_mask(filter_folders, self._bin_ids, padded_n)
-            if filter_folders
-            else None
-        )
+
+    def _binary_topk_raw(self, qwords, k, mask):
+        """Layout-dispatched packed-binary top-k for (Q, W) packed queries;
+        returns (matches, rows) device arrays (shared by the binary search
+        and the cascade prefilter)."""
+        import jax.numpy as _jnp
+
         if self.mesh is not None:
             from tpuclip.parallel.sharded_search import sharded_binary_topk
 
-            matches, rows = sharded_binary_topk(
-                jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
+            return sharded_binary_topk(
+                _jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
                 self._bin_n_valid, mask=mask,
             )
-        elif self._bin_layout == "words_t":
+        if self._bin_layout == "words_t":
             from tpuclip.ops.hamming import (
                 BINARY_TILE_N,
                 binary_topk_packed_pallas,
                 binary_topk_packed_t,
             )
 
+            padded_n = self._binary_padded_n()
             if mask is None and k <= 128 and padded_n >= BINARY_TILE_N and padded_n % BINARY_TILE_N == 0:
-                matches, rows = binary_topk_packed_pallas(
-                    jnp.asarray(qwords), self._bin_matrix, k, n_valid=self._bin_n_valid
+                return binary_topk_packed_pallas(
+                    _jnp.asarray(qwords), self._bin_matrix, k, n_valid=self._bin_n_valid
                 )
-            else:
-                matches, rows = binary_topk_packed_t(
-                    jnp.asarray(qwords), self._bin_matrix, k,
-                    mask=mask, n_valid=self._bin_n_valid,
-                )
-        else:
-            matches, rows = binary_topk_packed(
-                jnp.asarray(qwords), self._bin_matrix, k, mask=mask
+            return binary_topk_packed_t(
+                _jnp.asarray(qwords), self._bin_matrix, k,
+                mask=mask, n_valid=self._bin_n_valid,
             )
+        from tpuclip.ops.hamming import binary_topk_packed
+
+        return binary_topk_packed(_jnp.asarray(qwords), self._bin_matrix, k, mask=mask)
+
+    # --------------------------------------------------------------- cascade
+
+    def _cascade_ready(self) -> bool:
+        return (
+            self._cascade
+            and self._bin_matrix is not None
+            and self._host_vectors is not None
+        )
+
+    def _cascade_depth(self, k: int) -> int:
+        import os
+
+        env = os.environ.get("TPUCLIP_CASCADE_DEPTH")
+        depth = int(env) if env else max(32 * k, 512)
+        return max(k, min(depth, len(self._ids)))
+
+    def _search_cascade(self, queries_2d: np.ndarray, k: int, filter_folders):
+        """Packed-binary prefilter + exact host rescore, (Q, k) results.
+
+        The binary shortlist ranks by sign-bit matches (data-dependent
+        recall, deeper shortlist = higher recall); the rescore orders the
+        survivors by true fp32 dot product."""
+        from tpuclip.ops.hamming import pack_bits_to_words
+
+        qn = np.asarray(queries_2d, np.float32)
+        qbits = (qn >= 0).astype(np.uint8)
+        qwords = pack_bits_to_words(qbits)
+        mask = (
+            self._folder_mask(filter_folders, self._bin_ids, self._binary_padded_n())
+            if filter_folders
+            else None
+        )
+        depth = self._cascade_depth(k)
+        matches, rows = self._binary_topk_raw(qwords, depth, mask)
+        matches = np.asarray(matches).astype(np.float32)
+        # binary sentinels are int32-min; translate to the -inf/row-overflow
+        # convention _exact_rerank_batch expects
+        matches[matches <= np.iinfo(np.int32).min + 1] = -np.inf
+        scores, out_rows = self._exact_rerank_batch(
+            qn, matches, np.asarray(rows), k
+        )
+        return self._map_batch_results(scores, out_rows, len(qn))
+
+    def _search_binary(self, query, k, filter_folders):
+        from tpuclip.ops.hamming import pack_bits_to_words
+
+        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.uint8)
+        qwords = pack_bits_to_words(qbits)
+        mask = (
+            self._folder_mask(filter_folders, self._bin_ids, self._binary_padded_n())
+            if filter_folders
+            else None
+        )
+        matches, rows = self._binary_topk_raw(qwords, k, mask)
         matches = np.asarray(matches[0])
         rows = np.asarray(rows[0])
         valid = matches > np.iinfo(np.int32).min
