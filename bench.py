@@ -880,6 +880,32 @@ def bench_end_to_end_scan(jax):
 _E2E_STATE = {}
 
 
+def _cascade_recall_on_vectors(x, k=20, depths=(320, 640, 1280), n_queries=16):
+    """Sign-bit prefilter recall of the true top-k on the given embeddings
+    (host numpy; the cascade's device kernel computes the same match
+    counts). Returns {"depth<D>": recall}."""
+    rng = np.random.default_rng(21)
+    n = len(x)
+    qidx = rng.choice(n, size=min(n_queries, n), replace=False)
+    q = x[qidx] + 0.05 * rng.standard_normal((len(qidx), x.shape[1]), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = q @ x.T
+    xbits = x >= 0
+    qbits = q >= 0
+    # matches = popcount(qbits AND rowbits) — the reference's binary score
+    matches = (qbits[:, None, :] & xbits[None, :, :]).sum(-1)
+    out = {}
+    for depth in depths:
+        dd = min(depth, n)
+        rec = []
+        for r in range(len(q)):
+            true_top = set(np.argsort(-exact[r])[:k].tolist())
+            short = set(np.argsort(-matches[r])[:dd].tolist())
+            rec.append(len(true_top & short) / k)
+        out[f"depth{depth}"] = round(float(np.mean(rec)), 4)
+    return out
+
+
 def _ivf_recall_on_scanned(jax, engine, k=20, n_queries=16):
     """Top-k recall of IVF vs the exact scan over the embeddings in the
     engine's database, swept over nprobe. Returns {"nprobe<P>": recall}."""
@@ -1082,6 +1108,16 @@ def main():
                 RESULT["ivf_recall_real_embeddings_top20"] = (
                     _ivf_recall_on_scanned(jax, engine)
                 )
+                from tpuclip.index.cache import MatrixCache
+
+                _ids, vectors = MatrixCache(engine.store).load()
+                if len(_ids) >= 200:
+                    # Cascade prefilter recall on the SAME real tower
+                    # embeddings (host numpy; evidence for the cascade
+                    # mode's data-dependent recall claim).
+                    RESULT["cascade_recall_real_embeddings_top20"] = (
+                        _cascade_recall_on_vectors(np.asarray(vectors, np.float32))
+                    )
             finally:
                 if tmp:
                     shutil.rmtree(tmp, ignore_errors=True)
