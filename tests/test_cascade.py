@@ -122,3 +122,26 @@ def test_cascade_falls_back_when_binary_misaligned(tmp_path, vecs, monkeypatch):
     got = casc.search(vecs[3], 3)
     assert got[0][0] == "/img/0003.jpg"
     assert not casc._cascade and casc._matrix is not None
+
+
+def test_search_mode_cli_flag(tmp_path, vecs, monkeypatch, capsys):
+    """`search --mode cascade` selects the mode through the engine env."""
+    import os
+
+    from tpuclip.cli import main
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_INIT", "random")
+    # setenv (not delenv) so monkeypatch restores the ORIGINAL state at
+    # teardown even though main() itself mutates os.environ — delenv on an
+    # absent var registers nothing and the mutation would leak into every
+    # later test in the process.
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "exact")
+    store = _build_db(tmp_path, vecs[:50], name="cli.db")
+    # tiny model keeps this fast; dims differ from the DB's so skip actual
+    # search execution — the flag wiring is what's under test
+    main([
+        "search", "a thing", "--db", store.db_path, "--no-session", "-k", "2",
+        "--mode", "cascade", "--model", "tpuclip/test-tiny",
+    ])
+    assert os.environ.get("TPUCLIP_SEARCH_MODE") == "cascade"

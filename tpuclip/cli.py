@@ -214,6 +214,7 @@ def build_parser() -> argparse.ArgumentParser:
     search_parser.add_argument("--show-duplicates", action="store_true", help="Show duplicate images in results (default: filtered)")
     search_parser.add_argument("--model", default=None, help="Model preset name (default: google/siglip2-so400m-patch14-224)")
     search_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision: int8 quantized scan with exact re-rank (TPU default) or plain bf16 scan (default elsewhere)")
+    search_parser.add_argument("--mode", dest="search_mode", choices=["exact", "ivf", "cascade"], default=None, help="Search mode: exact scan (default), bucketed IVF, or binary-cascade (1 bit/dim HBM prefilter + exact rescore — for indexes past the HBM budget)")
 
     # Beyond the reference surface: checkpoint conversion + fine-tuning.
     convert_parser = subparsers.add_parser(
@@ -246,6 +247,7 @@ def build_parser() -> argparse.ArgumentParser:
     serve_parser.add_argument("--model", default=None, help="Model preset name")
     serve_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
     serve_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision")
+    serve_parser.add_argument("--mode", dest="search_mode", choices=["exact", "ivf", "cascade"], default=None, help="Search mode (see search --mode)")
 
     merge_parser = subparsers.add_parser(
         "merge", help="Merge shard databases (from sharded scans) into one"
@@ -323,6 +325,9 @@ def _make_engine(db_path: str, args):
 
     if getattr(args, "precision", None):
         os.environ["TPUCLIP_SEARCH_PRECISION"] = args.precision
+    # dest is search_mode: "mode" already carries the subcommand name
+    if getattr(args, "search_mode", None):
+        os.environ["TPUCLIP_SEARCH_MODE"] = args.search_mode
     model_cache = args.model_cache if args.model_cache else None
     return ImageDatabase(
         db_path,
