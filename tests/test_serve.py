@@ -346,3 +346,27 @@ def test_embed_rejects_non_list_fields(server):
     ):
         status, body = _post(server, "/embed", payload)
         assert status == 400, payload
+
+
+def test_serve_in_cascade_mode(engine, monkeypatch):
+    """End-to-end serving with TPUCLIP_SEARCH_MODE=cascade: /search works,
+    /stats reports the active mode, and no flat device matrix is resident."""
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "cascade")
+    monkeypatch.setenv("TPUCLIP_CASCADE_DEPTH", "64")
+    from tpuclip.index.search import DeviceIndex
+
+    # fresh index picks the mode up from the env
+    old_index = engine.index
+    engine.index = DeviceIndex(engine.store, device=engine.device)
+    srv = SearchServer(engine, host="127.0.0.1", port=0)
+    srv.start_background()
+    try:
+        status, body = _post(srv, "/search", {"query": "a red square", "k": 2})
+        assert status == 200 and len(body["results"]) == 2
+        status, body = _get(srv, "/stats")
+        assert body["search_mode"] == "cascade"
+        assert body["cascade_active"] is True
+        assert engine.index._matrix is None
+    finally:
+        srv.shutdown()
+        engine.index = old_index

@@ -270,6 +270,11 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                     "embedding_dim": engine.embedding_dim,
                     "model": engine.model_name,
                     "db_path": engine.db_path,
+                    # which scan actually serves: mode + precision, and
+                    # whether the cascade gate held after refresh
+                    "search_mode": engine.index.search_mode,
+                    "search_precision": engine.index.precision,
+                    "cascade_active": bool(getattr(engine.index, "_cascade", False)),
                 }
                 payload.update(metrics.snapshot())
                 if batcher is not None:
