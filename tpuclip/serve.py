@@ -585,4 +585,12 @@ def run_serve(args, paths) -> None:
         sys.exit(2)
     engine = _make_engine(db_path, args)
     engine.index.refresh()  # warm the HBM index before accepting traffic
+    try:
+        # Compile the text tower + scan program NOW: the first live request
+        # otherwise pays the full jit (tens of seconds cold) inside its
+        # request timeout.
+        engine.search_texts(["warmup"], 1)
+        log("Warmup query compiled the serving programs.")
+    except Exception as e:  # noqa: BLE001 - an empty DB still serves /embed
+        log(f"Warmup query skipped: {e}")
     SearchServer(engine, args.host, args.port).serve_forever()
