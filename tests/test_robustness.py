@@ -116,3 +116,33 @@ def test_batch_embed_failed_slots_map_to_none(tmp_path):
     assert out[1] is None
     assert out[0] is not None and out[2] is not None
     np.testing.assert_allclose(out[0], out[2])
+
+
+def test_dim_mismatch_warns_at_init(tmp_path, monkeypatch, capsys):
+    """Opening a DB scanned at one dim with a different-dim model must warn
+    loudly at init instead of failing silently at query time."""
+    import sqlite3
+
+    import numpy as np
+
+    from tpuclip.engine import ImageDatabase
+    from tpuclip.index.store import MetadataStore, connect
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.delenv("TPUCLIP_QUIET", raising=False)
+    store = MetadataStore(str(tmp_path / "d.db"), embedding_dim=128)
+    store.init_schema(verbose=False)
+    conn = connect(store.db_path)
+    store.commit_with_retry(
+        conn.cursor(), conn,
+        [("/a.jpg", 0.0, "h", np.ones(128, np.float32))],
+        save_full_embeddings=True,
+    )
+    conn.close()
+    ImageDatabase(
+        db_path=store.db_path,
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",  # 64-d
+    )
+    out = capsys.readouterr().out
+    assert "built with 128-d embeddings" in out

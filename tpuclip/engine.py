@@ -93,6 +93,18 @@ class ImageDatabase:
         log("\nInitializing database...")
         self.store = MetadataStore(self.db_path, embedding_dim=self.embedding_dim)
         self.store.init_schema()
+        # meta's embedding_dim is INSERT OR IGNORE — the first writer's dim
+        # is the database's truth. A different model against an existing DB
+        # would otherwise fail silently at query time (shape error contained
+        # to an empty result).
+        stored_dim = self.store.stored_embedding_dim()
+        if stored_dim and stored_dim != self.embedding_dim:
+            log(
+                f"  [WARNING] Database was built with {stored_dim}-d embeddings "
+                f"but model '{model_name}' produces {self.embedding_dim}-d — "
+                "searches will return no results. Use the model the database "
+                "was scanned with (or a new --db)."
+            )
         self.index = DeviceIndex(self.store, device=self.device)
         self.thumbnailer = Thumbnailer(self.thumbnails_dir)
         banner("Initialization complete!")
