@@ -890,10 +890,14 @@ def _cascade_recall_on_vectors(x, k=20, depths=(320, 640, 1280), n_queries=16):
     q = x[qidx] + 0.05 * rng.standard_normal((len(qidx), x.shape[1]), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     exact = q @ x.T
-    xbits = x >= 0
-    qbits = q >= 0
-    # matches = popcount(qbits AND rowbits) — the reference's binary score
-    matches = (qbits[:, None, :] & xbits[None, :, :]).sum(-1)
+    # matches = popcount(qbits AND rowbits) — the reference's binary score.
+    # Packed + bitwise_count keeps this O(N*D/8): the naive (Q, N, D) bool
+    # tensor is ~18 GB at N=1M, the exact host-alloc mistake bench avoids.
+    xpacked = np.packbits(x >= 0, axis=1)
+    qpacked = np.packbits(q >= 0, axis=1)
+    matches = np.stack([
+        np.bitwise_count(xpacked & qp).sum(1, dtype=np.int32) for qp in qpacked
+    ])  # per-query: one transient (N, D/8) array instead of (Q, N, D/8)
     out = {}
     for depth in depths:
         dd = min(depth, n)

@@ -133,15 +133,24 @@ class DeviceIndex:
         # index is kept locally so a rebuild can reuse its centroids.
         prev_ivf, self._ivf = self._ivf, None
         prev_sharded, self._ivf_sharded = self._ivf_sharded, None
+        # Load binary rows ONCE for both the cascade gate and the binary
+        # matrix build further down (a second load_binary re-reads the whole
+        # ids sidecar — ~80 MB at 10M rows).
+        bin_ids, packed = self.cache.load_binary()
         # Cascade gate: single device, full rows on host, and the binary
         # rows EXACTLY aligned with the full rows (both caches are
         # image_id-ordered, so set equality means index equality). When it
         # holds, skip the flat device matrix entirely — that's the mode's
         # whole point.
         self._cascade = False
-        if self.search_mode == "cascade" and self.mesh is None and len(ids):
-            bin_preview, _ = self.cache.load_binary()
-            if len(bin_preview) == len(ids) and np.array_equal(bin_preview, ids):
+        if self.search_mode == "cascade" and len(ids):
+            if self.mesh is not None:
+                log(
+                    "  [WARNING] cascade search mode is single-device; a mesh "
+                    "is configured, so the sharded exact scan serves instead "
+                    "(expect the full int8+rerank HBM footprint)"
+                )
+            elif len(bin_ids) == len(ids) and np.array_equal(bin_ids, ids):
                 self._cascade = True
             else:
                 log(
@@ -298,8 +307,7 @@ class DeviceIndex:
             self._scales = None
             self._n_valid = None
 
-        bin_ids, packed = self.cache.load_binary()
-        self._bin_ids = bin_ids
+        self._bin_ids = bin_ids  # loaded once above, shared with the gate
         if len(bin_ids):
             # Packed words stay packed on device: 1 bit/dim in HBM; scoring
             # is AND+popcount (tpuclip.ops.hamming.binary_topk_packed).
@@ -805,13 +813,11 @@ class DeviceIndex:
         """Layout-dispatched packed-binary top-k for (Q, W) packed queries;
         returns (matches, rows) device arrays (shared by the binary search
         and the cascade prefilter)."""
-        import jax.numpy as _jnp
-
         if self.mesh is not None:
             from tpuclip.parallel.sharded_search import sharded_binary_topk
 
             return sharded_binary_topk(
-                _jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
+                jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
                 self._bin_n_valid, mask=mask,
             )
         if self._bin_layout == "words_t":
@@ -824,15 +830,30 @@ class DeviceIndex:
             padded_n = self._binary_padded_n()
             if mask is None and k <= 128 and padded_n >= BINARY_TILE_N and padded_n % BINARY_TILE_N == 0:
                 return binary_topk_packed_pallas(
-                    _jnp.asarray(qwords), self._bin_matrix, k, n_valid=self._bin_n_valid
+                    jnp.asarray(qwords), self._bin_matrix, k, n_valid=self._bin_n_valid
                 )
             return binary_topk_packed_t(
-                _jnp.asarray(qwords), self._bin_matrix, k,
+                jnp.asarray(qwords), self._bin_matrix, k,
                 mask=mask, n_valid=self._bin_n_valid,
             )
         from tpuclip.ops.hamming import binary_topk_packed
 
-        return binary_topk_packed(_jnp.asarray(qwords), self._bin_matrix, k, mask=mask)
+        return binary_topk_packed(jnp.asarray(qwords), self._bin_matrix, k, mask=mask)
+
+    def _binary_query_and_mask(self, queries_2d: np.ndarray, filter_folders):
+        """Shared preamble for the binary search and the cascade prefilter:
+        sign-pack the queries and build the (optional) folder mask over the
+        binary layout's padded width."""
+        from tpuclip.ops.hamming import pack_bits_to_words
+
+        qn = np.asarray(queries_2d, np.float32)
+        qwords = pack_bits_to_words((qn >= 0).astype(np.uint8))
+        mask = (
+            self._folder_mask(filter_folders, self._bin_ids, self._binary_padded_n())
+            if filter_folders
+            else None
+        )
+        return qn, qwords, mask
 
     # --------------------------------------------------------------- cascade
 
@@ -847,7 +868,20 @@ class DeviceIndex:
         import os
 
         env = os.environ.get("TPUCLIP_CASCADE_DEPTH")
-        depth = int(env) if env else max(32 * k, 512)
+        depth = 0
+        if env:
+            # Parse defensively: this runs on the QUERY path, where an
+            # uncaught ValueError from a malformed env would 500 every
+            # request (and "0" would silently degrade recall to nothing).
+            try:
+                depth = int(env)
+            except ValueError:
+                log(
+                    f"  [WARNING] invalid TPUCLIP_CASCADE_DEPTH={env!r}; "
+                    "using the default"
+                )
+        if depth <= 0:
+            depth = max(32 * k, 512)
         return max(k, min(depth, len(self._ids)))
 
     def _search_cascade(self, queries_2d: np.ndarray, k: int, filter_folders):
@@ -856,16 +890,7 @@ class DeviceIndex:
         The binary shortlist ranks by sign-bit matches (data-dependent
         recall, deeper shortlist = higher recall); the rescore orders the
         survivors by true fp32 dot product."""
-        from tpuclip.ops.hamming import pack_bits_to_words
-
-        qn = np.asarray(queries_2d, np.float32)
-        qbits = (qn >= 0).astype(np.uint8)
-        qwords = pack_bits_to_words(qbits)
-        mask = (
-            self._folder_mask(filter_folders, self._bin_ids, self._binary_padded_n())
-            if filter_folders
-            else None
-        )
+        qn, qwords, mask = self._binary_query_and_mask(queries_2d, filter_folders)
         depth = self._cascade_depth(k)
         matches, rows = self._binary_topk_raw(qwords, depth, mask)
         matches = np.asarray(matches).astype(np.float32)
@@ -878,14 +903,8 @@ class DeviceIndex:
         return self._map_batch_results(scores, out_rows, len(qn))
 
     def _search_binary(self, query, k, filter_folders):
-        from tpuclip.ops.hamming import pack_bits_to_words
-
-        qbits = (np.asarray(query, np.float32).reshape(1, -1) >= 0).astype(np.uint8)
-        qwords = pack_bits_to_words(qbits)
-        mask = (
-            self._folder_mask(filter_folders, self._bin_ids, self._binary_padded_n())
-            if filter_folders
-            else None
+        _, qwords, mask = self._binary_query_and_mask(
+            np.asarray(query, np.float32).reshape(1, -1), filter_folders
         )
         matches, rows = self._binary_topk_raw(qwords, k, mask)
         matches = np.asarray(matches[0])

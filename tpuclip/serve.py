@@ -588,8 +588,9 @@ def run_serve(args, paths) -> None:
     try:
         # Compile the text tower + scan program NOW: the first live request
         # otherwise pays the full jit (tens of seconds cold) inside its
-        # request timeout.
-        engine.search_texts(["warmup"], 1)
+        # request timeout. k is a STATIC jit argument — warm with the
+        # endpoint's default k so the common case actually hits the cache.
+        engine.search_texts(["warmup"], 10)
         log("Warmup query compiled the serving programs.")
     except Exception as e:  # noqa: BLE001 - an empty DB still serves /embed
         log(f"Warmup query skipped: {e}")
