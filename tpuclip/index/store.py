@@ -370,6 +370,23 @@ class MetadataStore:
         finally:
             conn.close()
 
+    def lookup_image(
+        self, file_path: str
+    ) -> Optional[Tuple[int, float, Optional[str]]]:
+        """(id, last_modified, file_hash) for an exact ``file_path`` match,
+        or None. The serving UI's /image endpoint uses this as its access
+        gate: only rows in this table are ever read from disk."""
+        conn = connect(self.db_path)
+        try:
+            row = conn.execute(
+                "SELECT id, last_modified, file_hash FROM images "
+                "WHERE file_path = ?",
+                (file_path,),
+            ).fetchone()
+            return None if row is None else (row[0], row[1], row[2])
+        finally:
+            conn.close()
+
     def fetch_paths_for_ids(self, image_ids: Sequence[int]) -> Dict[int, str]:
         if not len(image_ids):
             return {}

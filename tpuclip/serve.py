@@ -4,6 +4,10 @@ The reference's only resident-serving mode is the interactive terminal
 session (image_database.py:2026-2299). For production deployment this module
 wraps the same engine in a small threaded HTTP server (stdlib only):
 
+  GET  /                  → browser search UI (self-contained page driving
+                            the JSON endpoints; serve_ui.py)
+  GET  /image?path=&size= → image bytes for a row of the images table (exact
+                            DB-path match only; thumbnails for PDF/TIF/BMP)
   GET  /health            → {"status": "ok", ...}
   GET  /stats             → index sizes, model, backend
   POST /search            → body {"query": str, "k": int?, "query2": str?,
@@ -257,9 +261,43 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             self.end_headers()
             self.wfile.write(body)
 
+        def _raw(self, code: int, ctype: str, body: bytes, headers=None) -> None:
+            self.send_response(code)
+            if ctype:
+                self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802
             if self.path == "/health":
                 self._json(200, {"status": "ok", "model": engine.model_name})
+                return
+            if self.path in ("/", "/ui"):
+                from tpuclip.serve_ui import UI_HTML
+
+                self._raw(200, "text/html; charset=utf-8", UI_HTML.encode())
+                return
+            if self.path.startswith("/image?"):
+                from urllib.parse import parse_qs, urlparse
+
+                from tpuclip.serve_ui import serve_image
+
+                qs = parse_qs(urlparse(self.path).query)
+                size = qs.get("size", [None])[0]
+                try:
+                    size = int(size) if size is not None else None
+                except ValueError:
+                    size = None
+                code, ctype, body, headers = serve_image(
+                    engine,
+                    qs.get("path", [""])[0],
+                    size=size,
+                    if_none_match=self.headers.get("If-None-Match"),
+                )
+                self._raw(code, ctype, body, headers)
                 return
             if self.path == "/stats":
                 full, binary = engine.store.count_embeddings()
@@ -552,7 +590,10 @@ class SearchServer:
         self.host, self.port = self.httpd.server_address[:2]
 
     def serve_forever(self) -> None:
-        log(f"Serving on http://{self.host}:{self.port} (POST /search, GET /health, /stats)")
+        log(
+            f"Serving on http://{self.host}:{self.port} "
+            "(browser UI at /, POST /search, GET /health, /stats)"
+        )
         try:
             self.httpd.serve_forever()
         except KeyboardInterrupt:
