@@ -280,6 +280,15 @@ def build_parser() -> argparse.ArgumentParser:
     gc_parser.add_argument("--db", action="append", default=None, help="Database path to keep referenced (repeatable; default: every .db in the databases dir)")
     gc_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
 
+    prune_parser = subparsers.add_parser(
+        "prune",
+        help="Remove rows whose files no longer exist on disk (no model load)",
+    )
+    prune_parser.add_argument("--db", default=None, help="Database path")
+    prune_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    prune_parser.add_argument("--folder", action="append", default=None, help="Only check paths under this directory (repeatable)")
+    prune_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
+
     migrate_parser = subparsers.add_parser(
         "migrate",
         help="Migrate a reference-built DB (sqlite-vec vec0) to tpuclip's "
@@ -678,6 +687,14 @@ def main(argv: Optional[List[str]] = None) -> None:
         _run_info(args, paths)
     elif args.mode == "gc":
         _run_gc(args, paths)
+    elif args.mode == "prune":
+        from tpuclip.pipelines.prune import prune_missing
+
+        db_path = _require_db_path(args, paths)
+        if not os.path.exists(db_path):
+            log(f"[X] Error: Database file does not exist: {db_path}")
+            sys.exit(2)
+        prune_missing(db_path, folders=args.folder, dry_run=args.dry_run)
     elif args.mode == "migrate":
         import sqlite3
 
