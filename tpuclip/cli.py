@@ -190,6 +190,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     scan_parser.add_argument("--decode-procs", type=int, default=None, help="Decode in N worker processes instead of threads (for many-core hosts where Python overhead caps the thread pool)")
     scan_parser.add_argument("--reuse-embeddings", action="store_true", help="Skip decode+embed for byte-identical files already indexed (same sha256): moved/copied libraries rescan at hash speed. Thread-pool decode only; needs full embeddings in the DB")
+    scan_parser.add_argument(
+        "--watch", nargs="?", const=30.0, type=float, default=None,
+        metavar="SECONDS",
+        help="After the scan, keep watching the tree: rescan every SECONDS "
+        "(default 30) and index new/changed files incrementally. A serve "
+        "process on the same DB picks the rows up on its next query "
+        "(WAL read-during-write). Ctrl-C stops.",
+    )
     scan_parser.add_argument("--num-shards", type=int, default=1, help="Multi-worker indexing: total workers")
     scan_parser.add_argument("--shard-index", type=int, default=0, help="Multi-worker indexing: this worker's shard")
 
@@ -366,19 +374,55 @@ def _run_scan(args, paths) -> None:
     log("Initializing database connection and loading model...")
     db = _make_engine(db_path, args)
     log("\nStarting directory scan...\n")
-    db.scan_directory(
-        args.directory,
-        batch_size=args.batch_size,
-        inference_batch_size=args.inference_batch_size,
-        profile=args.profile,
-        limit=args.limit,
-        exclude_paths=args.exclude if args.exclude else None,
-        save_full_embeddings=not args.binary_only,
-        num_shards=args.num_shards,
-        shard_index=args.shard_index,
-        decode_procs=args.decode_procs,
-        reuse_embeddings=args.reuse_embeddings,
-    )
+
+    def one_pass(verbose: bool = True):
+        return db.scan_directory(
+            args.directory,
+            batch_size=args.batch_size,
+            inference_batch_size=args.inference_batch_size,
+            profile=args.profile and verbose,
+            limit=args.limit,
+            exclude_paths=args.exclude if args.exclude else None,
+            save_full_embeddings=not args.binary_only,
+            num_shards=args.num_shards,
+            shard_index=args.shard_index,
+            decode_procs=args.decode_procs,
+            reuse_embeddings=args.reuse_embeddings,
+            verbose=verbose,
+        )
+
+    state = one_pass()
+    if getattr(args, "watch", None) is None or state is None:
+        return
+    if state.get("interrupted"):
+        return
+
+    import time as _time
+
+    interval = max(1.0, float(args.watch))
+    log(f"\nWatching {args.directory}: rescanning every {interval:g}s (Ctrl-C to stop)")
+    # Test hook: bound the loop so the watch path is drivable in CI.
+    max_loops = int(os.environ.get("TPUCLIP_WATCH_MAX_LOOPS", "0") or 0)
+    loops = 0
+    while True:
+        try:
+            _time.sleep(interval)
+        except KeyboardInterrupt:
+            log("\nWatch stopped.")
+            return
+        state = one_pass(verbose=False)
+        if state is None or state.get("interrupted"):
+            log("\nWatch stopped.")
+            return
+        if state["processed"] or state["reused"] or state["errors"]:
+            log(
+                f"  [watch {_time.strftime('%H:%M:%S')}] indexed "
+                f"{state['processed'] + state['reused']:,} new images"
+                + (f", {state['errors']} errors" if state["errors"] else "")
+            )
+        loops += 1
+        if max_loops and loops >= max_loops:
+            return
 
 
 def _print_results(results) -> None:

@@ -331,10 +331,10 @@ class ImageDatabase:
 
     # ------------------------------------------------------------- pipelines
 
-    def scan_directory(self, root_dir: str, **kwargs) -> None:
+    def scan_directory(self, root_dir: str, **kwargs):
         from tpuclip.pipelines.scan import scan_directory
 
-        scan_directory(self, root_dir, **kwargs)
+        return scan_directory(self, root_dir, **kwargs)
 
     def search(self, query: str, **kwargs):
         from tpuclip.pipelines.search import search

@@ -93,6 +93,7 @@ def census(
     exclude_paths: Optional[Sequence[str]] = None,
     extensions: Optional[set] = None,
     report_interval: int = 50000,
+    verbose: bool = True,
 ) -> Tuple[List[Path], int]:
     """Walk ``root_dir`` and return (image files, excluded dir count).
 
@@ -130,7 +131,8 @@ def census(
             if os.path.splitext(file)[1].lower() in extensions:
                 image_files_set.add(os.path.abspath(os.path.join(root, file)))
                 if len(image_files_set) - last_report >= report_interval:
-                    log(f"  Found {len(image_files_set):,} unique image files so far...")
+                    if verbose:
+                        log(f"  Found {len(image_files_set):,} unique image files so far...")
                     last_report = len(image_files_set)
 
     return [Path(p) for p in image_files_set], excluded_count

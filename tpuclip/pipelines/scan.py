@@ -53,59 +53,74 @@ def scan_directory(
     shard_index: int = 0,
     decode_procs: Optional[int] = None,
     reuse_embeddings: bool = False,
-) -> None:
+    verbose: bool = True,
+) -> Optional[dict]:
+    """Returns the scan stats dict (processed/skipped/errors/reused/...,
+    plus ``interrupted``) so callers like ``--watch`` can react; None when
+    the root directory does not exist. ``verbose=False`` silences banners,
+    step logs, and the progress bar (error containment still prints) —
+    the repeated-rescan mode's quiet passes."""
     try:
         from tqdm import tqdm
     except ImportError:  # pragma: no cover
         tqdm = None
 
+    def vlog(*args, **kwargs):
+        if verbose:
+            log(*args, **kwargs)
+
     inference_batch_size = inference_batch_size or engine.inference_batch_size
     engine.inference_batch_size = inference_batch_size
 
-    banner("Starting Directory Scan")
-    log(f"Root directory: {root_dir}")
-    log(f"Database: {engine.db_path}")
-    log(f"Batch size (DB commits): {batch_size}")
-    log(f"Inference batch size: {inference_batch_size}")
+    if verbose:
+        banner("Starting Directory Scan")
+    vlog(f"Root directory: {root_dir}")
+    vlog(f"Database: {engine.db_path}")
+    vlog(f"Batch size (DB commits): {batch_size}")
+    vlog(f"Inference batch size: {inference_batch_size}")
     if save_full_embeddings:
-        log("Embedding mode: Full embeddings + Binary embeddings")
+        vlog("Embedding mode: Full embeddings + Binary embeddings")
     else:
-        log("Embedding mode: Binary embeddings only (space-efficient mode)")
+        vlog("Embedding mode: Binary embeddings only (space-efficient mode)")
     if limit:
-        log(f"Limit: {limit} images (testing mode)")
-    log("=" * 60 + "\n")
+        vlog(f"Limit: {limit} images (testing mode)")
+    vlog("=" * 60 + "\n")
 
     root_path = Path(root_dir)
     if not root_path.exists():
         log(f"[X] Error: Directory {root_dir} does not exist")
-        return
+        return None
 
     if exclude_paths:
-        log(f"Excluding {len(exclude_paths)} directory path(s):")
+        vlog(f"Excluding {len(exclude_paths)} directory path(s):")
         for p in exclude_paths:
-            log(f"  - {p}")
+            vlog(f"  - {p}")
 
-    log("\n[Step 1/4] Counting image files...")
-    image_files, excluded_count = census(root_dir, exclude_paths)
+    vlog("\n[Step 1/4] Counting image files...")
+    image_files, excluded_count = census(root_dir, exclude_paths, verbose=verbose)
     if excluded_count:
-        log(f"  Excluded {excluded_count:,} directories")
+        vlog(f"  Excluded {excluded_count:,} directories")
     total_found = len(image_files)
-    log(f"  Found {total_found:,} total image files")
+    vlog(f"  Found {total_found:,} total image files")
 
     folders = group_by_folder(image_files)
-    log(f"  Grouped into {len(folders):,} directories")
+    vlog(f"  Grouped into {len(folders):,} directories")
     if num_shards > 1:
         # Multi-worker DP indexing: each worker owns a deterministic subset
         # of folders (writing to its own DB; merge with `tpuclip merge`).
         folders = [
             (d, fs) for d, fs in folders if shard_of_folder(str(d), num_shards) == shard_index
         ]
-        log(f"  Shard {shard_index}/{num_shards}: {len(folders):,} folders assigned")
+        vlog(f"  Shard {shard_index}/{num_shards}: {len(folders):,} folders assigned")
     if not folders:
-        log("\n[X] No image files found!")
-        return
+        vlog("\n[X] No image files found!")
+        return {
+            "processed": 0, "skipped": 0, "errors": 0, "sampled_folders": 0,
+            "files_removed": 0, "queued": 0, "folders_done": 0, "reused": 0,
+            "interrupted": False,
+        }
 
-    log("\n[Step 2/4] Connecting to database...")
+    vlog("\n[Step 2/4] Connecting to database...")
     conn = connect(engine.db_path)
     cursor = conn.cursor()
 
@@ -119,15 +134,20 @@ def scan_directory(
         "queued": 0,
         "folders_done": 0,
         "reused": 0,
+        "interrupted": False,
     }
     # "errors" is incremented from both the prefetch producer thread
     # (pending_files) and the main thread (drain); dict += is not atomic.
     errors_lock = threading.Lock()
     db_batch: List[Tuple[str, float, str, np.ndarray]] = []
 
-    log("\n[Step 3/4] Processing images...")
-    log(f"  Processing {len(folders):,} folders...")
-    pbar = tqdm(total=total_found, desc="Processing images", unit="img", unit_scale=True) if tqdm else None
+    vlog("\n[Step 3/4] Processing images...")
+    vlog(f"  Processing {len(folders):,} folders...")
+    pbar = (
+        tqdm(total=total_found, desc="Processing images", unit="img", unit_scale=True)
+        if tqdm and verbose
+        else None
+    )
 
     def pending_files() -> Iterator[Tuple[str, float]]:
         """Yield (path, mtime) for files that still need embedding, folder by
@@ -368,17 +388,18 @@ def scan_directory(
             commit(db_batch)
             db_batch = []
 
-        log(f"\n  Processed {state['folders_done']:,} / {len(folders):,} folders")
+        vlog(f"\n  Processed {state['folders_done']:,} / {len(folders):,} folders")
         if state["sampled_folders"]:
-            log(
+            vlog(
                 f"  Sequence sampling: {state['sampled_folders']} folders sampled, "
                 f"{state['files_removed']:,} files removed (kept every 100th frame)"
             )
         if limit is not None and state["queued"] >= limit:
-            log(f"  Limited to {limit} images for testing - stopping")
+            vlog(f"  Limited to {limit} images for testing - stopping")
 
     except KeyboardInterrupt:
         interrupted = True
+        state["interrupted"] = True
         log("\n\nInterrupted! Committing current batch...")
         if pending_embed is not None:
             try:
@@ -406,16 +427,18 @@ def scan_directory(
         conn.close()
 
     if not interrupted:
-        log("\n[Step 4/4] Finalizing...")
-        banner("Scan Complete!")
-        log(f"  Processed: {state['processed']:,} images")
+        vlog("\n[Step 4/4] Finalizing...")
+        if verbose:
+            banner("Scan Complete!")
+        vlog(f"  Processed: {state['processed']:,} images")
         if state["reused"]:
-            log(
+            vlog(
                 f"  Reused: {state['reused']:,} embeddings "
                 "(byte-identical files, decode+embed skipped)"
             )
-        log(f"  Skipped: {state['skipped']:,} images (already in database)")
-        log(f"  Errors: {state['errors']:,}" if state["errors"] else "  Errors: 0")
+        vlog(f"  Skipped: {state['skipped']:,} images (already in database)")
+        vlog(f"  Errors: {state['errors']:,}" if state["errors"] else "  Errors: 0")
         if profile:
             timers.report(processed=state["processed"])
-        log("=" * 60 + "\n")
+        vlog("=" * 60 + "\n")
+    return state
