@@ -66,6 +66,7 @@ def test_ui_page_served(server):
         text = body.decode()
         assert "/search" in text and "/image?path=" in text
         assert "<form" in text
+        assert "more like this" in text  # per-result image-similarity action
 
 
 def test_image_raw_bytes(server, engine):

@@ -153,6 +153,8 @@ UI_HTML = """<!DOCTYPE html>
                      display: flex; align-items: center; justify-content: center; }
   .image-container img { max-width: 100%; max-height: 280px; object-fit: contain; }
   .score { font-weight: 600; color: #2a6fd0; }
+  .score a.more { font-weight: 400; font-size: 12px; color: #3c9a4e;
+                  margin-left: 8px; }
   .file-path { font-size: 11px; color: #666; word-break: break-all; margin-top: 4px; }
   footer { margin-top: 28px; font-size: 12px; color: #888; }
 </style>
@@ -202,9 +204,17 @@ function render(data) {
       `<a href="${link}" target="_blank"><div class="image-container">` +
       `<img loading="lazy" src="${link}&size=400"` +
       ` onerror="this.style.display='none'"></div></a>` +
-      `<div class="score">${r.similarity.toFixed(4)}</div>` +
+      `<div class="score">${r.similarity.toFixed(4)}` +
+      ` <a class="more" href="#">more like this</a></div>` +
       `<div class="file-path"></div>`;
     card.querySelector(".file-path").textContent = r.path;
+    card.querySelector(".more").addEventListener("click", ev => {
+      ev.preventDefault();
+      // image:<path> rides the REPL mini-language; the path is a DB row's,
+      // so the server can always read it.
+      search({ query: `image:${r.path}`, ...body() }, "by result image");
+      window.scrollTo(0, 0);
+    });
     g.appendChild(card);
   }
 }
