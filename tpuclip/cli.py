@@ -288,6 +288,15 @@ def build_parser() -> argparse.ArgumentParser:
     gc_parser.add_argument("--db", action="append", default=None, help="Database path to keep referenced (repeatable; default: every .db in the databases dir)")
     gc_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
 
+    check_parser = subparsers.add_parser(
+        "check",
+        help="Verify database integrity: orphans, blob shapes, bad vectors "
+        "(no model load); exits 1 on problems",
+    )
+    check_parser.add_argument("--db", default=None, help="Database path")
+    check_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
+    check_parser.add_argument("--fix", action="store_true", help="Delete rows a rescan can rebuild (orphaned/undecodable embeddings); never touches the images table")
+
     prune_parser = subparsers.add_parser(
         "prune",
         help="Remove rows whose files no longer exist on disk (no model load)",
@@ -731,6 +740,25 @@ def main(argv: Optional[List[str]] = None) -> None:
         _run_info(args, paths)
     elif args.mode == "gc":
         _run_gc(args, paths)
+    elif args.mode == "check":
+        from tpuclip.pipelines.check import check_database
+
+        db_path = _require_db_path(args, paths)
+        if not os.path.exists(db_path):
+            log(f"[X] Error: Database file does not exist: {db_path}")
+            sys.exit(2)
+        result = check_database(db_path, fix=args.fix)
+        if not result.ok:
+            if args.fix and result.fixed:
+                # Deletions applied: the exit code reflects the DB's state
+                # NOW, so `check --fix && scan` scripts work.
+                if check_database(db_path, verbose=False).ok:
+                    log("Database OK after fix.")
+                else:
+                    log("[X] Problems remain after fix.")
+                    sys.exit(1)
+            else:
+                sys.exit(1)
     elif args.mode == "prune":
         from tpuclip.pipelines.prune import prune_missing
 
