@@ -109,17 +109,19 @@ def _credit_stall():
 # docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
 # the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
 _LAST_HARDWARE_RUN = {
-    "recorded": "2026-08-17 (round 3, before the dev-tunnel relay died)",
+    "recorded": "2026-08-18 (round 3, tunnel restored; full 154 s run, rc=0)",
     "source": "docs/benchmarks.md round-3 on-hardware table",
     "headline_int8_fused_exact_p50_ms": 4.26,
-    "bf16_scan_p50_ms": 4.33,
-    "binary_p50_ms": 2.65,
-    "int8_scan_only_p50_ms": 2.78,
-    "batch16_qps": 2191,
-    "batch64_qps": 3446,
-    "text_query_fused_ms": 5.86,
-    "indexing_images_per_min": 38600,
-    "end_to_end_images_per_min": 6300,
+    "bf16_scan_p50_ms": 4.19,
+    "binary_p50_ms": 2.44,
+    "int8_scan_only_p50_ms": 2.53,
+    "cascade_p50_ms": 2.58,
+    "batch16_qps": 2171,
+    "batch64_qps": 3607,
+    "text_query_fused_ms": 5.92,
+    "indexing_images_per_min": 39039,
+    "end_to_end_images_per_min": 5404,
+    "naflex_images_per_sec": 609.9,
 }
 
 
