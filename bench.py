@@ -109,19 +109,21 @@ def _credit_stall():
 # docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
 # the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
 _LAST_HARDWARE_RUN = {
-    "recorded": "2026-08-18 (round 3, tunnel restored; full 154 s run, rc=0)",
+    "recorded": "2026-08-18 (round 3, scores-kernel shortlist redesign)",
     "source": "docs/benchmarks.md round-3 on-hardware table",
-    "headline_int8_fused_exact_p50_ms": 4.26,
-    "bf16_scan_p50_ms": 4.19,
+    "headline_verified_scores_p50_ms": 2.65,
+    "shortlist_ok_rate": 0.906,
+    "int8_fused_extract_p50_ms": 4.20,
+    "bf16_scan_p50_ms": 4.07,
     "binary_p50_ms": 2.44,
-    "int8_scan_only_p50_ms": 2.53,
-    "cascade_p50_ms": 2.58,
-    "batch16_qps": 2171,
-    "batch64_qps": 3607,
-    "text_query_fused_ms": 5.92,
-    "indexing_images_per_min": 39039,
-    "end_to_end_images_per_min": 5404,
-    "naflex_images_per_sec": 609.9,
+    "int8_scan_only_p50_ms": 2.50,
+    "cascade_p50_ms": 2.55,
+    "batch16_qps": 2328,
+    "batch64_qps": 3545,
+    "text_query_fused_ms": 5.85,
+    "indexing_images_per_min": 39367,
+    "end_to_end_images_per_min": 7326,
+    "naflex_images_per_sec": 610.7,
 }
 
 
@@ -349,33 +351,56 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
     )
 
 
-def _fused_step(jax, k, use_pallas):
+def _fused_step(jax, k, use_pallas, method=None):
     import jax.numpy as jnp
 
     from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
 
     def step(carry, q, mq, scales, rows, n_valid):
         q = q + carry * 0.0
-        s, i = topk_int8_rerank_fused(
+        out = topk_int8_rerank_fused(
             q, mq, scales, rows, k, n_valid=n_valid, use_pallas=use_pallas,
+            shortlist_method=method,
         )
-        return jnp.max(s), (s, i)
+        return jnp.max(out[0]), out
 
     return step
 
 
-def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32):
-    """Fused int8 scan + on-device exact rescore (production int8 path)."""
+def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32,
+                                   method=None, ok_rate_out=None):
+    """Fused int8 scan + on-device exact rescore (production int8 path).
+
+    ``method=None`` measures the in-kernel extract program (r3 continuity
+    basis); ``"verified"`` measures the scores-kernel + verified-approx
+    program that single TPU queries serve by default since the r3
+    shortlist redesign (the ~9%-of-queries host fallback re-runs the
+    extract program — tail, not p50). ``ok_rate_out`` (a list) receives
+    the measured proof-pass rate over ``chain`` random queries."""
     import jax.numpy as jnp
 
     p = _device_prep(jax, n, d)
     rng = np.random.default_rng(1)
     queries = jnp.asarray(rng.standard_normal((chain, 1, d), dtype=np.float32))
-    step = _fused_step(jax, k, jax.default_backend() == "tpu")
-    return _chained_p50(
+    use_pallas = jax.default_backend() == "tpu"
+    step = _fused_step(jax, k, use_pallas, method=method)
+    p50 = _chained_p50(
         jax, step, queries, chain, jnp.zeros((), jnp.float32),
         consts=(p["mq"], p["scales"], p["rows"], p["n_valid"]),
     )
+    if method == "verified" and ok_rate_out is not None:
+        from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+
+        oks = 0
+        for i in range(chain):
+            _, _, ok = topk_int8_rerank_fused(
+                queries[i], p["mq"], p["scales"], p["rows"], k,
+                n_valid=p["n_valid"], use_pallas=use_pallas,
+                shortlist_method="verified",
+            )
+            oks += int(bool(np.asarray(ok)))
+        ok_rate_out.append(oks / chain)
+    return p50
 
 
 def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
@@ -502,10 +527,14 @@ def bench_text_query_fused(jax, n, d=1152, k=20, chain=32):
     mask = jnp.ones((1, 64), jnp.int32)
 
     def step(carry, ids, params, mq, scales, rows, n_valid):
-        s, i = text_topk_fused(
+        # shortlist_method mirrors the serving default for a single query:
+        # the verified scores program (search.py:search_texts_fused).
+        out = text_topk_fused(
             params, ids + (carry * 0), mask, mq, scales, rows, cfg, k,
             n_valid=n_valid, compute_dtype=p["dtype"], use_pallas=use_pallas,
+            shortlist_method="verified" if use_pallas else None,
         )
+        s, i = out[0], out[1]
         return jnp.max(i), (s, i)
 
     return _chained_p50(
@@ -1045,17 +1074,26 @@ def main():
             # is fast). Absorb that stall with a 2-tile version of the fused
             # search program (same structure as the headline, ~5 s compile
             # cold, <2 s cached) so the real benches see a warmed session.
-            p50 = bench_query_latency_int8_fused(jax, 2 * 6144, chain=8)
+            p50 = bench_query_latency_int8_fused(
+                jax, 2 * 6144, chain=8, method="verified"
+            )
             RESULT["session_warm_tiny_p50_ms"] = round(p50, 3)
 
         def _headline():
-            # Production default path: int8 scan + on-device exact rescore
-            # (what DeviceIndex serves on TPU; exact results).
+            # Production default path (r3 shortlist redesign): scores-kernel
+            # int8 scan + verified-approx shortlist + on-device exact rescore
+            # — what DeviceIndex serves single TPU queries with; the ~9%
+            # proof-miss host fallback re-runs the extract program (tail,
+            # not p50, and measured separately below for continuity).
             # The dev TPU tunnel is intermittently slow to come up — retry once.
             last_err = None
+            ok_rate = []
             for _attempt in range(2):
                 try:
-                    p50 = bench_query_latency_int8_fused(jax, n, chain=chain)
+                    p50 = bench_query_latency_int8_fused(
+                        jax, n, chain=chain, method="verified",
+                        ok_rate_out=ok_rate,
+                    )
                     break
                 except Exception as e:  # noqa: BLE001
                     last_err = e
@@ -1064,10 +1102,19 @@ def main():
                 raise last_err  # type: ignore[misc]
             RESULT["value"] = round(p50, 3)
             RESULT["vs_baseline"] = round(10.0 / p50, 2)  # >1.0 beats the 10ms target
+            if ok_rate:
+                RESULT["shortlist_ok_rate"] = round(ok_rate[0], 3)
             RESULT["headline_path"] = (
-                "int8 fused scan + exact rescore (default TPU search path; "
-                "results bit-equal to the bf16 full scan)"
+                "int8 scores-kernel scan + verified shortlist + exact rescore "
+                "(default TPU single-query path; proof-checked results, host "
+                "fallback to the extract kernel on the rare shortfall)"
             )
+
+        def _extract_continuity():
+            # The r3 in-kernel extraction program: batch default + fallback
+            # target + the r3.0 headline basis.
+            p50 = bench_query_latency_int8_fused(jax, n, chain=chain)
+            RESULT["int8_fused_extract_p50_ms"] = round(p50, 3)
 
         def _bf16_scan():
             # r1/r2 headline basis, kept for cross-round continuity.
@@ -1185,6 +1232,7 @@ def main():
         run("session_warm", 0, _session_warm, required=True)
         _credit_stall()
         run("headline", 30, _headline, required=True)
+        run("extract_continuity", 20, _extract_continuity)
         run("indexing", 60, _indexing)
         run("e2e", 150, _e2e)
         run("bf16_scan", 20, _bf16_scan)

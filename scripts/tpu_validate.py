@@ -123,6 +123,56 @@ def main(out_path: str) -> int:
         idx_equal=bool(np.array_equal(np.asarray(if_), np.asarray(iu))),
     )
 
+    # Scores-kernel shortlist methods (r3 redesign): the verified program
+    # (single-query TPU default) and the exact scores program must both
+    # reproduce the extract-kernel output bit-for-bit on hardware; the
+    # proof flag must pass on random data.
+    sv, iv, okv = topk_int8_rerank_fused(
+        jnp.asarray(qf[:1]), jnp.asarray(mq), jnp.asarray(scales), rows_dev, 20,
+        n_valid=jnp.asarray(nv, jnp.int32), use_pallas=backend == "tpu",
+        shortlist_method="verified",
+    )
+    record(
+        "int8_scores_verified_vs_extract",
+        bool(np.asarray(okv))
+        and np.array_equal(np.asarray(iv), np.asarray(if_)[:1])
+        and np.allclose(np.asarray(sv), np.asarray(sf)[:1], rtol=0, atol=0),
+        shortlist_ok=bool(np.asarray(okv)),
+        idx_equal=bool(np.array_equal(np.asarray(iv), np.asarray(if_)[:1])),
+    )
+    se, ie = topk_int8_rerank_fused(
+        jnp.asarray(qf), jnp.asarray(mq), jnp.asarray(scales), rows_dev, 20,
+        n_valid=jnp.asarray(nv, jnp.int32), use_pallas=backend == "tpu",
+        shortlist_method="exact",
+    )
+    record(
+        "int8_scores_exact_vs_extract",
+        np.array_equal(np.asarray(ie), np.asarray(if_))
+        and np.allclose(np.asarray(se), np.asarray(sf), rtol=0, atol=0),
+        idx_equal=bool(np.array_equal(np.asarray(ie), np.asarray(if_))),
+    )
+    # Adversarial exact-tie clustering across the verify depth: 240
+    # byte-identical rows; contract = the 20 LOWEST planted indices.
+    m_tie = m[:8192].copy()
+    tie_idx = np.arange(13, 13 + 240 * 29, 29)
+    m_tie[tie_idx] = m_tie[7]
+    m_tie /= np.linalg.norm(m_tie, axis=1, keepdims=True)
+    mt_t, nv_t = pad_matrix_t(m_tie.T.copy(), tile_n=INT8_TILE_N)
+    mq_t, scales_t = quantize_matrix_t(mt_t)
+    st, it, okt = topk_int8_rerank_fused(
+        jnp.asarray(m_tie[7][None, :], jnp.float32), jnp.asarray(mq_t),
+        jnp.asarray(scales_t), jnp.asarray(m_tie, jnp.bfloat16), 20,
+        n_valid=jnp.asarray(nv_t, jnp.int32), use_pallas=backend == "tpu",
+        shortlist_method="verified",
+    )
+    want_tie = np.sort(np.sort(np.concatenate([[7], tie_idx]))[:20])
+    got_tie = np.sort(np.asarray(it)[0])
+    record(
+        "int8_scores_verified_tie_contract",
+        bool(np.array_equal(got_tie, want_tie)),
+        verify_ok=bool(np.asarray(okt)),
+    )
+
     bits = rng.integers(0, 2, (40_000, 1152), dtype=np.uint8)
     qb = rng.integers(0, 2, (1, 1152), dtype=np.uint8)
     s, i = binary_topk_packed(

@@ -1,0 +1,186 @@
+"""Scores-materializing shortlist methods for the fused int8 path.
+
+Round-3 redesign (ops/topk_int8.py): the scan kernel can emit raw f32
+scores, with the shortlist built OUTSIDE the kernel — "verified"
+(approx_max_k + count-proof + host fallback), "approx" (unverified
+opt-in), "exact" (lax.top_k) — instead of the in-kernel per-tile
+extraction ("extract"). On CPU approx_max_k reduces to exact top_k, so
+every method must agree exactly; the verify/fallback logic is exercised
+directly.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpuclip.ops import topk_int8 as ti
+
+
+def _index(n=1500, d=96, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    rowsd = jnp.asarray(rows, dtype)
+    n_pad = -(-n // 512) * 512
+    mt, sc = ti.derive_int8_matrix_device(rowsd, n_pad)
+    return rows, rowsd, mt, sc, jnp.asarray(n, jnp.int32)
+
+
+METHODS = ["verified", "approx", "exact"]
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_methods_match_extract(method):
+    rows, rowsd, mt, sc, nv = _index()
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 96)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 12, n_valid=nv, use_pallas=False
+    )
+    out = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 12, n_valid=nv, use_pallas=False,
+        shortlist_method=method,
+    )
+    if method == "verified":
+        s1, i1, ok = out
+        assert bool(np.asarray(ok))  # CPU approx_max_k is exact
+    else:
+        s1, i1 = out
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_batch_agreement(method):
+    rows, rowsd, mt, sc, nv = _index(n=2100, d=64, seed=3)
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 7, n_valid=nv, use_pallas=False
+    )
+    out = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 7, n_valid=nv, use_pallas=False,
+        shortlist_method=method,
+    )
+    s1, i1 = out[:2]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+@pytest.mark.parametrize("method", METHODS)
+def test_tie_contract_lowest_indices(method):
+    """Exact duplicates beyond the shortlist depth: (score desc, idx asc)
+    demands the LOWEST row indices; verified/exact must honor it or fall
+    back (on CPU the shortlist is exact, so no fallback fires)."""
+    n, d, dup = 3000, 64, 300
+    rng = np.random.default_rng(5)
+    rows = rng.standard_normal((n, d)).astype(np.float32)
+    winner = rows[11] / np.linalg.norm(rows[11])
+    dup_idx = np.arange(17, 17 + dup * 9, 9)
+    rows[dup_idx] = winner
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    rowsd = jnp.asarray(rows)
+    n_pad = -(-n // 512) * 512
+    mt, sc = ti.derive_int8_matrix_device(rowsd, n_pad)
+    q = jnp.asarray(winner[None, :], jnp.float32)
+    out = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 20, n_valid=jnp.asarray(n, jnp.int32),
+        use_pallas=False, shortlist_method=method,
+    )
+    got = np.sort(np.asarray(out[1])[0])
+    expect = np.sort(np.sort(np.concatenate([[11], dup_idx]))[:20])
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_verified_shortlist_detects_planted_miss():
+    """The count-proof itself: corrupt a shortlist by dropping a top
+    element and the verifier must say not-ok; the intact one must pass."""
+    rng = np.random.default_rng(6)
+    scores = jnp.asarray(rng.standard_normal((1, 4096)).astype(np.float32))
+    s, cand, ok = ti._verified_shortlist(scores, 64, 32, 0.95)
+    assert bool(np.asarray(ok))
+    # Corrupted shortlist: replace the true argmax with a mid-rank element,
+    # then the "no miss above t" count must differ.
+    order = np.argsort(-np.asarray(scores)[0])
+    fake = order[np.r_[1:64, 100]]  # drop the argmax, pad with rank-100
+    s_fake = jnp.asarray(np.asarray(scores)[0][fake][None, :])
+    t = s_fake[:, 31][:, None]
+    above = jnp.sum(scores > t, axis=1)
+    above_s = jnp.sum(s_fake > t, axis=1)
+    assert int(above[0]) != int(above_s[0])
+
+
+def test_auto_wrapper_fallback_path(monkeypatch):
+    """Force the verified program to report a miss: the auto wrapper must
+    re-run the extract path and still return the exact results."""
+    rows, rowsd, mt, sc, nv = _index(n=1700, d=80, seed=7)
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((1, 80)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=False
+    )
+    monkeypatch.setenv("TPUCLIP_SHORTLIST", "auto")
+
+    real_fused = ti.topk_int8_rerank_fused
+    calls = []
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("shortlist_method"))
+        out = real_fused(*args, **kwargs)
+        if kwargs.get("shortlist_method") == "verified":
+            return out[0], out[1], jnp.asarray(False)  # forge a miss
+        return out
+
+    monkeypatch.setattr(ti, "topk_int8_rerank_fused", spy)
+    # use_pallas=True so the policy resolves to "verified" (q=1, "TPU")
+    s1, i1 = ti.topk_int8_rerank_fused_auto(
+        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=True
+    )
+    assert calls == ["verified", "extract"]
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_env_override_forces_method(monkeypatch):
+    monkeypatch.setenv("TPUCLIP_SHORTLIST", "extract")
+    assert ti.resolve_shortlist_method(1, True) == "extract"
+    monkeypatch.setenv("TPUCLIP_SHORTLIST", "approx")
+    assert ti.resolve_shortlist_method(64, True) == "approx"
+    monkeypatch.delenv("TPUCLIP_SHORTLIST")
+    assert ti.resolve_shortlist_method(1, True) == "verified"
+    assert ti.resolve_shortlist_method(2, True) == "extract"
+    assert ti.resolve_shortlist_method(1, False) == "extract"
+
+
+@pytest.mark.parametrize("n,k", [(3, 5), (511, 20), (513, 128)])
+def test_edge_shapes(n, k):
+    """k >= n, sub-tile n, and just-past-pad boundaries."""
+    rows, rowsd, mt, sc, nv = _index(n=n, d=32, seed=n)
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((1, 32)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, k, n_valid=nv, use_pallas=False
+    )
+    s1, i1, ok = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, k, n_valid=nv, use_pallas=False,
+        shortlist_method="verified",
+    )
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+
+
+def test_bf16_rows_verified_matches_extract():
+    rows, rowsd, mt, sc, nv = _index(n=2048, d=64, seed=12, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 15, n_valid=nv, use_pallas=False
+    )
+    s1, i1, ok = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 15, n_valid=nv, use_pallas=False,
+        shortlist_method="verified",
+    )
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0, atol=0)

@@ -557,9 +557,9 @@ class DeviceIndex:
             and self._rows_device is not None
             and k <= 128
         ):
-            from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
+            from tpuclip.ops.topk_int8 import topk_int8_rerank_fused_auto
 
-            scores, rows = topk_int8_rerank_fused(
+            scores, rows = topk_int8_rerank_fused_auto(
                 q, self._matrix, self._scales, self._rows_device, k,
                 n_valid=self._n_valid, use_pallas=jax.default_backend() == "tpu",
             )
@@ -625,14 +625,30 @@ class DeviceIndex:
         per request group — significant both on the dev tunnel (tens of ms
         RPC) and at production serving rates. Caller must have checked
         ``can_fuse_text_search``."""
-        from tpuclip.ops.topk_int8 import text_topk_fused
+        from tpuclip.ops.topk_int8 import resolve_shortlist_method, text_topk_fused
 
-        scores, rows = text_topk_fused(
-            params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
-            self._scales, self._rows_device, config, k, n_valid=self._n_valid,
-            compute_dtype=compute_dtype,
-            use_pallas=jax.default_backend() == "tpu",
-        )
+        on_tpu = jax.default_backend() == "tpu"
+        method = resolve_shortlist_method(int(ids.shape[0]), on_tpu)
+        if method == "verified":
+            scores, rows, ok = text_topk_fused(
+                params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method="verified",
+            )
+            if not bool(np.asarray(ok)):
+                # Rare approx-shortlist shortfall: re-run with the
+                # by-construction extract kernel (host fallback — in-program
+                # lax.cond executes both branches on this backend).
+                method = "extract"
+        if method != "verified":
+            scores, rows = text_topk_fused(
+                params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu,
+                shortlist_method=method if method != "auto" else None,
+            )
         scores = np.asarray(scores)[:q_count]
         rows = np.asarray(rows)[:q_count]
         return self._map_batch_results(scores, rows, q_count)
@@ -696,7 +712,7 @@ class DeviceIndex:
             from tpuclip.ops.topk_int8 import (
                 quantize_query,
                 topk_int8_pallas,
-                topk_int8_rerank_fused,
+                topk_int8_rerank_fused_auto,
                 topk_int8_xla,
             )
 
@@ -707,8 +723,9 @@ class DeviceIndex:
                 scores, rows = ivf_search(self._ivf, self._rows_device, q2d, k)
             elif mask is None and self._rows_device is not None and k <= 128:
                 # ONE device program: int8 scan -> shortlist -> exact rescore
-                # against the resident full-precision rows (fused path).
-                scores, rows = topk_int8_rerank_fused(
+                # against the resident full-precision rows (fused path; on
+                # TPU the verified-approx shortlist with host fallback).
+                scores, rows = topk_int8_rerank_fused_auto(
                     jnp.asarray(q2d), self._matrix, self._scales,
                     self._rows_device, k, n_valid=self._n_valid,
                     use_pallas=jax.default_backend() == "tpu",

@@ -337,6 +337,147 @@ def _int8_candidates(
     return scores, idx
 
 
+def _int8_scores_kernel(
+    q_ref, m_ref, scales_ref, meta_ref, out_ref, *, tile_n: int, out_rows: int
+):
+    """Matmul-only variant: emits the raw scaled f32 scores for the tile —
+    no in-kernel extraction at all. The shortlist is built OUTSIDE the
+    kernel from the materialized (out_rows, N) score matrix (4 MB/query at
+    1M rows — noise next to the 1.15 GB matrix read). Deleting the
+    k_tile extraction rounds is worth ~1.5 ms at 1M rows (k_tile=80 costs
+    80 VPU max-and-mask passes per tile; scripts/probe_fused_overhead.py)."""
+    base = pl.program_id(0) * tile_n
+    acc = jax.lax.dot_general(
+        q_ref[:], m_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc[:out_rows].astype(jnp.float32) * scales_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    out_ref[:] = jnp.where(col < meta_ref[0, 0], scores, _NEG_INF)
+
+
+def int8_scores_pallas(
+    q_int8: jnp.ndarray,
+    matrix_int8_t: jnp.ndarray,
+    scales: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    tile_n: int = INT8_TILE_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(Q, D) int8 queries → (Q, N) f32 scaled scores (padding cols -inf)."""
+    q_count, d = q_int8.shape
+    n = matrix_int8_t.shape[1]
+    tile = min(tile_n, n)
+    assert n % tile == 0, "matrix must be pre-padded to the tile size"
+    num_tiles = n // tile
+    q_pad = (-q_count) % 32
+    if q_pad:
+        q_int8 = jnp.pad(q_int8, ((0, q_pad), (0, 0)))
+    qp = q_int8.shape[0]
+    out_rows = min(qp, max(8, -(-q_count // 8) * 8))
+    kernel = functools.partial(
+        _int8_scores_kernel, tile_n=tile, out_rows=out_rows
+    )
+    scores = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((out_rows, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((out_rows, n), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * n * d,
+            bytes_accessed=n * d + qp * d + n * 4 + out_rows * n * 4,
+            transcendentals=0,
+        ),
+    )(q_int8, matrix_int8_t, scales.reshape(1, -1),
+      jnp.reshape(n_valid.astype(jnp.int32), (1, 1)))[0]
+    return scores[:q_count]
+
+
+def _int8_scores_xla(q_int8, matrix_int8_t, scales, n_valid):
+    """XLA analog of :func:`int8_scores_pallas` (CPU tests / small indexes)."""
+    acc = jax.lax.dot_general(
+        q_int8, matrix_int8_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = acc.astype(jnp.float32) * scales[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, matrix_int8_t.shape[1]), 1)
+    return jnp.where(col < n_valid, scores, _NEG_INF)
+
+
+def _verified_shortlist(
+    scores: jnp.ndarray, m: int, verify_depth: int, recall_target: float
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Approx top-``m`` over materialized scores + a PROVEN-content flag.
+
+    ``lax.approx_max_k`` (TPU PartialReduce) is near-free at its default
+    bin sizing but may silently drop mid-rank candidates. A count verify
+    proves (or disproves) shortlist sufficiency without assuming anything
+    about the reduction: with t = the J-th shortlist score
+    (J = ``verify_depth``), per query
+
+        ok ⟺ |{scores > t}| == |{shortlist > t}|      (no miss above t)
+             ∧ |{scores == t}| == |{shortlist == t}|  (no tie straddles t)
+
+    — four cheap reductions over the already-materialized score matrix.
+    ``ok`` (scalar, all-queries) is RETURNED for a host-side decision, NOT
+    branched on in-program: ``lax.cond`` measurably executes both branches
+    on this backend (an in-program ``lax.top_k(scores, m)`` fallback costs
+    ~25/100 ms at q=16/64 — scripts/probe_shortlist_matrix.py), so the
+    caller re-runs the extract-kernel program on the rare !ok instead
+    (~9% of random 1M-row single queries at J=64).
+
+    Guarantee when ok: the candidate set contains the TRUE int8-score
+    top-J exactly — ties included — plus up to m-J opportunistic extras.
+    """
+    s_a, cand_a = jax.lax.approx_max_k(scores, m, recall_target=recall_target)
+    cand_a = cand_a.astype(jnp.int32)
+    j = min(verify_depth, m)
+    t = s_a[:, j - 1][:, None]
+    above = jnp.sum(scores > t, axis=1)
+    above_s = jnp.sum(s_a > t, axis=1)
+    eq = jnp.sum(scores == t, axis=1)
+    eq_s = jnp.sum(s_a == t, axis=1)
+    ok = jnp.all(((above == above_s) & (eq == eq_s)) | jnp.isneginf(t[:, 0]))
+    return s_a, cand_a, ok
+
+
+# Shortlist construction for the fused path ("auto" resolves in
+# resolve_shortlist_method): "verified" = scores kernel + approx_max_k +
+# count-verify, host falls back to "extract" on the rare miss (2.6 ms at
+# 1M vs 4.0 — the single-query default on TPU); "approx" = same without
+# the verify/fallback (opt-in speed mode: 2.7 ms for a 16-query batch =
+# 2.7x the extract qps, top-k content may deviate ~1%/query from the
+# exact paths on near-ties); "exact" = scores + lax.top_k (exact
+# top-shortlist by construction, single-query diagnostics — batched XLA
+# top_k is catastrophically slow); "extract" = the in-kernel packed-key
+# extraction (batch default; also serves when the (Q, N) score matrix
+# would exceed the transient-HBM cap below).
+import os as _os
+
+_SCORES_HBM_CAP_MB = float(_os.environ.get("TPUCLIP_SCORES_HBM_MB", "1024"))
+
+
+def resolve_shortlist_method(q_count: int, on_tpu: bool) -> str:
+    """Default policy, env-overridable via TPUCLIP_SHORTLIST."""
+    env = _os.environ.get("TPUCLIP_SHORTLIST", "auto")
+    if env != "auto":
+        return env
+    if not on_tpu:
+        return "extract"
+    return "verified" if q_count == 1 else "extract"
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_n", "interpret"))
 def topk_int8_pallas(
     q_int8: jnp.ndarray,       # (Q, D) int8
@@ -398,7 +539,10 @@ def topk_int8_xla(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "shortlist", "tile_n", "use_pallas", "use_packed", "interpret"),
+    static_argnames=(
+        "k", "shortlist", "tile_n", "use_pallas", "use_packed", "interpret",
+        "shortlist_method",
+    ),
 )
 def topk_int8_rerank_fused(
     q_f32: jnp.ndarray,          # (Q, D) float32 queries (unquantized)
@@ -412,6 +556,7 @@ def topk_int8_rerank_fused(
     use_pallas: bool = True,
     use_packed: bool = True,
     interpret: bool = False,
+    shortlist_method: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ONE device program: int8 scan -> top-``shortlist`` merge -> gather the
     shortlisted rows from the resident full-precision matrix -> exact rescore
@@ -425,11 +570,27 @@ def topk_int8_rerank_fused(
     host. Scores returned are bit-identical to the full bf16 scan's for any
     candidate both paths return.
 
-    Recall contract: a true top-k item is returned iff it survives (a) its
-    tile's int8 top-k and (b) the global int8 top-``shortlist``. With
-    unit-norm vectors int8 quantization perturbs cosine scores by ~1e-3,
-    so at shortlist >= 4k depth the miss probability is negligible
-    (property-tested in tests/test_topk_int8.py).
+    Shortlist construction (``shortlist_method`` / TPUCLIP_SHORTLIST):
+
+    - ``"approx"`` (default): the scan kernel emits raw f32 scores
+      (:func:`int8_scores_pallas`) and ``lax.approx_max_k`` builds the
+      shortlist, made contract-safe by :func:`_verified_shortlist`'s count
+      verify + exact-top_k fallback. Guaranteed to contain the true
+      int8-score top-J (J = max(64, 4k)) with ties resolved per the
+      (score desc, idx asc) contract, plus opportunistic candidates to
+      ``shortlist`` depth. Measured 2.6 ms at 1M x 1152 on v5e.
+    - ``"exact"``: scores + ``lax.top_k`` — the full ``shortlist`` depth
+      is exact by construction (3.2 ms).
+    - ``"extract"``: the in-kernel per-tile packed-key extraction
+      (4.0 ms; no (Q, N) score materialization — serves automatically
+      when the score matrix would exceed TPUCLIP_SCORES_HBM_MB).
+
+    Recall contract (all methods): a true top-k item is returned iff it
+    survives the int8 shortlist. With unit-norm vectors int8 quantization
+    perturbs cosine scores by ~1e-3, so at the guaranteed depths the miss
+    probability is negligible (property-tested in tests/test_topk_int8.py);
+    the extract path additionally requires the item to survive its tile's
+    top-``k_tile`` (>= 4k per tile).
     """
     q_count, d = q_f32.shape
     n = matrix_int8_t.shape[1]
@@ -462,7 +623,41 @@ def topk_int8_rerank_fused(
         narrower = 3072 if qp_est <= 64 else 2048
         if n % narrower == 0:
             tile_n = narrower
-    if use_pallas and n >= tile_n and n % tile_n == 0:
+
+    # Scores-materializing shortlist (r3 redesign, scripts/probe_*): the
+    # scan kernel emits raw f32 scores and the shortlist is built outside.
+    # "verified" additionally returns the proof flag for the caller's
+    # host-side fallback decision (NO in-program lax.cond — see
+    # _verified_shortlist). Gated by a transient-HBM cap on the
+    # (out_rows, N) f32 score matrix; past it the extract path serves
+    # (still proof-clean, so a gated-out "verified" reports ok=True).
+    method = shortlist_method or "extract"
+    out_rows_est = min(qp_est, max(8, -(-q_count // 8) * 8))
+    scores_fit = out_rows_est * n * 4 <= _SCORES_HBM_CAP_MB * 1e6
+    shortlist_ok = None
+    if method in ("approx", "exact", "verified") and scores_fit:
+        pallas_ok = use_pallas and n >= tile_n and n % tile_n == 0
+        if pallas_ok:
+            scores_all = int8_scores_pallas(
+                qi, matrix_int8_t, scales, n_valid, tile_n, interpret
+            )[:q_count]
+        else:
+            scores_all = _int8_scores_xla(qi, matrix_int8_t, scales, n_valid)[
+                :q_count
+            ]
+        if method == "exact":
+            top_s, cand = jax.lax.top_k(scores_all, m)
+            cand = cand.astype(jnp.int32)
+        elif method == "approx":
+            top_s, cand = jax.lax.approx_max_k(scores_all, m)
+            cand = cand.astype(jnp.int32)
+        else:
+            top_s, cand, shortlist_ok = _verified_shortlist(
+                scores_all, m, verify_depth=min(m, max(64, 4 * k_eff)),
+                recall_target=0.95,
+            )
+        cand_invalid = jnp.isneginf(top_s)
+    elif use_pallas and n >= tile_n and n % tile_n == 0:
         num_tiles = n // min(tile_n, n)
         # Per-tile depth: any single tile must be able to supply 4x the final
         # k (matching the host-rerank path's shortlist margin — at large N
@@ -534,15 +729,64 @@ def topk_int8_rerank_fused(
     exact = jnp.where(invalid, _NEG_INF, exact)
     sort_rows = jnp.where(invalid, jnp.iinfo(jnp.int32).max, cand)
     order = jnp.lexsort((sort_rows, -exact), axis=-1)[:, :k_eff]
-    return (
+    out = (
         jnp.take_along_axis(exact, order, axis=1),
         jnp.take_along_axis(sort_rows, order, axis=1),
+    )
+    if shortlist_method == "verified":
+        # Three-tuple return for the host-side fallback decision; constant
+        # True when a gate routed to a proof-clean path (extract/exact).
+        ok = shortlist_ok if shortlist_ok is not None else jnp.asarray(True)
+        return out + (ok,)
+    return out
+
+
+def topk_int8_rerank_fused_auto(
+    q_f32,
+    matrix_int8_t,
+    scales,
+    rows_full,
+    k: int,
+    shortlist: int = 512,
+    n_valid=None,
+    use_pallas: bool = True,
+):
+    """Host-level fused search: verified fast path + extract fallback.
+
+    Single TPU queries run the scores-kernel + verified-approx shortlist
+    program (~2.6 ms at 1M x 1152 vs 4.0 for the in-kernel extraction);
+    when the proof flag comes back False (~9% of random 1M-row queries:
+    the approx reduction dropped a top-J candidate or a tie straddles the
+    verify depth), the extract-kernel program re-runs — results then carry
+    its by-construction guarantee. Batches and CPU keep the extract path
+    (batched XLA top_k/approx_max_k degrade catastrophically —
+    scripts/probe_shortlist_matrix.py). Policy env-overridable via
+    TPUCLIP_SHORTLIST (auto|verified|approx|exact|extract).
+    """
+    import numpy as _np
+
+    method = resolve_shortlist_method(int(q_f32.shape[0]), bool(use_pallas))
+    if method == "verified":
+        s, i, ok = topk_int8_rerank_fused(
+            q_f32, matrix_int8_t, scales, rows_full, k, shortlist=shortlist,
+            n_valid=n_valid, use_pallas=use_pallas, shortlist_method="verified",
+        )
+        if bool(_np.asarray(ok)):
+            return s, i
+        method = "extract"
+    return topk_int8_rerank_fused(
+        q_f32, matrix_int8_t, scales, rows_full, k, shortlist=shortlist,
+        n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=method if method != "verified" else "extract",
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "k", "compute_dtype", "use_pallas", "shortlist"),
+    static_argnames=(
+        "config", "k", "compute_dtype", "use_pallas", "shortlist",
+        "shortlist_method",
+    ),
 )
 def text_topk_fused(
     params,
@@ -557,12 +801,18 @@ def text_topk_fused(
     shortlist: int = 512,
     compute_dtype=jnp.float32,
     use_pallas: bool = True,
+    shortlist_method: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Token ids → text tower → int8 scan → exact rescore → top-k, ONE
     device program. The embedding never returns to the host — the serving
     text-query path pays a single host↔device round trip (the reference
     pays one per stage: tokenize→embed→SQL scan, image_database.py:509-543,
-    :1564). Results identical to embed-then-search by construction."""
+    :1564). Results identical to embed-then-search by construction.
+
+    ``shortlist_method="verified"`` adds the proof flag as a third output
+    (see :func:`topk_int8_rerank_fused`); callers re-run with
+    ``"extract"`` on False — host fallback, same policy as
+    :func:`topk_int8_rerank_fused_auto`."""
     from tpuclip.models.siglip import get_text_features
 
     emb = get_text_features(
@@ -571,6 +821,7 @@ def text_topk_fused(
     return topk_int8_rerank_fused(
         emb, matrix_int8_t, scales, rows_full, k,
         shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=shortlist_method,
     )
 
 
