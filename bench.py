@@ -455,10 +455,16 @@ def bench_naflex_throughput(jax, batch=16, iters=8):
 
 
 def bench_train_step(jax, batch=8, iters=4):
-    """SigLIP contrastive train step (fwd+bwd both towers + AdamW update)
-    throughput — the `tpuclip train` inner loop. Beyond-reference: the
-    reference ships inference only. Host-loop timing (donated state makes
-    chaining awkward); per-call tunnel RPC is <30% of a fwd+bwd step."""
+    """SigLIP contrastive train step (fwd+bwd both towers + optimizer
+    update) throughput — the `tpuclip train` inner loop. Beyond-reference:
+    the reference ships inference only. Host-loop timing (donated state
+    makes chaining awkward); per-call tunnel RPC is <30% of a fwd+bwd step.
+
+    Single chip uses Adafactor, matching `tpuclip train`'s auto policy:
+    AdamW's two fp32 moment trees put the SO400M step at ~18.4 GB HBM,
+    past a 16 GB v5e (measured compile-time OOM,
+    scripts/probe_train_compile.py — the r3 'train_error' HTTP 500 was the
+    tunnel surfacing exactly this)."""
     import jax.numpy as jnp
 
     from tpuclip.models.configs import get_config
@@ -471,7 +477,8 @@ def bench_train_step(jax, batch=8, iters=4):
 
     cfg = get_config("google/siglip2-so400m-patch14-224")
     params = jax.jit(lambda k: init_params(k, cfg))(jax.random.PRNGKey(0))
-    opt = make_optimizer()
+    opt = make_optimizer(factored=True)
+    RESULT["train_optimizer"] = "adafactor (single-chip; AdamW needs a mesh)"
     state = init_train_state(params, opt)
     step = make_train_step(cfg, opt)
     rng = np.random.default_rng(0)
@@ -486,13 +493,17 @@ def bench_train_step(jax, batch=8, iters=4):
         )
     )
     state, loss = step(state, images, ids)
-    jax.block_until_ready(loss)
+    _ = float(loss)  # HOST FETCH: block_until_ready does not block on axon
     _dbg("train step compiled + warm")
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state, loss = step(state, images, ids)
-        jax.block_until_ready(loss)
+        # The loss fetch is the barrier (see above). It syncs the forward;
+        # the optimizer-update tail of THIS iter overlaps the next iter's
+        # timing, but each iter's forward depends on the previous update,
+        # so the steady-state median is the true per-step time.
+        _ = float(loss)
         times.append(time.perf_counter() - t0)
     sec = float(np.median(times))
     return batch / sec, float(loss)

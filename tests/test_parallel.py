@@ -216,6 +216,38 @@ def test_train_step_runs_and_decreases_loss(mesh8):
     assert int(state.step) == 5
 
 
+def test_train_step_adafactor_decreases_loss():
+    """The factored optimizer (single-chip SO400M recipe: AdamW's fp32
+    moment trees exceed one 16 GB chip — scripts/probe_train_compile.py)
+    must train: memorizing one batch reduces the loss."""
+    cfg = get_config("tpuclip/test-tiny")
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    opt = make_optimizer(learning_rate=1e-3, factored=True)
+    state = init_train_state(params, opt)
+    step = make_train_step(cfg, opt, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.integers(0, 256, size=(8, 56, 56, 3), dtype=np.uint8))
+    ids = jnp.asarray(rng.integers(0, 512, size=(8, 64)))
+    losses = []
+    for _ in range(6):
+        state, loss = step(state, images, ids)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+    # Factored state must undercut AdamW's two dense fp32 moment trees
+    # (2x param bytes). Adafactor keeps no first moment and factors dims
+    # >= 128, so even on this tiny model (where small matrices keep a
+    # dense second moment) total state stays well under the AdamW cost.
+    param_bytes = sum(p.size * 4 for p in jax.tree_util.tree_leaves(params))
+    opt_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(state.opt_state)
+        if hasattr(leaf, "size")
+    )
+    assert opt_bytes < 1.5 * param_bytes, (opt_bytes, param_bytes)
+
+
 def test_mesh_sharded_device_index(mesh8, tmp_path):
     """End-to-end: DeviceIndex(mesh=...) serves identical results to the
     single-device index, including folder filters."""

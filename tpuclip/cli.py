@@ -244,6 +244,10 @@ def build_parser() -> argparse.ArgumentParser:
     train_parser.add_argument("--lr", type=float, default=1e-5, help="Learning rate")
     train_parser.add_argument("--resume", default=None, help="Orbax train-state directory to resume from")
     train_parser.add_argument("--seed", type=int, default=0, help="Shuffle seed")
+    train_parser.add_argument(
+        "--optimizer", choices=["auto", "adamw", "adafactor"], default="auto",
+        help="auto = AdamW, switching to Adafactor when the AdamW state "
+             "would exceed single-chip HBM (SO400M on one 16 GB chip)")
 
     serve_parser = subparsers.add_parser(
         "serve", help="HTTP search server (resident model + HBM index)"
@@ -821,6 +825,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             learning_rate=args.lr,
             resume=args.resume,
             seed=args.seed,
+            optimizer=args.optimizer,
         )
     else:
         parser.print_help()

@@ -30,6 +30,7 @@ out_features) so forward is ``x @ W + b``, i.e. the transpose of PyTorch's
 
 from __future__ import annotations
 
+import contextlib
 import math
 from functools import partial
 from typing import Any, Dict, Optional
@@ -125,6 +126,28 @@ def mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return dense(h, p["fc2_kernel"], p["fc2_bias"])
 
 
+# Trace-time rematerialization switch. Training wraps its jitted step in
+# remat_scope() (parallel/training.py): the scanned layer body is then
+# jax.checkpoint'ed, so the backward pass re-computes per-layer
+# activations from the 27 carried layer inputs instead of stashing every
+# intermediate — the SO400M fwd+bwd stash (incl. 27x(B,256,4304) MLP
+# intermediates) otherwise contributes to an 17.6 GB HBM requirement on a
+# 15.75 GB chip (scripts/probe_train_compile.py). Inference paths trace
+# outside the scope and are unaffected.
+_ENCODER_REMAT = False
+
+
+@contextlib.contextmanager
+def remat_scope():
+    global _ENCODER_REMAT
+    prev = _ENCODER_REMAT
+    _ENCODER_REMAT = True
+    try:
+        yield
+    finally:
+        _ENCODER_REMAT = prev
+
+
 def encoder(
     x: jnp.ndarray,
     layers: Params,
@@ -148,7 +171,9 @@ def encoder(
         h = residual + y
         return h, None
 
-    out, _ = jax.lax.scan(step, x, layers)
+    out, _ = jax.lax.scan(
+        jax.checkpoint(step) if _ENCODER_REMAT else step, x, layers
+    )
     return out
 
 

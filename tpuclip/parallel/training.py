@@ -59,6 +59,7 @@ def make_optimizer(
     warmup_steps: int = 0,
     total_steps: Optional[int] = None,
     grad_clip_norm: Optional[float] = 1.0,
+    factored: bool = False,
 ):
     """AdamW with optional global-norm clipping and warmup(+cosine) schedule —
     the standard contrastive fine-tuning recipe.
@@ -67,6 +68,14 @@ def make_optimizer(
     biases, layer-norm scales, and SigLIP's logit_scale/logit_bias
     calibration scalars are excluded — decaying logit_bias (initialized
     near -10) toward 0 would steadily mis-calibrate the sigmoid loss.
+
+    ``factored=True`` selects Adafactor (factored second moment, no first
+    moment) instead of AdamW — the single-chip recipe for SO400M-scale
+    fine-tuning: AdamW's two fp32 moment trees push the full train step to
+    ~18.4 GB HBM, past a 16 GB v5e chip (measured compile-time OOM,
+    scripts/probe_train_compile.py), while Adafactor's state is ~KBs of
+    row/column statistics per matrix. Multi-chip meshes shard the AdamW
+    state instead (parallel/sharding.py) and don't need this.
     """
     if warmup_steps > 0 or total_steps is not None:
         if total_steps is not None and total_steps > warmup_steps:
@@ -86,7 +95,19 @@ def make_optimizer(
     parts = []
     if grad_clip_norm is not None:
         parts.append(optax.clip_by_global_norm(grad_clip_norm))
-    parts.append(optax.adamw(schedule, weight_decay=weight_decay, mask=decay_mask))
+    if factored:
+        parts.append(
+            optax.adafactor(
+                learning_rate=schedule,
+                multiply_by_parameter_scale=False,
+                weight_decay_rate=weight_decay or None,
+                weight_decay_mask=decay_mask,
+            )
+        )
+    else:
+        parts.append(
+            optax.adamw(schedule, weight_decay=weight_decay, mask=decay_mask)
+        )
     return optax.chain(*parts)
 
 
@@ -102,6 +123,8 @@ def make_train_step(
     by tpuclip.parallel.sharding rules (replicated where not TP).
     """
 
+    from tpuclip.models.siglip import remat_scope
+
     def step(state: TrainState, images, input_ids):
         loss, grads = jax.value_and_grad(sigmoid_contrastive_loss)(
             state.params, images, input_ids, cfg, compute_dtype
@@ -110,21 +133,34 @@ def make_train_step(
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_opt, state.step + 1), loss
 
+    # The remat_scope wrapper flips the encoder's trace-time checkpoint
+    # flag: the scan body is jax.checkpoint'ed only in programs traced
+    # here, so the backward pass recomputes per-layer activations instead
+    # of stashing them (at SO400M the stash — incl. 27x(B,256,4304) MLP
+    # intermediates — pushes fwd+bwd past a 16 GB chip). Inference
+    # programs trace outside the scope and keep the stash-free forward.
+    jit_step = jax.jit(step, donate_argnums=(0,))
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+
+        def local_step(state: TrainState, images, input_ids):
+            with remat_scope():
+                return jit_step(state, images, input_ids)
+
+        return local_step
 
     # State shardings are carried by the arrays themselves: callers build the
     # TrainState from shard_params(...)'d params, and optimizer.init's
     # zeros_like moments inherit those shardings. jit then infers everything
     # from the committed args; only the batch needs explicit placement.
-    jit_step = jax.jit(step, donate_argnums=(0,))
     img_sharding = NamedSharding(mesh, P(DATA_AXIS))
     ids_sharding = NamedSharding(mesh, P(DATA_AXIS, None))
 
     def sharded_step(state: TrainState, images, input_ids):
         images = jax.device_put(images, img_sharding)
         input_ids = jax.device_put(input_ids, ids_sharding)
-        return jit_step(state, images, input_ids)
+        with remat_scope():
+            return jit_step(state, images, input_ids)
 
     return sharded_step
 

@@ -96,6 +96,7 @@ def train(
     resume: Optional[str] = None,
     seed: int = 0,
     log_every: int = 10,
+    optimizer: str = "auto",
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -140,10 +141,30 @@ def train(
         params = shard_params(params, mesh)
         log(f"Mesh: {dict(mesh.shape)}")
 
+    # Optimizer memory: AdamW keeps two fp32 moment trees — at SO400M scale
+    # the full step needs ~18.4 GB HBM, past a single 16 GB v5e chip
+    # (compile-time OOM, scripts/probe_train_compile.py). "auto" picks
+    # Adafactor (factored second moment, ~KBs of state) when the state
+    # would not fit one chip and no mesh shards it.
+    if optimizer == "auto":
+        param_bytes = sum(
+            int(np.prod(p.shape)) * 4 for p in jax.tree_util.tree_leaves(params)
+        )
+        factored = (
+            mesh is None
+            and jax.default_backend() == "tpu"
+            and param_bytes * 4 > 10e9  # params + grads + 2 moments, fp32
+        )
+    else:
+        factored = optimizer == "adafactor"
+    if factored:
+        log("Optimizer: adafactor (AdamW state would exceed single-chip HBM)"
+            if optimizer == "auto" else "Optimizer: adafactor")
     opt = make_optimizer(
         learning_rate=learning_rate,
         warmup_steps=min(100, max(1, steps // 10)),
         total_steps=steps,
+        factored=factored,
     )
     state = init_train_state(params, opt)
     if resume:
