@@ -139,6 +139,10 @@ def _emit(final: bool = True):
         if _EMITTED:
             return
         RESULT["elapsed_s"] = round(time.perf_counter() - _T0, 1)
+        if _RPC_FITS:
+            # Median tunnel round trip fitted by the slope measurements —
+            # the per-invocation overhead the amortized numbers still carry
+            RESULT["tunnel_rpc_ms"] = round(float(np.median(_RPC_FITS)), 1)
         if RESULT.get("value") is None and RESULT.get("stage") == "backend_init":
             # Backend init is stalled/dead: label the failure mode and carry
             # the last hardware numbers (clearly marked stale) in the record.
@@ -258,10 +262,8 @@ def _device_prep(jax, n, d):
     return _PREP[key]
 
 
-def _chained_p50(jax, step, inputs, chain, carry_init, consts=(), samples=5):
-    """Shared protocol: jit a lax.scan of ``step`` over ``inputs``
-    (carry-coupled to force sequential execution), warm up, then median of
-    ``samples`` runs divided by the chain length.
+def _chained_walls(jax, step, inputs, chain, carry_init, consts=(), samples=5):
+    """p50 WALL-CLOCK (ms) of one chained-scan invocation of length ``chain``.
 
     ``consts`` are the device-resident arrays the step reads (matrix, scales,
     rows, ...) and are threaded through as REAL jit arguments: a step that
@@ -281,14 +283,55 @@ def _chained_p50(jax, step, inputs, chain, carry_init, consts=(), samples=5):
 
     out = chained(inputs, *consts)
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0])  # host fetch = barrier
-    _dbg("chained program compiled + warm")
+    _dbg(f"chained program (c={chain}) compiled + warm")
     times = []
     for _i in range(samples):
         t0 = time.perf_counter()
         out = chained(inputs, *consts)
         _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
-        times.append((time.perf_counter() - t0) / chain)
+        times.append(time.perf_counter() - t0)
     return float(np.percentile(np.array(times), 50) * 1000)
+
+
+def _chained_p50(jax, step, inputs, chain, carry_init, consts=(), samples=5):
+    """Legacy amortized protocol: wall(chain)/chain. Includes RPC/chain of
+    tunnel round-trip overhead — see _chained_slope for the decomposition."""
+    return _chained_walls(jax, step, inputs, chain, carry_init, consts,
+                          samples) / chain
+
+
+# RPC intercepts collected by _chained_slope across the run (median goes to
+# RESULT["tunnel_rpc_ms"]).
+_RPC_FITS: list = []
+
+
+def _chained_slope(jax, step, inputs, chain, carry_init, consts=(), samples=5):
+    """Measure TRUE per-query device time by chain-length slope fitting.
+
+    On this dev rig every program invocation pays a tunnel round trip
+    (~25-45 ms, varies with congestion), so wall(c) = RPC + c * exec. The
+    legacy amortized protocol (wall/c) therefore inflates every latency by
+    RPC/c (~1 ms at c=32) — proven by a NO-OP scan step measuring
+    2.5-3.1 "ms/step" at c=16 (scripts/probe_dispatch_overhead.py) and a
+    slope-fit noop of 0.07 ms (scripts/probe_chain_slope.py). Production
+    v5e hosts dispatch locally in ~tens of us, so the slope (device exec
+    per query) is the deployment-relevant latency; the intercept is tunnel
+    overhead. Returns (device_exec_ms, amortized_p50_ms); degenerate fits
+    (slope <= 0, possible when exec is far below tunnel noise) fall back
+    to the amortized value — an upper bound — and record no RPC sample.
+    """
+    short = max(2, chain // 4)
+    sliced = jax.tree_util.tree_map(lambda x: x[:short], inputs)
+    w_short = _chained_walls(jax, step, sliced, short, carry_init, consts,
+                             samples)
+    w_full = _chained_walls(jax, step, inputs, chain, carry_init, consts,
+                            samples)
+    exec_ms = (w_full - w_short) / (chain - short)
+    amortized = w_full / chain
+    if exec_ms <= 0:
+        return float(amortized), float(amortized)
+    _RPC_FITS.append(w_short - short * exec_ms)
+    return float(exec_ms), float(amortized)
 
 
 # =============================================================================
@@ -317,11 +360,11 @@ def bench_query_latency(jax, n, d=1152, k=20, chain=32):
             s, i = topk_xla(q, matrix, k, n_valid=n_valid)
         return jnp.max(s), (s, i)
 
-    p50 = _chained_p50(
+    dev, amort = _chained_slope(
         jax, step, queries, chain, jnp.zeros((), jnp.float32),
         consts=(p["matrix"], p["n_valid"]),
     )
-    return p50, "pallas" if use_pallas else "xla"
+    return dev, amort, "pallas" if use_pallas else "xla"
 
 
 def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
@@ -340,13 +383,15 @@ def bench_query_latency_int8(jax, n, d=1152, k=20, chain=32):
 
     def step(carry, inp, mq, scales, n_valid):
         q, s = inp
+        # f32 carry: a float *0.0 cannot be constant-folded (0*NaN != 0),
+        # so the loop dependency survives XLA simplification
         q = q + (carry * 0.0).astype(q.dtype)
         fn = topk_int8_pallas if use_pallas else topk_int8_xla
         sc, ix = fn(q, mq, scales, s, k, n_valid=n_valid)
-        return jnp.max(sc).astype(jnp.int32), (sc, ix)
+        return jnp.max(sc).astype(jnp.float32), (sc, ix)
 
-    return _chained_p50(
-        jax, step, (qi, qsc), chain, jnp.zeros((), jnp.int32),
+    return _chained_slope(
+        jax, step, (qi, qsc), chain, jnp.zeros((), jnp.float32),
         consts=(p["mq"], p["scales"], p["n_valid"]),
     )
 
@@ -384,7 +429,7 @@ def bench_query_latency_int8_fused(jax, n, d=1152, k=20, chain=32,
     queries = jnp.asarray(rng.standard_normal((chain, 1, d), dtype=np.float32))
     use_pallas = jax.default_backend() == "tpu"
     step = _fused_step(jax, k, use_pallas, method=method)
-    p50 = _chained_p50(
+    p50 = _chained_slope(
         jax, step, queries, chain, jnp.zeros((), jnp.float32),
         consts=(p["mq"], p["scales"], p["rows"], p["n_valid"]),
     )
@@ -412,7 +457,7 @@ def bench_batch_throughput(jax, n, d=1152, k=20, q_batch=16, iters=8):
     rng = np.random.default_rng(2)
     queries = jnp.asarray(rng.standard_normal((iters, q_batch, d), dtype=np.float32))
     step = _fused_step(jax, k, jax.default_backend() == "tpu")
-    batch_ms = _chained_p50(
+    batch_ms, batch_amort_ms = _chained_slope(
         jax, step, queries, iters, jnp.zeros((), jnp.float32),
         consts=(p["mq"], p["scales"], p["rows"], p["n_valid"]),
     )
@@ -442,13 +487,13 @@ def bench_naflex_throughput(jax, batch=16, iters=8):
     shapes = jnp.tile(jnp.asarray([[16, 16]], jnp.int32), (batch, 1))
 
     def step(carry, px, params, mask, shapes):
-        px = (px.astype(jnp.int32) + carry * 0).astype(jnp.uint8)
+        px = (px.astype(jnp.float32) + carry * 0.0).astype(jnp.uint8)
         out = get_image_features_naflex(params, px, mask, shapes, cfg, dtype)
         total = jnp.sum(out).astype(jnp.float32)
-        return total.astype(jnp.int32) * 0, total
+        return total, total
 
-    ms = _chained_p50(
-        jax, step, patches, iters, jnp.zeros((), jnp.int32),
+    ms, _amort = _chained_slope(
+        jax, step, patches, iters, jnp.zeros((), jnp.float32),
         consts=(params, mask, shapes),
     )
     return batch / (ms / 1000.0)
@@ -540,16 +585,18 @@ def bench_text_query_fused(jax, n, d=1152, k=20, chain=32):
     def step(carry, ids, params, mq, scales, rows, n_valid):
         # shortlist_method mirrors the serving default for a single query:
         # the verified scores program (search.py:search_texts_fused).
+        # f32 carry coupling (an int `+ carry*0` constant-folds away).
+        ids = (ids.astype(jnp.float32) + carry * 0.0).astype(ids.dtype)
         out = text_topk_fused(
-            params, ids + (carry * 0), mask, mq, scales, rows, cfg, k,
+            params, ids, mask, mq, scales, rows, cfg, k,
             n_valid=n_valid, compute_dtype=p["dtype"], use_pallas=use_pallas,
             shortlist_method="verified" if use_pallas else None,
         )
         s, i = out[0], out[1]
-        return jnp.max(i), (s, i)
+        return jnp.max(s).astype(jnp.float32), (s, i)
 
-    return _chained_p50(
-        jax, step, all_ids, chain, jnp.zeros((), all_ids.dtype),
+    return _chained_slope(
+        jax, step, all_ids, chain, jnp.zeros((), jnp.float32),
         consts=(params, p["mq"], p["scales"], p["rows"], p["n_valid"]),
     )
 
@@ -593,34 +640,40 @@ def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
     ).reshape(chain, 1, -1)
 
     def step(carry, q, matrix_words, nv):
-        q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
+        # f32 carry xor-coupling: an int `zeros_like(q) & carry` constant-
+        # folds, leaving the scan body loop-independent and the measurement
+        # at the mercy of backend iteration-collapsing (probe_chain_slope);
+        # (f32 * 0) cannot fold (0*NaN != 0).
+        q = jnp.bitwise_xor(q, (carry * 0.0).astype(q.dtype))
         if use_pallas:
             s, i = binary_topk_packed_pallas(q, matrix_words, k, n_valid=nv)
         else:
             s, i = binary_topk_packed(q, matrix_words, k)
-        return jnp.max(s).astype(jnp.uint32), (s, i)
+        return jnp.max(s).astype(jnp.float32), (s, i)
 
-    return _chained_p50(
-        jax, step, qwords, chain, jnp.zeros((), jnp.uint32),
+    return _chained_slope(
+        jax, step, qwords, chain, jnp.zeros((), jnp.float32),
         consts=(matrix_words, nv),
     )
 
 
 def bench_cascade(jax, n, d=1152, k=20, chain=32):
     """Binary-cascade mode (TPUCLIP_SEARCH_MODE=cascade): packed-binary
-    device shortlist at depth 32*k + exact host rescore. HBM holds only
-    N/8 bytes/row (~1.4 GB at 10M x 1152) — the single-chip mode for
-    indexes whose int8+full copies exceed the budget. Device part chained
-    like the other latency benches; the host rescore is measured separately
-    on a representative gather (its cost scales with depth*d, not N)."""
+    device prefilter + exact host rescore. HBM holds only N/8 bytes/row
+    (~1.4 GB at 10M x 1152) — the single-chip mode for indexes whose
+    int8+full copies exceed the budget. Measures the PRODUCTION prefilter
+    (r3.4 redesign: scores kernel + approx_max_k at 2x depth — 7x the XLA
+    exact-top-640 path at 10M rows, scripts/probe_binary_10m.py); the host
+    rescore is measured separately on a representative gather (its cost
+    scales with depth*d, not N)."""
     import time as _time
 
     import jax.numpy as jnp
 
     from tpuclip.ops.hamming import (
         BINARY_TILE_N,
+        binary_shortlist_q1,
         binary_topk_packed,
-        binary_topk_packed_t,
         pack_bits_to_words,
         pack_bits_to_words_device,
     )
@@ -648,17 +701,17 @@ def bench_cascade(jax, n, d=1152, k=20, chain=32):
     ).reshape(chain, 1, -1)
 
     def step(carry, q, matrix_words, nv):
-        q = jnp.bitwise_xor(q, jnp.zeros_like(q) & carry)
+        q = jnp.bitwise_xor(q, (carry * 0.0).astype(q.dtype))  # see binary bench
         if use_tpu:
-            # depth > 128 exceeds the Pallas kernel's shortlist register
-            # budget — the words_t XLA path serves the cascade prefilter
-            s, i = binary_topk_packed_t(q, matrix_words, depth, n_valid=nv)
+            s, i = binary_shortlist_q1(
+                q, matrix_words, 2 * depth, n_valid=nv
+            )
         else:
             s, i = binary_topk_packed(q, matrix_words, depth)
-        return jnp.max(s).astype(jnp.uint32), (s, i)
+        return jnp.max(s).astype(jnp.float32), (s, i)
 
-    device_ms = _chained_p50(
-        jax, step, qwords, chain, jnp.zeros((), jnp.uint32),
+    device_ms, _device_amort = _chained_slope(
+        jax, step, qwords, chain, jnp.zeros((), jnp.float32),
         consts=(matrix_words, nv),
     )
 
@@ -670,13 +723,64 @@ def bench_cascade(jax, n, d=1152, k=20, chain=32):
         (min(n, 50_000), d)
     ).astype(np.float32)
     qs = np.random.default_rng(2).standard_normal((chain, d)).astype(np.float32)
-    idxs = np.random.default_rng(3).integers(0, len(rows_host), (chain, depth))
+    # 2x depth: the scores prefilter oversamples, so the production rescore
+    # gathers ~2*depth candidate rows
+    idxs = np.random.default_rng(3).integers(
+        0, len(rows_host), (chain, 2 * depth if use_tpu else depth)
+    )
     t0 = _time.perf_counter()
     for c in range(chain):
         gathered = rows_host[idxs[c]]
         _ = gathered @ qs[c]
     host_ms = (_time.perf_counter() - t0) / chain * 1000
     return device_ms, host_ms
+
+
+def bench_cascade_10m(jax, d=1152, k=20, chain=16):
+    """10M-row cascade prefilter on ONE chip: the packed binary matrix is
+    ~1.44 GB HBM (int8 + full-precision copies would need ~13 GB), and the
+    scores-kernel + approx_max_k prefilter scans it in ~2.4 ms/query
+    (slope-fitted device time; the XLA exact-top-640 path it replaced took
+    17.1 ms — scripts/probe_binary_10m.py). Together with the N-independent
+    host rescore this serves exact-rescored top-k over 10M rows on one v5e.
+    Random words stand in for real sign bits — scan latency depends only on
+    shape."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.hamming import BINARY_TILE_N, binary_shortlist_q1, pack_bits_to_words
+
+    n = 10_000_000
+    w = -(-d // 32)
+    n_pad = -(-n // BINARY_TILE_N) * BINARY_TILE_N
+
+    @jax.jit
+    def gen(key):
+        m = jax.random.randint(
+            key, (w, n_pad), minval=jnp.iinfo(jnp.int32).min,
+            maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+        ).astype(jnp.uint32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        return jnp.where(col < n, m, 0)
+
+    words = gen(jax.random.PRNGKey(3))
+    words.block_until_ready()
+    nv = jnp.asarray(n, jnp.int32)
+    rng = np.random.default_rng(4)
+    qwords = jnp.asarray(
+        pack_bits_to_words(rng.integers(0, 2, (chain, d), dtype=np.uint8))
+    ).reshape(chain, 1, -1)
+    depth = 32 * k
+
+    def step(carry, q, words, nv):
+        q = jnp.bitwise_xor(q, (carry * 0.0).astype(q.dtype))
+        s, i = binary_shortlist_q1(q, words, 2 * depth, n_valid=nv)
+        return jnp.max(s).astype(jnp.float32), (s, i)
+
+    dev, _amort = _chained_slope(
+        jax, step, qwords, chain, jnp.zeros((), jnp.float32),
+        consts=(words, nv),
+    )
+    return dev
 
 
 def bench_ivf(jax, n, d=1152, k=20, chain=32):
@@ -733,16 +837,29 @@ def bench_ivf(jax, n, d=1152, k=20, chain=32):
         _, outs = jax.lax.scan(step, jnp.zeros((), jnp.float32), queries)
         return outs
 
-    out = chained(queries, iarrays, rows_dev)
-    _ = np.asarray(out[0])
-    _dbg("ivf chained program compiled + warm")
-    times = []
-    for _i in range(5):
-        t0 = time.perf_counter()
-        out = chained(queries, iarrays, rows_dev)
-        _ = np.asarray(out[0])
-        times.append((time.perf_counter() - t0) / chain)
-    p50 = float(np.percentile(np.array(times), 50) * 1000)
+    def _wall(c):
+        qs = queries[:c]
+        out_l = chained(qs, iarrays, rows_dev)
+        _ = np.asarray(out_l[0])
+        ts = []
+        for _i in range(5):
+            t0 = time.perf_counter()
+            out_l = chained(qs, iarrays, rows_dev)
+            _ = np.asarray(out_l[0])
+            ts.append(time.perf_counter() - t0)
+        return float(np.percentile(np.array(ts), 50) * 1000), out_l
+
+    # chain-length slope fit, like _chained_slope (device exec, RPC excluded)
+    short = max(2, chain // 4)
+    w_short, _ = _wall(short)
+    w_full, out = _wall(chain)
+    _dbg("ivf chained program measured")
+    exec_ms = (w_full - w_short) / (chain - short)
+    if exec_ms > 0:
+        _RPC_FITS.append(w_short - short * exec_ms)
+        p50 = exec_ms
+    else:
+        p50 = w_full / chain
 
     # recall vs the exact scan over the same resident rows
     got = np.asarray(out[1]).reshape(chain, k)
@@ -780,24 +897,19 @@ def bench_indexing_throughput(jax, batch=16, iters=16):
     dtype = jnp.bfloat16
     params = jax.device_put(init_params(jax.random.PRNGKey(0), cfg, dtype=dtype))
 
-    @jax.jit
-    def embed_many(params, pixels):
-        def step(carry, px):
-            out = vision_forward(params["vision"], px, cfg.vision, compute_dtype=dtype)
-            return carry + jnp.sum(out).astype(jnp.float32), None
-
-        total, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), pixels)
-        return total
+    def step(carry, px, params):
+        out = vision_forward(params["vision"], px, cfg.vision, compute_dtype=dtype)
+        total = jnp.sum(out).astype(jnp.float32)
+        return carry + total, total  # genuine f32 accumulation dependency
 
     rng = np.random.default_rng(0)
     pixels = jnp.asarray(
         rng.integers(0, 256, size=(iters, batch, 224, 224, 3), dtype=np.uint8)
     )
-    _ = np.asarray(embed_many(params, pixels))  # compile + warm
-    t0 = time.perf_counter()
-    _ = np.asarray(embed_many(params, pixels))
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    ms_per_batch, _amort = _chained_slope(
+        jax, step, pixels, iters, jnp.zeros((), jnp.float32), consts=(params,)
+    )
+    return batch / (ms_per_batch / 1000.0)
 
 
 def make_jpeg_tree(root, n_images, width=1024, height=768, uniques=48):
@@ -1085,10 +1197,10 @@ def main():
             # is fast). Absorb that stall with a 2-tile version of the fused
             # search program (same structure as the headline, ~5 s compile
             # cold, <2 s cached) so the real benches see a warmed session.
-            p50 = bench_query_latency_int8_fused(
+            _dev, amort = bench_query_latency_int8_fused(
                 jax, 2 * 6144, chain=8, method="verified"
             )
-            RESULT["session_warm_tiny_p50_ms"] = round(p50, 3)
+            RESULT["session_warm_tiny_p50_ms"] = round(amort, 3)
 
         def _headline():
             # Production default path (r3 shortlist redesign): scores-kernel
@@ -1101,7 +1213,7 @@ def main():
             ok_rate = []
             for _attempt in range(2):
                 try:
-                    p50 = bench_query_latency_int8_fused(
+                    dev, amort = bench_query_latency_int8_fused(
                         jax, n, chain=chain, method="verified",
                         ok_rate_out=ok_rate,
                     )
@@ -1111,10 +1223,19 @@ def main():
                     time.sleep(10)
             else:
                 raise last_err  # type: ignore[misc]
-            RESULT["value"] = round(p50, 3)
-            RESULT["vs_baseline"] = round(10.0 / p50, 2)  # >1.0 beats the 10ms target
+            RESULT["value"] = round(dev, 3)
+            RESULT["vs_baseline"] = round(10.0 / dev, 2)  # >1.0 beats the 10ms target
+            # Legacy amortized number (r1/r2 basis: wall/chain, which still
+            # contains tunnel-RPC/chain ~1 ms — see docs/benchmarks.md).
+            RESULT["headline_chained_p50_ms"] = round(amort, 3)
             if ok_rate:
                 RESULT["shortlist_ok_rate"] = round(ok_rate[0], 3)
+            RESULT["latency_measurement"] = (
+                "chain-slope device time: wall(c)=RPC+c*exec fit over two "
+                "chain lengths; excludes the dev tunnel's per-invocation "
+                "round trip (recorded as tunnel_rpc_ms), which a production "
+                "local host does not pay"
+            )
             RESULT["headline_path"] = (
                 "int8 scores-kernel scan + verified shortlist + exact rescore "
                 "(default TPU single-query path; proof-checked results, host "
@@ -1124,13 +1245,15 @@ def main():
         def _extract_continuity():
             # The r3 in-kernel extraction program: batch default + fallback
             # target + the r3.0 headline basis.
-            p50 = bench_query_latency_int8_fused(jax, n, chain=chain)
-            RESULT["int8_fused_extract_p50_ms"] = round(p50, 3)
+            dev, amort = bench_query_latency_int8_fused(jax, n, chain=chain)
+            RESULT["int8_fused_extract_p50_ms"] = round(dev, 3)
+            RESULT["int8_fused_extract_chained_ms"] = round(amort, 3)
 
         def _bf16_scan():
             # r1/r2 headline basis, kept for cross-round continuity.
-            p50, impl = bench_query_latency(jax, n, chain=chain)
-            RESULT["bf16_scan_p50_ms"] = round(p50, 3)
+            dev, amort, impl = bench_query_latency(jax, n, chain=chain)
+            RESULT["bf16_scan_p50_ms"] = round(dev, 3)
+            RESULT["bf16_scan_chained_ms"] = round(amort, 3)
             RESULT["kernel"] = impl
 
         def _indexing():
@@ -1193,14 +1316,14 @@ def main():
             # The serve micro-batcher groups up to 64 concurrent queries
             # (serve.py:MicroBatcher max_batch) — the matrix read amortizes
             # further, so 64 is the serving-throughput ceiling per pass.
-            batch_ms, qps = bench_batch_throughput(jax, n, q_batch=64, iters=4)
+            batch_ms, qps = bench_batch_throughput(jax, n, q_batch=64, iters=8)
             RESULT["int8_fused_batch64_ms"] = round(batch_ms, 3)
             RESULT["int8_fused_batch64_qps"] = round(qps)
 
         def _binary():
-            RESULT["binary_p50_ms"] = round(
-                bench_binary_latency(jax, n, chain=chain), 3
-            )
+            dev, amort = bench_binary_latency(jax, n, chain=chain)
+            RESULT["binary_p50_ms"] = round(dev, 3)
+            RESULT["binary_chained_ms"] = round(amort, 3)
 
         def _cascade():
             dev_ms, host_ms = bench_cascade(jax, n, chain=chain)
@@ -1208,13 +1331,27 @@ def main():
             RESULT["cascade_host_rescore_ms"] = round(host_ms, 3)
             RESULT["cascade_p50_ms"] = round(dev_ms + host_ms, 3)
 
+        def _cascade_10m():
+            if jax.default_backend() != "tpu":
+                RESULT["cascade_10m_skipped"] = "tpu only"
+                return
+            dev_ms = bench_cascade_10m(jax)
+            RESULT["cascade_10m_device_p50_ms"] = round(dev_ms, 3)
+            host = RESULT.get("cascade_host_rescore_ms")
+            if host is not None:
+                # the host rescore is N-independent (gather of ~2*depth rows)
+                RESULT["cascade_10m_p50_ms"] = round(dev_ms + host, 3)
+            RESULT["cascade_10m_hbm_gb"] = 1.44
+
         def _int8():
-            RESULT["int8_p50_ms"] = round(
-                bench_query_latency_int8(jax, n, chain=chain), 3
-            )
+            dev, amort = bench_query_latency_int8(jax, n, chain=chain)
+            RESULT["int8_p50_ms"] = round(dev, 3)
+            RESULT["int8_chained_ms"] = round(amort, 3)
 
         def _text_fused():
-            RESULT["text_query_fused_ms"] = round(bench_text_query_fused(jax, n), 3)
+            dev, amort = bench_text_query_fused(jax, n)
+            RESULT["text_query_fused_ms"] = round(dev, 3)
+            RESULT["text_query_fused_chained_ms"] = round(amort, 3)
 
         def _ivf():
             # free the flat-scan arrays first: IVF builds its own clustered
@@ -1250,6 +1387,7 @@ def main():
         run("batch", 15, _batch)
         run("binary", 30, _binary)
         run("cascade", 30, _cascade)
+        run("cascade_10m", 60, _cascade_10m)
         run("int8", 15, _int8)
         run("text_fused", 45, _text_fused)
         run("ivf_scanned", 120, _ivf_scanned)

@@ -72,7 +72,7 @@ def main():
     tile_j = BINARY_TILE_N // 8
     num_tiles = np8 // tile_j
 
-    NEG_INF = jnp.float32(-jnp.inf)
+    NEG_INF = float("-inf")  # python float: pallas rejects traced constants
 
     def _popcount_manual(x):
         c55 = jnp.uint32(0x55555555)
@@ -102,9 +102,9 @@ def main():
 
     def and_floor_kernel(q_ref, nvalid_ref, m_ref, out_ref):
         # no popcount: AND + add only — DMA/issue floor for this layout
-        acc = jnp.zeros((8, tile_j), jnp.uint32)
+        acc = jnp.zeros((8, tile_j), jnp.int32)
         for w in range(W):
-            acc = acc + jnp.bitwise_and(m_ref[w], q_ref[0, w])
+            acc = acc + jnp.bitwise_and(m_ref[w], q_ref[0, w]).astype(jnp.int32)
         out_ref[:] = acc.astype(jnp.float32)
 
     def scores_call(kernel_fn):
@@ -212,6 +212,15 @@ def main():
 
     results["xla_depth640"] = chained(xla_step, words_t, n_valid)
     print(f"xla_depth640: {results['xla_depth640']:.3f} ms", flush=True)
+
+    # --- re-measure the baseline to bracket tunnel drift across the run
+    def step20(q, g, nv):
+        s, i = _binary_topk_q1(q[None, :], jnp.reshape(g, (W, N)), 20,
+                               nv, BINARY_TILE_N)
+        return q, (s, i)
+
+    results["extract_k20_again"] = chained(step20, grouped, n_valid)
+    print(f"extract_k20_again: {results['extract_k20_again']:.3f} ms", flush=True)
 
     # --- correctness spot-check: scores kernels agree with the XLA scores
     q0 = qwords[0][None, :]

@@ -195,6 +195,39 @@ def main(out_path: str) -> int:
         and np.array_equal(np.asarray(sp)[0], want[order]),
     )
 
+    # Binary scores kernel (r3.4 cascade prefilter): raw counts must equal
+    # the host popcount exactly, and the approx shortlist must cover every
+    # row scoring strictly above its own boundary (the documented guarantee;
+    # boundary ties are sampled).
+    from tpuclip.ops.hamming import binary_scores_pallas, binary_shortlist_q1
+
+    scores_flat = np.asarray(
+        binary_scores_pallas(
+            jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt),
+            n_valid=jnp.asarray(nv, jnp.int32),
+        )
+    )[0]
+    scores_ok = np.array_equal(
+        scores_flat[:nv].astype(np.int64), want.astype(np.int64)
+    ) and bool(np.all(np.isneginf(scores_flat[nv:])))
+    ssl, isl = binary_shortlist_q1(
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt), 64,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    ssl, isl = np.asarray(ssl)[0], np.asarray(isl)[0]
+    t = ssl.min()
+    above = set(np.nonzero(want > t)[0].tolist())
+    shortlist_ok = (
+        above.issubset(set(isl.tolist()))
+        and np.array_equal(ssl.astype(np.int64), want[isl].astype(np.int64))
+    )
+    record(
+        "binary_scores_shortlist",
+        scores_ok and shortlist_ok,
+        scores_exact=bool(scores_ok),
+        shortlist_coverage=bool(shortlist_ok),
+    )
+
     # Device-side bit packer must agree with the host packer ON HARDWARE
     # (bench + refresh derive packed matrices on device).
     from tpuclip.ops.hamming import pack_bits_to_words_device

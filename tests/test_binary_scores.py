@@ -1,0 +1,182 @@
+"""Binary scores kernel + approx shortlist (the cascade prefilter's r3
+redesign): raw-match-counts Pallas kernel, flat-index == original-column
+contract, approx_max_k shortlist ordering, and the cascade integration.
+
+Hardware numbers (scripts/probe_binary_10m.py): 0.36 ms @1M / 2.4 ms @10M
+vs 0.95 / 17.1 ms for the XLA exact-top-640 path it replaces."""
+
+import sqlite3
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpuclip.ops.hamming import (
+    BINARY_TILE_N,
+    binary_scores_pallas,
+    binary_shortlist_q1,
+    pack_bits_to_words,
+    pad_words_t,
+)
+
+DIM = 64
+W = DIM // 32
+
+
+def _oracle_scores(qwords, words, n_valid):
+    """numpy popcount(q & row) per row; -inf beyond n_valid."""
+    anded = words & qwords.reshape(1, -1)  # (N, W)
+    bytes_ = np.ascontiguousarray(anded).view(np.uint8)
+    counts = np.unpackbits(bytes_.reshape(len(words), -1), axis=1).sum(1)
+    out = counts.astype(np.float64)
+    return out[:n_valid]
+
+
+@pytest.fixture()
+def packed():
+    rng = np.random.default_rng(7)
+    bits = rng.integers(0, 2, (300, DIM), dtype=np.uint8)
+    words = pack_bits_to_words(bits)  # (300, W) uint32
+    qbits = rng.integers(0, 2, (1, DIM), dtype=np.uint8)
+    qwords = pack_bits_to_words(qbits)
+    return words, qwords
+
+
+def test_binary_scores_pallas_matches_oracle(packed):
+    words, qwords = packed
+    wt, nv = pad_words_t(words)  # (W, 16384), nv=300
+    scores = np.asarray(
+        binary_scores_pallas(
+            jnp.asarray(qwords), jnp.asarray(wt),
+            n_valid=jnp.asarray(nv, jnp.int32), interpret=True,
+        )
+    )[0]
+    assert scores.shape == (wt.shape[1],)
+    ref = _oracle_scores(qwords, words, nv)
+    np.testing.assert_array_equal(scores[:nv].astype(np.int64),
+                                  ref.astype(np.int64))
+    # padding columns are -inf, never selectable
+    assert np.all(np.isneginf(scores[nv:]))
+
+
+def test_binary_shortlist_q1_content_and_order(packed):
+    words, qwords = packed
+    wt, nv = pad_words_t(words)
+    m = 50
+    s, i = binary_shortlist_q1(
+        jnp.asarray(qwords), jnp.asarray(wt), m,
+        n_valid=jnp.asarray(nv, jnp.int32), interpret=True,
+    )
+    s, i = np.asarray(s)[0], np.asarray(i)[0]
+    assert s.shape == (m,)
+    ref = _oracle_scores(qwords, words, nv)
+    # returned scores are the true scores of the returned columns
+    np.testing.assert_array_equal(s.astype(np.int64), ref[i].astype(np.int64))
+    # ordering contract: score desc, idx asc within ties
+    for a in range(m - 1):
+        assert (s[a] > s[a + 1]) or (s[a] == s[a + 1] and i[a] < i[a + 1])
+    # coverage: every row scoring strictly above the shortlist boundary is in
+    t = s.min()
+    above = set(np.nonzero(ref > t)[0].tolist())
+    assert above.issubset(set(i.tolist()))
+
+
+def test_binary_shortlist_q1_m_exceeds_valid_rows(packed):
+    words, qwords = packed
+    wt, nv = pad_words_t(words[:20])
+    s, i = binary_shortlist_q1(
+        jnp.asarray(qwords), jnp.asarray(wt), 64,
+        n_valid=jnp.asarray(20, jnp.int32), interpret=True,
+    )
+    s = np.asarray(s)[0]
+    # exactly the 20 real rows are finite; padding sorts last as -inf
+    assert np.isfinite(s[:20]).all()
+    assert np.all(np.isneginf(s[20:]))
+
+
+def _build_db(tmp_path, vecs, name="bs.db"):
+    from tpuclip.index.store import MetadataStore
+
+    store = MetadataStore(str(tmp_path / name), embedding_dim=DIM)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    cur = conn.cursor()
+    batch = [
+        (f"/img/{i:04d}.jpg", float(i), f"h{i}", vecs[i])
+        for i in range(len(vecs))
+    ]
+    store.commit_with_retry(cur, conn, batch, save_full_embeddings=True)
+    conn.close()
+    return store
+
+
+def _force_words_t_layout(index):
+    """Simulate the TPU-resident word-major layout on the CPU backend so the
+    scores prefilter path (gated to words_t) is exercisable in CI."""
+    words = np.asarray(index._bin_matrix)  # rows layout: (N, W) uint32
+    wt, nv = pad_words_t(words)
+    index._bin_matrix = jnp.asarray(wt)
+    index._bin_n_valid = jnp.asarray(nv, jnp.int32)
+    index._bin_layout = "words_t"
+
+
+def test_cascade_scores_prefilter_full_depth_equals_exact(tmp_path, monkeypatch):
+    from tpuclip.index.search import DeviceIndex
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store = _build_db(tmp_path, vecs)
+
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "cascade")
+    monkeypatch.setenv("TPUCLIP_CASCADE_DEPTH", str(len(vecs)))
+    monkeypatch.setenv("TPUCLIP_CASCADE_PREFILTER", "scores")
+    casc = DeviceIndex(store)
+    casc.refresh()
+    _force_words_t_layout(casc)
+    monkeypatch.delenv("TPUCLIP_SEARCH_MODE")
+    monkeypatch.delenv("TPUCLIP_CASCADE_DEPTH")
+    monkeypatch.delenv("TPUCLIP_CASCADE_PREFILTER")
+    exact = DeviceIndex(store)
+
+    rng = np.random.default_rng(9)
+    for _ in range(3):
+        q = rng.standard_normal(DIM).astype(np.float32)
+        got = casc.search(q, 10)
+        want = exact.search(q, 10)
+        assert [p for p, _ in got] == [p for p, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-5
+        )
+    assert casc._matrix is None and casc._cascade
+
+
+def test_cascade_scores_prefilter_partial_depth(tmp_path, monkeypatch):
+    """Partial-depth approx prefilter: 2x-oversampled rescore keeps recall
+    at least in the exact prefilter's neighborhood."""
+    from tpuclip.index.search import DeviceIndex
+
+    rng = np.random.default_rng(6)
+    vecs = rng.standard_normal((500, DIM)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store = _build_db(tmp_path, vecs)
+
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "cascade")
+    monkeypatch.setenv("TPUCLIP_CASCADE_DEPTH", "100")
+    monkeypatch.setenv("TPUCLIP_CASCADE_PREFILTER", "scores")
+    casc = DeviceIndex(store)
+    casc.refresh()
+    _force_words_t_layout(casc)
+    monkeypatch.delenv("TPUCLIP_SEARCH_MODE")
+    monkeypatch.delenv("TPUCLIP_CASCADE_DEPTH")
+    monkeypatch.delenv("TPUCLIP_CASCADE_PREFILTER")
+    exact = DeviceIndex(store)
+
+    rng = np.random.default_rng(10)
+    recalls = []
+    for _ in range(5):
+        q = rng.standard_normal(DIM).astype(np.float32)
+        got = {p for p, _ in casc.search(q, 10)}
+        want = {p for p, _ in exact.search(q, 10)}
+        recalls.append(len(got & want) / 10.0)
+    assert float(np.mean(recalls)) >= 0.5

@@ -307,6 +307,111 @@ def _binary_topk_q1(
     return _merge_int_candidates(scores, idx, k_eff)
 
 
+_NEG_INF_F32 = float("-inf")
+
+
+def _binary_scores_kernel(q_ref, nvalid_ref, m_ref, out_ref, *, tile_j: int, np8: int):
+    """Scores-only grouped q1 step: raw match counts as f32, no in-kernel
+    extraction (same redesign that took the int8 path from 4.2 to 2.6 ms —
+    ops/topk_int8._int8_scores_kernel). The (8, tile_j) accumulator writes
+    into an (8, np8) output whose C-order FLAT index equals the original
+    column (grouped element (g, j0) is column g*np8 + j0), so a downstream
+    reshape to (1, N) needs no index unmapping. Padding columns are -inf."""
+    base_j = pl.program_id(0) * tile_j
+    w_words = m_ref.shape[0]
+    acc = jnp.zeros((8, tile_j), jnp.int32)
+    for w in range(w_words):  # static unroll over words (D/32)
+        acc = acc + jax.lax.population_count(
+            jnp.bitwise_and(m_ref[w], q_ref[0, w])
+        ).astype(jnp.int32)
+    g = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) + base_j
+    col = g * np8 + jj
+    out_ref[:] = jnp.where(
+        col < nvalid_ref[0, 0], acc.astype(jnp.float32), _NEG_INF_F32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def binary_scores_pallas(
+    query_words: jnp.ndarray,
+    words_t: jnp.ndarray,
+    n_valid: Optional[jnp.ndarray] = None,
+    tile_n: int = BINARY_TILE_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(1, W) packed query × (W, Np) word-major matrix → (1, Np) f32 raw
+    match counts (flat index == original column; padding columns -inf)."""
+    w_words, n = words_t.shape
+    assert n % tile_n == 0, "pad with pad_words_t at upload time"
+    if n_valid is None:
+        n_valid = jnp.asarray(n, jnp.int32)
+    np8 = n // 8
+    tile_j = tile_n // 8
+    num_tiles = np8 // tile_j
+    grouped = jnp.reshape(words_t, (w_words, 8, np8))  # free: C-order view
+    q_smem = jnp.reshape(query_words, (1, w_words)).astype(jnp.uint32)
+    nvalid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
+
+    kernel = functools.partial(_binary_scores_kernel, tile_j=tile_j, np8=np8)
+    scores = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((w_words, 8, tile_j), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, tile_j), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((8, np8), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * n * w_words,
+            bytes_accessed=n * w_words * 4 + n * 4,
+            transcendentals=0,
+        ),
+    )(q_smem, nvalid_arr, grouped)[0]
+    return jnp.reshape(scores, (1, n))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "tile_n", "interpret"))
+def binary_shortlist_q1(
+    query_words: jnp.ndarray,
+    words_t: jnp.ndarray,
+    m: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    tile_n: int = BINARY_TILE_N,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Approximate top-``m`` binary shortlist: scores kernel +
+    ``lax.approx_max_k`` (TPU PartialReduce) instead of in-kernel
+    extraction or batched XLA top_k — measured 0.36 ms at 1M rows and
+    2.4 ms at 10M vs 0.95/17.1 ms for the XLA top-640 path
+    (scripts/probe_binary_10m.py). Coverage of the exact top-(m/2) is
+    ~99.4-99.7% on random bits; callers that need an exact-content
+    shortlist should use binary_topk_packed_t. Returns
+    ((1, m) f32 match counts, (1, m) i32 columns), ordered
+    (score desc, idx asc); padding/overflow lanes carry -inf."""
+    w_words, n = words_t.shape
+    m_eff = min(m, n)
+    scores = binary_scores_pallas(
+        query_words, words_t, n_valid=n_valid, tile_n=tile_n,
+        interpret=interpret,
+    )
+    s, i = jax.lax.approx_max_k(scores, m_eff)
+    i = i.astype(jnp.int32)
+    # deterministic (score desc, idx asc) order on the small shortlist;
+    # -inf entries sort last (-(-inf) = +inf)
+    order = jnp.lexsort((i, -s), axis=-1)
+    return (
+        jnp.take_along_axis(s, order, axis=1),
+        jnp.take_along_axis(i, order, axis=1),
+    )
+
+
 def _merge_int_candidates(scores, idx, k_eff):
     """Exact merge for INTEGER-scored candidates: popcount scores tie
     heavily, and ``lax.top_k`` breaks ties by candidate position (tile
