@@ -627,7 +627,11 @@ def bench_binary_latency(jax, n, d=1152, k=20, chain=32):
         bits = (matrix[:, :n] >= 0).T.astype(jnp.uint8)  # (N, D)
         words = pack_bits_to_words_device(bits)          # (N, W)
         if use_pallas:
-            return jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+            # production layout: grouped (W, 8, Np/8), retiled ONCE here
+            # (a words_t-resident array pays the retile per query —
+            # scripts/probe_shortlist_reshape.py)
+            wt = jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+            return jnp.reshape(wt, (w, 8, np_bin // 8))
         return words
 
     matrix_words = derive_words(p["matrix"])
@@ -689,7 +693,9 @@ def bench_cascade(jax, n, d=1152, k=20, chain=32):
         bits = (matrix[:, :n] >= 0).T.astype(jnp.uint8)
         words = pack_bits_to_words_device(bits)
         if use_tpu:
-            return jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+            # grouped layout, retiled once (see bench_binary_latency)
+            wt = jnp.zeros((w, np_bin), jnp.uint32).at[:, :n].set(words.T)
+            return jnp.reshape(wt, (w, 8, np_bin // 8))
         return words
 
     matrix_words = derive_words(p["matrix"])
@@ -739,12 +745,13 @@ def bench_cascade(jax, n, d=1152, k=20, chain=32):
 def bench_cascade_10m(jax, d=1152, k=20, chain=16):
     """10M-row cascade prefilter on ONE chip: the packed binary matrix is
     ~1.44 GB HBM (int8 + full-precision copies would need ~13 GB), and the
-    scores-kernel + approx_max_k prefilter scans it in ~2.4 ms/query
-    (slope-fitted device time; the XLA exact-top-640 path it replaced took
-    17.1 ms — scripts/probe_binary_10m.py). Together with the N-independent
-    host rescore this serves exact-rescored top-k over 10M rows on one v5e.
-    Random words stand in for real sign bits — scan latency depends only on
-    shape."""
+    scores-kernel + approx_max_k prefilter scans it in ~1.9 ms/query at
+    ~92% of HBM peak (slope-fitted device time, grouped-resident layout;
+    the words_t-resident form paid a per-query retile for 11.7 ms, the XLA
+    exact-top-640 path took 17.1 ms — scripts/probe_shortlist_reshape.py,
+    probe_binary_10m.py). Together with the N-independent host rescore this
+    serves exact-rescored top-k over 10M rows on one v5e. Random words
+    stand in for real sign bits — scan latency depends only on shape."""
     import jax.numpy as jnp
 
     from tpuclip.ops.hamming import BINARY_TILE_N, binary_shortlist_q1, pack_bits_to_words
@@ -760,7 +767,8 @@ def bench_cascade_10m(jax, d=1152, k=20, chain=16):
             maxval=jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
         ).astype(jnp.uint32)
         col = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-        return jnp.where(col < n, m, 0)
+        # grouped device layout (see bench_binary_latency)
+        return jnp.reshape(jnp.where(col < n, m, 0), (w, 8, n_pad // 8))
 
     words = gen(jax.random.PRNGKey(3))
     words.block_until_ready()

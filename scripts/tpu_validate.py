@@ -182,17 +182,30 @@ def main(out_path: str) -> int:
     order = np.lexsort((np.arange(len(want)), -want))[:15]
     record("packed_binary_exact", np.array_equal(np.asarray(i)[0], order))
 
-    from tpuclip.ops.hamming import binary_topk_packed_pallas, pad_words_t
+    from tpuclip.ops.hamming import (
+        binary_topk_packed_pallas,
+        pad_words_grouped,
+        pad_words_t,
+    )
 
-    wt, nv = pad_words_t(pack_bits_to_words(bits))
+    # The production device layout is the pre-grouped (W, 8, Np/8) form;
+    # the (W, Np) words_t compat path (which retiles in-program) must agree.
+    wg, nv = pad_words_grouped(pack_bits_to_words(bits))
     sp, ip = binary_topk_packed_pallas(
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wg), 15,
+        n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    wt, _ = pad_words_t(pack_bits_to_words(bits))
+    sp2, ip2 = binary_topk_packed_pallas(
         jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt), 15,
         n_valid=jnp.asarray(nv, jnp.int32),
     )
     record(
         "packed_binary_pallas_grouped_exact",
         np.array_equal(np.asarray(ip)[0], order)
-        and np.array_equal(np.asarray(sp)[0], want[order]),
+        and np.array_equal(np.asarray(sp)[0], want[order])
+        and np.array_equal(np.asarray(ip2), np.asarray(ip))
+        and np.array_equal(np.asarray(sp2), np.asarray(sp)),
     )
 
     # Binary scores kernel (r3.4 cascade prefilter): raw counts must equal
@@ -203,7 +216,7 @@ def main(out_path: str) -> int:
 
     scores_flat = np.asarray(
         binary_scores_pallas(
-            jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt),
+            jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wg),
             n_valid=jnp.asarray(nv, jnp.int32),
         )
     )[0]
@@ -211,7 +224,7 @@ def main(out_path: str) -> int:
         scores_flat[:nv].astype(np.int64), want.astype(np.int64)
     ) and bool(np.all(np.isneginf(scores_flat[nv:])))
     ssl, isl = binary_shortlist_q1(
-        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt), 64,
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wg), 64,
         n_valid=jnp.asarray(nv, jnp.int32),
     )
     ssl, isl = np.asarray(ssl)[0], np.asarray(isl)[0]
@@ -226,6 +239,37 @@ def main(out_path: str) -> int:
         scores_ok and shortlist_ok,
         scores_exact=bool(scores_ok),
         shortlist_coverage=bool(shortlist_ok),
+    )
+
+    # Masked/filtered searches on the grouped-resident layout go through the
+    # XLA path's grouped branch (score in place, flatten the f32 scores) —
+    # must match the words_t branch and the host oracle exactly.
+    from tpuclip.ops.hamming import binary_topk_packed_t
+
+    padded_n = wt.shape[1]
+    mask_host = np.zeros((padded_n,), np.float32)
+    mask_host[::3] = -np.inf
+    sm, im = binary_topk_packed_t(
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wg), 15,
+        mask=jnp.asarray(mask_host), n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    sm2, im2 = binary_topk_packed_t(
+        jnp.asarray(pack_bits_to_words(qb)), jnp.asarray(wt), 15,
+        mask=jnp.asarray(mask_host), n_valid=jnp.asarray(nv, jnp.int32),
+    )
+    # int64 BEFORE the sentinel: -INT32_MIN wraps in int32 and would sort
+    # masked rows FIRST in the -want lexsort key
+    want_masked = np.where(
+        mask_host[: len(want)] < 0,
+        np.iinfo(np.int32).min,
+        want.astype(np.int64),
+    )
+    order_masked = np.lexsort((np.arange(len(want_masked)), -want_masked))[:15]
+    record(
+        "binary_grouped_masked_xla",
+        np.array_equal(np.asarray(im)[0], order_masked)
+        and np.array_equal(np.asarray(im2), np.asarray(im))
+        and np.array_equal(np.asarray(sm2), np.asarray(sm)),
     )
 
     # Device-side bit packer must agree with the host packer ON HARDWARE

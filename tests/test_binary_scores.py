@@ -2,8 +2,9 @@
 redesign): raw-match-counts Pallas kernel, flat-index == original-column
 contract, approx_max_k shortlist ordering, and the cascade integration.
 
-Hardware numbers (scripts/probe_binary_10m.py): 0.36 ms @1M / 2.4 ms @10M
-vs 0.95 / 17.1 ms for the XLA exact-top-640 path it replaces."""
+Hardware numbers (scripts/probe_shortlist_reshape.py, grouped-resident
+layout): 0.27 ms @1M / 1.92 ms @10M (~92% of HBM peak) vs 0.95 / 17.1 ms
+for the XLA exact-top-640 path it replaces."""
 
 import sqlite3
 
@@ -94,6 +95,62 @@ def test_binary_shortlist_q1_m_exceeds_valid_rows(packed):
     assert np.all(np.isneginf(s[20:]))
 
 
+def test_grouped_layout_agrees_with_words_t(packed):
+    """The production device layout is the pre-grouped (W, 8, Np/8) form
+    (pad_words_grouped) — every entry point must produce identical results
+    from either layout (the 2D form retiles in-program on TPU, see
+    scripts/probe_shortlist_reshape.py)."""
+    from tpuclip.ops.hamming import (
+        binary_topk_packed_pallas,
+        binary_topk_packed_t,
+        pad_words_grouped,
+    )
+
+    words, qwords = packed
+    wt, nv = pad_words_t(words)
+    wg, nv_g = pad_words_grouped(words)
+    assert nv_g == nv
+    assert wg.shape == (W, 8, wt.shape[1] // 8)
+    np.testing.assert_array_equal(wg.reshape(W, -1), wt)
+    nva = jnp.asarray(nv, jnp.int32)
+
+    s2 = np.asarray(binary_scores_pallas(
+        jnp.asarray(qwords), jnp.asarray(wt), n_valid=nva, interpret=True))
+    s3 = np.asarray(binary_scores_pallas(
+        jnp.asarray(qwords), jnp.asarray(wg), n_valid=nva, interpret=True))
+    np.testing.assert_array_equal(s2, s3)
+
+    a = binary_shortlist_q1(jnp.asarray(qwords), jnp.asarray(wt), 40,
+                            n_valid=nva, interpret=True)
+    b = binary_shortlist_q1(jnp.asarray(qwords), jnp.asarray(wg), 40,
+                            n_valid=nva, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    # XLA exact path, masked and unmasked
+    mask = np.zeros((wt.shape[1],), np.float32)
+    mask[::4] = -np.inf
+    for m in (None, jnp.asarray(mask)):
+        a = binary_topk_packed_t(jnp.asarray(qwords), jnp.asarray(wt), 12,
+                                 mask=m, n_valid=nva)
+        b = binary_topk_packed_t(jnp.asarray(qwords), jnp.asarray(wg), 12,
+                                 mask=m, n_valid=nva)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    # grouped-accepting Pallas top-k entry (q=1 kernel + q>1 XLA fallback)
+    qmulti = pack_bits_to_words(
+        np.random.default_rng(3).integers(0, 2, (3, DIM), dtype=np.uint8)
+    )
+    for q in (qwords, qmulti):
+        a = binary_topk_packed_pallas(jnp.asarray(q), jnp.asarray(wt), 12,
+                                      n_valid=nva, interpret=True)
+        b = binary_topk_packed_pallas(jnp.asarray(q), jnp.asarray(wg), 12,
+                                      n_valid=nva, interpret=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
 def _build_db(tmp_path, vecs, name="bs.db"):
     from tpuclip.index.store import MetadataStore
 
@@ -110,14 +167,17 @@ def _build_db(tmp_path, vecs, name="bs.db"):
     return store
 
 
-def _force_words_t_layout(index):
-    """Simulate the TPU-resident word-major layout on the CPU backend so the
-    scores prefilter path (gated to words_t) is exercisable in CI."""
+def _force_grouped_layout(index):
+    """Simulate the TPU-resident grouped word-major layout on the CPU backend
+    so the scores prefilter path (gated to grouped/words_t) is exercisable in
+    CI."""
+    from tpuclip.ops.hamming import pad_words_grouped
+
     words = np.asarray(index._bin_matrix)  # rows layout: (N, W) uint32
-    wt, nv = pad_words_t(words)
-    index._bin_matrix = jnp.asarray(wt)
+    wg, nv = pad_words_grouped(words)
+    index._bin_matrix = jnp.asarray(wg)
     index._bin_n_valid = jnp.asarray(nv, jnp.int32)
-    index._bin_layout = "words_t"
+    index._bin_layout = "grouped"
 
 
 def test_cascade_scores_prefilter_full_depth_equals_exact(tmp_path, monkeypatch):
@@ -133,7 +193,7 @@ def test_cascade_scores_prefilter_full_depth_equals_exact(tmp_path, monkeypatch)
     monkeypatch.setenv("TPUCLIP_CASCADE_PREFILTER", "scores")
     casc = DeviceIndex(store)
     casc.refresh()
-    _force_words_t_layout(casc)
+    _force_grouped_layout(casc)
     monkeypatch.delenv("TPUCLIP_SEARCH_MODE")
     monkeypatch.delenv("TPUCLIP_CASCADE_DEPTH")
     monkeypatch.delenv("TPUCLIP_CASCADE_PREFILTER")
@@ -166,7 +226,7 @@ def test_cascade_scores_prefilter_partial_depth(tmp_path, monkeypatch):
     monkeypatch.setenv("TPUCLIP_CASCADE_PREFILTER", "scores")
     casc = DeviceIndex(store)
     casc.refresh()
-    _force_words_t_layout(casc)
+    _force_grouped_layout(casc)
     monkeypatch.delenv("TPUCLIP_SEARCH_MODE")
     monkeypatch.delenv("TPUCLIP_CASCADE_DEPTH")
     monkeypatch.delenv("TPUCLIP_CASCADE_PREFILTER")

@@ -693,3 +693,135 @@ def test_sharded_int8_rerank_shape_boundary_fuzz(mesh8):
             np.testing.assert_allclose(
                 scores[qi][: len(want)], exact[qi][want], rtol=1e-5, atol=1e-6
             )
+
+
+def test_sharded_grouped_binary_topk_matches_single_device(mesh8):
+    """Exact mesh binary top-k over the per-shard GROUPED layout (the mesh
+    cascade's resident form) == single-device scan, ragged rows and folder
+    masks included."""
+    from tpuclip.ops.hamming import binary_topk_packed, pack_bits_to_words
+    from tpuclip.parallel.sharded_search import (
+        shard_words_grouped,
+        sharded_binary_topk_grouped,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d, k = 301, 128, 9
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qbits = (rng.standard_normal((2, d)) >= 0).astype(np.uint8)
+    words = pack_bits_to_words(bits)
+    qwords = pack_bits_to_words(qbits)
+
+    grouped, rps, nv = shard_words_grouped(words, mesh8, tile_n=64)
+    assert nv == n
+
+    ref_s, ref_i = binary_topk_packed(jnp.asarray(qwords), jnp.asarray(words), k)
+    s, i = sharded_binary_topk_grouped(
+        jnp.asarray(qwords), grouped, k, mesh8,
+        jnp.asarray(nv, jnp.int32), rps,
+    )
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+    # folder mask over the global padded width
+    padded_n = grouped.shape[0] * rps
+    mask = np.zeros((padded_n,), np.float32)
+    mask[::2] = -np.inf
+    ref_ms, ref_mi = binary_topk_packed(
+        jnp.asarray(qwords), jnp.asarray(words), k,
+        mask=jnp.asarray(mask[:n]),
+    )
+    ms, mi = sharded_binary_topk_grouped(
+        jnp.asarray(qwords), grouped, k, mesh8,
+        jnp.asarray(nv, jnp.int32), rps, mask=jnp.asarray(mask),
+    )
+    np.testing.assert_array_equal(np.asarray(ms), np.asarray(ref_ms))
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(ref_mi))
+
+
+def test_sharded_binary_shortlist_matches_single_device(mesh8):
+    """Mesh scores-kernel shortlist at full depth returns exactly the valid
+    rows with exact scores, in (score desc, idx asc) order — parity with the
+    single-device binary_shortlist_q1."""
+    from tpuclip.ops.hamming import (
+        binary_shortlist_q1,
+        pack_bits_to_words,
+        pad_words_grouped,
+    )
+    from tpuclip.parallel.sharded_search import (
+        shard_words_grouped,
+        sharded_binary_shortlist,
+    )
+
+    rng = np.random.default_rng(14)
+    n, d = 300, 128
+    bits = (rng.standard_normal((n, d)) >= 0).astype(np.uint8)
+    qwords = pack_bits_to_words(
+        (rng.standard_normal((1, d)) >= 0).astype(np.uint8)
+    )
+    words = pack_bits_to_words(bits)
+
+    grouped, rps, nv = shard_words_grouped(words, mesh8, tile_n=64)
+    m = n  # full depth: exact content guaranteed
+    s, i = sharded_binary_shortlist(
+        jnp.asarray(qwords), grouped, m, mesh8,
+        jnp.asarray(nv, jnp.int32), rps, interpret=True,
+    )
+    wg, nv1 = pad_words_grouped(words, tile_n=64)
+    ref_s, ref_i = binary_shortlist_q1(
+        jnp.asarray(qwords), jnp.asarray(wg), m,
+        n_valid=jnp.asarray(nv1, jnp.int32), tile_n=64, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_mesh_cascade_device_index(mesh8, tmp_path, monkeypatch):
+    """DeviceIndex(mesh=...) in cascade mode: no flat matrix resident
+    (per-chip HBM = packed bits only), results identical to the exact
+    single-device search at full depth, folder filters included — both the
+    exact sharded prefilter (auto on CPU) and the scores one (=scores)."""
+    import sqlite3
+
+    from tpuclip.index.search import DeviceIndex
+    from tpuclip.index.store import MetadataStore
+
+    rng = np.random.default_rng(15)
+    n, d, k = 300, 64, 9
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    store = MetadataStore(str(tmp_path / "mc.db"), embedding_dim=d)
+    store.init_schema(verbose=False)
+    conn = sqlite3.connect(store.db_path)
+    store.commit_with_retry(
+        conn.cursor(), conn,
+        [
+            (f"/data/{'a' if i % 2 else 'b'}/img{i}.jpg", float(i), f"h{i}", vecs[i])
+            for i in range(n)
+        ],
+        save_full_embeddings=True,
+    )
+    conn.close()
+
+    exact = DeviceIndex(store)
+    q = rng.standard_normal(d).astype(np.float32)
+
+    monkeypatch.setenv("TPUCLIP_SEARCH_MODE", "cascade")
+    monkeypatch.setenv("TPUCLIP_CASCADE_DEPTH", str(n))
+    for prefilter in ("auto", "scores"):
+        monkeypatch.setenv("TPUCLIP_CASCADE_PREFILTER", prefilter)
+        casc = DeviceIndex(store, mesh=mesh8)
+        casc.refresh()
+        assert casc._cascade and casc._matrix is None
+        assert casc._bin_layout == "grouped_sharded"
+        got = casc.search(q, k)
+        want = exact.search(q, k)
+        assert [p for p, _ in got] == [p for p, _ in want], prefilter
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-5
+        )
+        # folder filter rides the masked sharded exact prefilter
+        fg = casc.search(q, k, filter_folders=["/data/a"])
+        fw = exact.search(q, k, filter_folders=["/data/a"])
+        assert [p for p, _ in fg] == [p for p, _ in fw], prefilter
+        assert all("/data/a/" in p for p, _ in fg)

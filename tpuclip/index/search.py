@@ -107,10 +107,12 @@ class DeviceIndex:
         self._n_valid: Optional[jnp.ndarray] = None
         self._bin_ids: Optional[np.ndarray] = None
         # Packed binary matrix: (N, W) "rows" layout (CPU / mesh-sharded) or
-        # word-major (W, Np) "words_t" (single-device TPU, Pallas kernel).
+        # sublane-grouped word-major (W, 8, Np/8) "grouped" (single-device
+        # TPU, Pallas kernels — see ops/hamming.pad_words_grouped).
         self._bin_matrix: Optional[jnp.ndarray] = None
         self._bin_n_valid: Optional[jnp.ndarray] = None
         self._bin_layout: str = "rows"
+        self._bin_shard_rows: int = 0  # rows/shard, "grouped_sharded" layout
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
 
@@ -144,13 +146,11 @@ class DeviceIndex:
         # whole point.
         self._cascade = False
         if self.search_mode == "cascade" and len(ids):
-            if self.mesh is not None:
-                log(
-                    "  [WARNING] cascade search mode is single-device; a mesh "
-                    "is configured, so the sharded exact scan serves instead "
-                    "(expect the full int8+rerank HBM footprint)"
-                )
-            elif len(bin_ids) == len(ids) and np.array_equal(bin_ids, ids):
+            if len(bin_ids) == len(ids) and np.array_equal(bin_ids, ids):
+                # Mesh or single device: the packed prefilter shards row-wise
+                # (per-shard grouped blocks, parallel/sharded_search.py
+                # shard_words_grouped) so per-chip HBM stays N/(8*ndev)
+                # bytes/row — a v5e-8 holds 80M rows at ~1.4 GB/chip.
                 self._cascade = True
             else:
                 log(
@@ -319,15 +319,30 @@ class DeviceIndex:
             self._bin_n_valid = jnp.asarray(words.shape[0], jnp.int32)
             self._bin_layout = "rows"
             if self.mesh is None and jax.default_backend() == "tpu":
-                # Word-major (W, Np) layout feeds the streaming Pallas
-                # AND+popcount kernel (reads at HBM bandwidth; the XLA
-                # lowering of the row-major einsum measured 4.4 ms/1M rows).
-                from tpuclip.ops.hamming import pad_words_t
+                # Sublane-grouped (W, 8, Np/8) word-major layout feeds the
+                # streaming Pallas AND+popcount kernels (reads at HBM
+                # bandwidth; the XLA lowering of the row-major einsum
+                # measured 4.4 ms/1M rows). Uploaded pre-grouped: a (W, Np)
+                # resident array retiles to this layout at ~300 GB/s on
+                # EVERY query (+9.6 ms at 10M rows,
+                # scripts/probe_shortlist_reshape.py).
+                from tpuclip.ops.hamming import pad_words_grouped
 
-                wt, nv = pad_words_t(words)
-                self._bin_matrix = jax.device_put(jnp.asarray(wt), self.device)
+                wg, nv = pad_words_grouped(words)
+                self._bin_matrix = jax.device_put(jnp.asarray(wg), self.device)
                 self._bin_n_valid = jnp.asarray(nv, jnp.int32)
-                self._bin_layout = "words_t"
+                self._bin_layout = "grouped"
+            elif self.mesh is not None and self._cascade:
+                # Mesh cascade: per-shard grouped blocks so each chip streams
+                # its rows through the binary Pallas kernels at HBM bandwidth
+                # (parallel/sharded_search.py: shard_words_grouped).
+                from tpuclip.parallel.sharded_search import shard_words_grouped
+
+                self._bin_matrix, self._bin_shard_rows, nv = shard_words_grouped(
+                    words, self.mesh
+                )
+                self._bin_n_valid = jnp.asarray(nv, jnp.int32)
+                self._bin_layout = "grouped_sharded"
             elif self.mesh is not None:
                 # Row-shard the packed words over the data axis (zero rows
                 # pad to the mesh multiple; masked out via _bin_n_valid).
@@ -348,6 +363,7 @@ class DeviceIndex:
             self._bin_matrix = None
             self._bin_n_valid = None
             self._bin_layout = "rows"
+            self._bin_shard_rows = 0
         self._fingerprint = fp
         self._mask_cache.clear()
         if len(ids) or len(bin_ids):
@@ -820,16 +836,27 @@ class DeviceIndex:
         return out_s, out_r
 
     def _binary_padded_n(self) -> int:
-        return (
-            self._bin_matrix.shape[1]
-            if self._bin_layout == "words_t"
-            else self._bin_matrix.shape[0]
-        )
+        if self._bin_layout == "grouped_sharded":
+            return self._bin_matrix.shape[0] * self._bin_shard_rows
+        if self._bin_layout == "grouped":
+            return self._bin_matrix.shape[1] * self._bin_matrix.shape[2]
+        if self._bin_layout == "words_t":
+            return self._bin_matrix.shape[1]
+        return self._bin_matrix.shape[0]
 
     def _binary_topk_raw(self, qwords, k, mask):
         """Layout-dispatched packed-binary top-k for (Q, W) packed queries;
         returns (matches, rows) device arrays (shared by the binary search
         and the cascade prefilter)."""
+        if self._bin_layout == "grouped_sharded":
+            from tpuclip.parallel.sharded_search import (
+                sharded_binary_topk_grouped,
+            )
+
+            return sharded_binary_topk_grouped(
+                jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
+                self._bin_n_valid, self._bin_shard_rows, mask=mask,
+            )
         if self.mesh is not None:
             from tpuclip.parallel.sharded_search import sharded_binary_topk
 
@@ -837,7 +864,7 @@ class DeviceIndex:
                 jnp.asarray(qwords), self._bin_matrix, k, self.mesh,
                 self._bin_n_valid, mask=mask,
             )
-        if self._bin_layout == "words_t":
+        if self._bin_layout in ("grouped", "words_t"):
             from tpuclip.ops.hamming import (
                 BINARY_TILE_N,
                 binary_topk_packed_pallas,
@@ -906,13 +933,17 @@ class DeviceIndex:
         rows (Q, m) i32).
 
         Single-query, unmasked prefilters take the scores-kernel +
-        approx_max_k path at 2x-oversampled depth: 7x faster at 10M rows
-        (2.4 vs 17.1 ms, scripts/probe_binary_10m.py) and the exact rescore
-        sees ~2x more candidates, so recall is at least the exact-depth
-        prefilter's minus the ~0.3-0.6% of above-boundary rows the
-        PartialReduce can drop. TPUCLIP_CASCADE_PREFILTER=exact restores
-        the exact-content XLA path; =scores forces the approx path off-TPU
-        (interpret-mode kernel, CPU tests)."""
+        approx_max_k path at 2x-oversampled depth: 1.92 ms at 10M rows on
+        the grouped-resident layout (~92% of HBM peak) vs 17.1 ms for the
+        XLA exact path (scripts/probe_shortlist_reshape.py,
+        probe_binary_10m.py), and the exact rescore sees ~2x more
+        candidates, so recall is at least the exact-depth prefilter's minus
+        the ~0.3-0.6% of above-boundary rows the PartialReduce can drop.
+        Under a mesh the per-shard variant serves
+        (parallel/sharded_search.py: sharded_binary_shortlist).
+        TPUCLIP_CASCADE_PREFILTER=exact restores the exact-content path;
+        =scores forces the approx path off-TPU (interpret-mode kernel, CPU
+        tests)."""
         import os
 
         from tpuclip.ops.hamming import BINARY_TILE_N, binary_shortlist_q1
@@ -924,17 +955,28 @@ class DeviceIndex:
             mode in ("auto", "scores")
             and mask is None
             and qwords.shape[0] == 1
-            and self._bin_layout == "words_t"
+            and self._bin_layout in ("grouped", "words_t", "grouped_sharded")
             and padded_n >= BINARY_TILE_N
             and padded_n % BINARY_TILE_N == 0
             and (on_tpu or mode == "scores")
         )
         if eligible:
             m = int(min(2 * depth, len(self._ids)))
-            s, i = binary_shortlist_q1(
-                jnp.asarray(qwords), self._bin_matrix, m,
-                n_valid=self._bin_n_valid, interpret=not on_tpu,
-            )
+            if self._bin_layout == "grouped_sharded":
+                from tpuclip.parallel.sharded_search import (
+                    sharded_binary_shortlist,
+                )
+
+                s, i = sharded_binary_shortlist(
+                    jnp.asarray(qwords), self._bin_matrix, m, self.mesh,
+                    self._bin_n_valid, self._bin_shard_rows,
+                    interpret=not on_tpu,
+                )
+            else:
+                s, i = binary_shortlist_q1(
+                    jnp.asarray(qwords), self._bin_matrix, m,
+                    n_valid=self._bin_n_valid, interpret=not on_tpu,
+                )
             return np.asarray(s), np.asarray(i)
         matches, rows = self._binary_topk_raw(qwords, depth, mask)
         matches = np.asarray(matches).astype(np.float32)

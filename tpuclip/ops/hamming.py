@@ -102,6 +102,33 @@ def pad_words_t(words: np.ndarray, tile_n: int = BINARY_TILE_N):
     return wt, n
 
 
+def pad_words_grouped(words: np.ndarray, tile_n: int = BINARY_TILE_N):
+    """Host-side: (N, W) packed words → the sublane-grouped (W, 8, Np/8)
+    device layout. Returns (grouped, n_valid).
+
+    This is THE layout to keep resident on TPU: grouped element (w, g, j)
+    is words_t column g*Np/8 + j, a free C-order view on host — but on
+    device the 3D array's physical tiling puts the 8-group in sublanes,
+    which is exactly what the q1/scores kernels exploit AND a ~300 GB/s
+    retiling copy if converted per query. A ``jnp.reshape`` from (W, Np)
+    inside a jitted program measured +9.6 ms/query at 10M rows
+    (scripts/probe_shortlist_reshape.py); uploading the grouped view
+    directly costs nothing."""
+    wt, n = pad_words_t(words, tile_n)
+    w, n_pad = wt.shape
+    return wt.reshape(w, 8, n_pad // 8), n
+
+
+def _as_grouped(words: jnp.ndarray) -> Tuple[jnp.ndarray, int]:
+    """Normalize (W, Np) words_t or (W, 8, Np/8) grouped input → (grouped,
+    padded_n). The 2D→3D reshape is a physical retiling copy on TPU — pass
+    the grouped layout (pad_words_grouped) for device-resident matrices."""
+    if words.ndim == 3:
+        return words, words.shape[1] * words.shape[2]
+    w_words, n = words.shape
+    return jnp.reshape(words, (w_words, 8, n // 8)), n
+
+
 def _binary_topk_kernel(
     q_ref, m_ref, nvalid_ref, scores_ref, idx_ref, *, k: int, k_pad: int, tile_n: int
 ):
@@ -155,11 +182,16 @@ def binary_topk_packed_pallas(
     tile_n: int = BINARY_TILE_N,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Streaming packed-binary top-k. query_words (Q, W) uint32; words_t
-    (W, Np) word-major (see pad_words_t). Same ordering semantics as
+    """Streaming packed-binary top-k. query_words (Q, W) uint32; the matrix
+    in the grouped (W, 8, Np/8) device layout (preferred on TPU, see
+    pad_words_grouped) or (W, Np) words_t. Same ordering semantics as
     binary_topk_packed (score desc, ties to lowest index)."""
     q_count, w_words = query_words.shape
-    n = words_t.shape[1]
+    n = (
+        words_t.shape[1] * words_t.shape[2]
+        if words_t.ndim == 3
+        else words_t.shape[1]
+    )
     if n_valid is None:
         n_valid = jnp.asarray(n, jnp.int32)
     k_eff = min(k, n) if n > 0 else 0
@@ -168,12 +200,21 @@ def binary_topk_packed_pallas(
             jnp.zeros((q_count, 0), jnp.int32),
             jnp.zeros((q_count, 0), jnp.int32),
         )
-    assert n % tile_n == 0, "pad with pad_words_t at upload time"
+    assert n % tile_n == 0, "pad with pad_words_grouped at upload time"
     if q_count == 1:
         # Sublane-grouped single-query kernel: ~8x less VPU work (see
         # _binary_topk_q1_kernel) — the interactive/serving case.
         return _binary_topk_q1(
             query_words, words_t, k_eff, n_valid, tile_n, interpret=interpret
+        )
+    if words_t.ndim == 3:
+        # Batched queries against the grouped-resident matrix: the (Qp, Np)
+        # 2D-block kernel below would need the words_t retiling this layout
+        # exists to avoid, so score via XLA on the grouped array instead
+        # (cheap f32 score flatten, exact top-k; rare path — batched binary
+        # searches on a binary-only DB).
+        return binary_topk_packed_t(
+            query_words, words_t, k_eff, n_valid=n_valid
         )
     num_tiles = n // tile_n
 
@@ -267,12 +308,12 @@ def _binary_topk_q1(
     tile_n: int,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    w_words, n = words_t.shape
+    grouped, n = _as_grouped(words_t)
+    w_words = grouped.shape[0]
     k_eff = min(k, n)
     np8 = n // 8
     tile_j = tile_n // 8
     num_tiles = np8 // tile_j
-    grouped = jnp.reshape(words_t, (w_words, 8, np8))  # free: C-order view
     q_smem = jnp.reshape(query_words, (1, w_words)).astype(jnp.uint32)
     nvalid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
     k_pad = -(-k_eff // 128) * 128
@@ -340,16 +381,18 @@ def binary_scores_pallas(
     tile_n: int = BINARY_TILE_N,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(1, W) packed query × (W, Np) word-major matrix → (1, Np) f32 raw
-    match counts (flat index == original column; padding columns -inf)."""
-    w_words, n = words_t.shape
-    assert n % tile_n == 0, "pad with pad_words_t at upload time"
+    """(1, W) packed query × word-major matrix — (W, 8, Np/8) grouped
+    (preferred on TPU, see pad_words_grouped) or (W, Np) words_t — →
+    (1, Np) f32 raw match counts (flat index == original column; padding
+    columns -inf)."""
+    grouped, n = _as_grouped(words_t)
+    w_words = grouped.shape[0]
+    assert n % tile_n == 0, "pad with pad_words_grouped at upload time"
     if n_valid is None:
         n_valid = jnp.asarray(n, jnp.int32)
     np8 = n // 8
     tile_j = tile_n // 8
     num_tiles = np8 // tile_j
-    grouped = jnp.reshape(words_t, (w_words, 8, np8))  # free: C-order view
     q_smem = jnp.reshape(query_words, (1, w_words)).astype(jnp.uint32)
     nvalid_arr = jnp.reshape(n_valid.astype(jnp.int32), (1, 1))
 
@@ -388,14 +431,20 @@ def binary_shortlist_q1(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate top-``m`` binary shortlist: scores kernel +
     ``lax.approx_max_k`` (TPU PartialReduce) instead of in-kernel
-    extraction or batched XLA top_k — measured 0.36 ms at 1M rows and
-    2.4 ms at 10M vs 0.95/17.1 ms for the XLA top-640 path
-    (scripts/probe_binary_10m.py). Coverage of the exact top-(m/2) is
+    extraction or batched XLA top_k — measured 0.27 ms at 1M rows and
+    1.92 ms at 10M on the grouped-resident layout (92% of HBM peak) vs
+    0.95/17.1 ms for the XLA top-640 path (scripts/probe_binary_10m.py,
+    probe_shortlist_reshape.py). Coverage of the exact top-(m/2) is
     ~99.4-99.7% on random bits; callers that need an exact-content
-    shortlist should use binary_topk_packed_t. Returns
-    ((1, m) f32 match counts, (1, m) i32 columns), ordered
+    shortlist should use binary_topk_packed_t. Accepts the grouped
+    (W, 8, Np/8) device layout (preferred on TPU) or (W, Np) words_t.
+    Returns ((1, m) f32 match counts, (1, m) i32 columns), ordered
     (score desc, idx asc); padding/overflow lanes carry -inf."""
-    w_words, n = words_t.shape
+    n = (
+        words_t.shape[1] * words_t.shape[2]
+        if words_t.ndim == 3
+        else words_t.shape[1]
+    )
     m_eff = min(m, n)
     scores = binary_scores_pallas(
         query_words, words_t, n_valid=n_valid, tile_n=tile_n,
@@ -435,15 +484,31 @@ def binary_topk_packed_t(
     mask: Optional[jnp.ndarray] = None,
     n_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """XLA path over the word-major (W, Np) layout (masked/filtered searches
-    share the pallas kernel's resident matrix instead of re-uploading)."""
-    n = words_t.shape[1]
+    """XLA path over the word-major layout — (W, 8, Np/8) grouped (preferred
+    on TPU) or (W, Np) words_t (masked/filtered searches share the pallas
+    kernel's resident matrix instead of re-uploading)."""
+    if words_t.ndim == 3:
+        n = words_t.shape[1] * words_t.shape[2]
+    else:
+        n = words_t.shape[1]
     k_eff = min(k, n) if n > 0 else 0
     if k_eff == 0:
         q = query_words.shape[0]
         return jnp.zeros((q, 0), jnp.int32), jnp.zeros((q, 0), jnp.int32)
-    anded = jnp.bitwise_and(query_words[:, :, None], words_t[None, :, :])
-    scores = jnp.sum(jax.lax.population_count(anded).astype(jnp.int32), axis=1)
+    if words_t.ndim == 3:
+        # Grouped layout: score in place, then flatten the (8, Np/8) score
+        # block — its C-order flat index IS the original column (see
+        # _binary_scores_kernel), and retiling N f32 scores is ~32x cheaper
+        # than retiling the W-word matrix.
+        anded = jnp.bitwise_and(
+            query_words[:, :, None, None], words_t[None, :, :, :]
+        )
+        scores = jnp.sum(
+            jax.lax.population_count(anded).astype(jnp.int32), axis=1
+        ).reshape(query_words.shape[0], n)
+    else:
+        anded = jnp.bitwise_and(query_words[:, :, None], words_t[None, :, :])
+        scores = jnp.sum(jax.lax.population_count(anded).astype(jnp.int32), axis=1)
     if mask is not None:
         scores = jnp.where(mask[None, :] < 0, _INT_SENTINEL, scores)
     if n_valid is not None:

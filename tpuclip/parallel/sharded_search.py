@@ -348,6 +348,148 @@ def _sharded_binary_topk_impl(query_words, matrix_words, k, mesh, n_valid, mask,
     )(query_words, matrix_words, n_valid.astype(jnp.int32), mask)
 
 
+def shard_words_grouped(words, mesh: Mesh, tile_n: int = None):
+    """Host (N, W) packed words → per-shard sublane-grouped layout for the
+    mesh cascade: a (ndev, W, 8, rps/8) array sharded on axis 0, where shard
+    ``s`` holds the ORIGINAL row block [s*rps, (s+1)*rps) in the grouped
+    word-major form the binary Pallas kernels stream at HBM bandwidth
+    (ops/hamming.pad_words_grouped — uploading pre-grouped avoids the
+    ~300 GB/s per-query retile a words_t-resident array pays).
+
+    Returns (sharded_device_array, rps, n_valid). Global row recovery is
+    ``s * rps + local_col``; rows past ``n_valid`` in the last shard(s) are
+    zero padding, masked shard-locally via clip(n_valid - s*rps, 0, rps).
+    """
+    import numpy as np
+
+    from tpuclip.ops.hamming import BINARY_TILE_N
+
+    if tile_n is None:
+        tile_n = BINARY_TILE_N
+    n, w = words.shape
+    ndev = mesh.shape[DATA_AXIS]
+    rps = -(-max(-(-n // ndev), 1) // tile_n) * tile_n  # rows/shard, tile-aligned
+    total = ndev * rps
+    if total > n:
+        words = np.concatenate(
+            [words, np.zeros((total - n, w), words.dtype)], axis=0
+        )
+    # per-shard grouped views: (W, rps) word-major -> (W, 8, rps/8)
+    blocks = words.reshape(ndev, rps, w)
+    grouped = np.ascontiguousarray(
+        blocks.transpose(0, 2, 1)
+    ).reshape(ndev, w, 8, rps // 8)
+    arr = jax.device_put(
+        jnp.asarray(grouped), NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+    )
+    return arr, rps, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "mesh", "shard_rows", "interpret")
+)
+def sharded_binary_shortlist(
+    query_words, grouped_sh, m, mesh, n_valid, shard_rows, interpret=False
+):
+    """Mesh cascade prefilter, single unmasked query: each shard runs the
+    grouped scores kernel + ``approx_max_k`` over its row block
+    (ops/hamming.binary_shortlist_q1 — measured ~92% of HBM peak per chip),
+    then one O(ndev*m) all_gather merges the shortlists. Returns
+    ((1, m_eff) f32 match counts, (1, m_eff) i32 GLOBAL rows), ordered
+    (score desc, idx asc); invalid lanes carry -inf. Approximate with the
+    same coverage contract as the single-device shortlist — callers rescore
+    against full-precision rows."""
+    from tpuclip.ops.hamming import BINARY_TILE_N, binary_shortlist_q1
+
+    ndev = mesh.shape[DATA_AXIS]
+    m_local = min(m, shard_rows)
+    m_eff = min(m, ndev * shard_rows)
+    # shards smaller than the default kernel tile (CPU-mesh tests) run a
+    # shard-sized tile; production shards are BINARY_TILE_N multiples
+    tile = min(BINARY_TILE_N, shard_rows)
+
+    def local(q, g_block, nv):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_rows
+        local_nv = jnp.clip(nv - base, 0, shard_rows)
+        s, i = binary_shortlist_q1(
+            q, g_block[0], m_local, n_valid=local_nv, tile_n=tile,
+            interpret=interpret,
+        )
+        gi = jnp.where(jnp.isneginf(s), jnp.iinfo(jnp.int32).max, i + base)
+        return _merge_shard_candidates(s, gi, ndev, m_eff)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None, None, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query_words, grouped_sh, n_valid.astype(jnp.int32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "shard_rows", "has_mask")
+)
+def _sharded_binary_topk_grouped_impl(
+    query_words, grouped_sh, k, mesh, n_valid, shard_rows, mask, has_mask
+):
+    from tpuclip.ops.hamming import binary_topk_packed_t
+
+    ndev = mesh.shape[DATA_AXIS]
+    k_local = min(k, shard_rows)
+    k_eff = min(k, ndev * shard_rows)
+    sentinel = jnp.iinfo(jnp.int32).min
+
+    def local(q, g_block, nv, mask_sh):
+        my = jax.lax.axis_index(DATA_AXIS)
+        base = my * shard_rows
+        local_nv = jnp.clip(nv - base, 0, shard_rows)
+        local_mask = mask_sh[0] if has_mask else None
+        s, i = binary_topk_packed_t(
+            q, g_block[0], k_local, mask=local_mask, n_valid=local_nv
+        )
+        gi = jnp.where(s <= sentinel + 1, jnp.iinfo(jnp.int32).max, i + base)
+        s, gi = _pad_local_candidates(s, gi, k_eff, sentinel)
+        s_all = jax.lax.all_gather(s, DATA_AXIS)
+        i_all = jax.lax.all_gather(gi, DATA_AXIS)
+        q_count = q.shape[0]
+        s_flat = jnp.transpose(s_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        i_flat = jnp.transpose(i_all, (1, 0, 2)).reshape(q_count, ndev * k_eff)
+        from tpuclip.ops.hamming import _merge_int_candidates
+
+        return _merge_int_candidates(s_flat, i_flat, k_eff)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None, None, None), P(), P(None, DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(query_words, grouped_sh, n_valid.astype(jnp.int32), mask)
+
+
+def sharded_binary_topk_grouped(
+    query_words, grouped_sh, k, mesh, n_valid, shard_rows, mask=None
+):
+    """Exact mesh binary top-k over the per-shard GROUPED layout
+    (shard_words_grouped): masked/batched cascade prefilters and binary
+    searches share the cascade's resident array instead of needing a second
+    rows-layout copy. Integer-exact (score desc, global idx asc) ordering,
+    parity with the single-device binary_topk_packed_t. ``mask`` is the
+    additive -inf/0 folder mask over the global padded width
+    (ndev * shard_rows), column-sharded alongside the matrix."""
+    has_mask = mask is not None
+    total = mesh.shape[DATA_AXIS] * shard_rows
+    if mask is None:
+        mask = jnp.zeros((1, total), jnp.float32)
+    else:
+        mask = jnp.reshape(mask, (1, -1)).astype(jnp.float32)
+    return _sharded_binary_topk_grouped_impl(
+        query_words, grouped_sh, k, mesh, n_valid, shard_rows, mask, has_mask
+    )
+
+
 def sharded_binary_topk(query_words, matrix_words, k, mesh, n_valid, mask=None):
     """Distributed packed-binary top-k: (N, W) uint32 words ROW-sharded over
     ``data`` (the packed layout is row-major, unlike the feature-major float
