@@ -1002,6 +1002,26 @@ def bench_end_to_end_scan(jax):
         decode_rate = count / (time.perf_counter() - t0)
         _dbg(f"e2e: decode-only pass done ({decode_rate:.0f} img/s)")
 
+        # Host->device upload bandwidth on a batch-sized pixel array: the dev
+        # tunnel's upload rate fluctuates 14-36 MB/s run to run (production
+        # PCIe hosts move GB/s), and at ~150 KB/image it often BOUNDS the e2e
+        # number — recording it makes a low e2e reading self-explaining.
+        import jax.numpy as _jnp
+
+        px = np.zeros((batch, 224, 224, 3), np.uint8)
+        # Warm the EXACT measured sequence (the scalar-slice fetch compiles
+        # a gather program on first use — without this, that compile lands
+        # inside the timed window).
+        _ = np.asarray(jax.device_put(px)[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        reps = 3
+        for _i in range(reps):
+            px[0, 0, 0, 0] = _i  # defeat any array-identity caching
+            dev = jax.device_put(px)
+            _ = np.asarray(dev[0, 0, 0, 0])  # host fetch = real barrier here
+        upload_mb_s = reps * px.nbytes / 1e6 / (time.perf_counter() - t0)
+        _dbg(f"e2e: upload bandwidth {upload_mb_s:.1f} MB/s")
+
         # TPUCLIP_BENCH_E2E_MODEL: CPU smoke runs override to the tiny preset
         # (SO400M on a CPU host is ~7 s/img — the path, not the number, is
         # what a smoke run validates). Real runs keep the flagship default.
@@ -1033,7 +1053,7 @@ def bench_end_to_end_scan(jax):
         # serving-path bench after it).
         _E2E_STATE["engine"] = engine
         _E2E_STATE["tmp"] = tmp
-        return n / dt, decode_rate
+        return n / dt, decode_rate, upload_mb_s
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
@@ -1270,13 +1290,14 @@ def main():
             RESULT["indexing_images_per_min"] = round(ips * 60)
 
         def _e2e():
-            e2e_per_sec, decode_rate = bench_end_to_end_scan(jax)
+            e2e_per_sec, decode_rate, upload_mb_s = bench_end_to_end_scan(jax)
             RESULT["end_to_end_images_per_sec"] = round(e2e_per_sec, 1)
             RESULT["end_to_end_images_per_min"] = round(e2e_per_sec * 60)
             RESULT["end_to_end_workload"] = (
                 "1024x768 JPEG tree, fast-decode, full scan pipeline"
             )
             RESULT["host_decode_images_per_sec"] = round(decode_rate, 1)
+            RESULT["host_to_device_upload_mb_s"] = round(upload_mb_s, 1)
             if RESULT.get("indexing_images_per_sec"):
                 # Fraction of the device embed ceiling the host pipeline
                 # sustains — quantifies how decode/transfer-bound this

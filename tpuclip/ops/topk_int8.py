@@ -467,6 +467,19 @@ import os as _os
 
 _SCORES_HBM_CAP_MB = float(_os.environ.get("TPUCLIP_SCORES_HBM_MB", "1024"))
 
+# approx_max_k recall target for the verified shortlist. Swept on v5e at
+# 1M x 1152 (scripts/probe_verified_config.py): higher targets DO push the
+# proof-pass rate to ~1.0 (0.999 → 188-192/192) but the PartialReduce keeps
+# so many more per-bin candidates that the fused program slows past the
+# fallback it avoids — device p50 3.5/5.7/10.9 ms at m=128/256/512 with
+# r=0.999 vs 1.56 ms shipped. Expected latency favors the shipped config:
+# 0.906 x 1.56 + 0.094 x (1.56 + 3.19 extract re-run) ≈ 1.86 ms mean,
+# p99 ≈ 4.8 ms — every always-pass config has a WORSE p50 than that p99
+# basis. Keep 0.95; the env knob exists for distribution-specific tuning.
+_SHORTLIST_RECALL = float(
+    _os.environ.get("TPUCLIP_SHORTLIST_RECALL", "0.95")
+)
+
 
 def resolve_shortlist_method(q_count: int, on_tpu: bool) -> str:
     """Default policy, env-overridable via TPUCLIP_SHORTLIST."""
@@ -541,7 +554,7 @@ def topk_int8_xla(
     jax.jit,
     static_argnames=(
         "k", "shortlist", "tile_n", "use_pallas", "use_packed", "interpret",
-        "shortlist_method",
+        "shortlist_method", "shortlist_recall",
     ),
 )
 def topk_int8_rerank_fused(
@@ -557,6 +570,7 @@ def topk_int8_rerank_fused(
     use_packed: bool = True,
     interpret: bool = False,
     shortlist_method: Optional[str] = None,
+    shortlist_recall: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ONE device program: int8 scan -> top-``shortlist`` merge -> gather the
     shortlisted rows from the resident full-precision matrix -> exact rescore
@@ -654,7 +668,11 @@ def topk_int8_rerank_fused(
         else:
             top_s, cand, shortlist_ok = _verified_shortlist(
                 scores_all, m, verify_depth=min(m, max(64, 4 * k_eff)),
-                recall_target=0.95,
+                recall_target=(
+                    _SHORTLIST_RECALL
+                    if shortlist_recall is None
+                    else shortlist_recall
+                ),
             )
         cand_invalid = jnp.isneginf(top_s)
     elif use_pallas and n >= tile_n and n % tile_n == 0:
