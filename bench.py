@@ -1276,6 +1276,18 @@ def main():
             dev, amort = bench_query_latency_int8_fused(jax, n, chain=chain)
             RESULT["int8_fused_extract_p50_ms"] = round(dev, 3)
             RESULT["int8_fused_extract_chained_ms"] = round(amort, 3)
+            # Tail honesty: the headline p50 is the verified fast path; a
+            # proof-miss query (rate = 1 - shortlist_ok_rate) pays the fused
+            # program AND this extract re-run. Derive the distribution the
+            # serving path actually delivers (device time, single query).
+            if RESULT.get("value") and RESULT.get("shortlist_ok_rate"):
+                p50 = RESULT["value"]
+                miss = 1.0 - RESULT["shortlist_ok_rate"]
+                RESULT["headline_mean_ms"] = round(p50 + miss * dev, 3)
+                # >1% miss rate puts the fallback inside the p99
+                RESULT["headline_p99_ms"] = round(
+                    p50 + (dev if miss > 0.01 else 0.0), 3
+                )
 
         def _bf16_scan():
             # r1/r2 headline basis, kept for cross-round continuity.

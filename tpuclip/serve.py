@@ -75,6 +75,7 @@ class ServerMetrics:
             arr = np.array(lat)
             out["search_p50_ms"] = round(float(np.percentile(arr, 50)), 2)
             out["search_p90_ms"] = round(float(np.percentile(arr, 90)), 2)
+            out["search_p99_ms"] = round(float(np.percentile(arr, 99)), 2)
         return out
 
 
