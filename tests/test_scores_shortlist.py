@@ -184,3 +184,24 @@ def test_bf16_rows_verified_matches_extract():
     assert bool(np.asarray(ok))
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("recall", [0.9, 0.999])
+def test_shortlist_recall_static_arg(recall):
+    """`shortlist_recall` (new in r3.6: the approx_max_k recall target is a
+    sweepable static arg, probed in scripts/probe_verified_config.py) must
+    retrace per value and leave CPU results exact regardless of target
+    (CPU approx_max_k reduces to exact top_k)."""
+    rows, rowsd, mt, sc, nv = _index(n=1300, d=64, seed=9)
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.standard_normal((1, 64)).astype(np.float32))
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=False
+    )
+    s1, i1, ok = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=False,
+        shortlist_method="verified", shortlist_recall=recall,
+    )
+    assert bool(np.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=0, atol=0)
