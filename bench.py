@@ -109,21 +109,24 @@ def _credit_stall():
 # docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
 # the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
 _LAST_HARDWARE_RUN = {
-    "recorded": "2026-08-18 (round 3, scores-kernel shortlist redesign)",
-    "source": "docs/benchmarks.md round-3 on-hardware table",
-    "headline_verified_scores_p50_ms": 2.65,
+    "recorded": "2026-08-19 (round 3, grouped-resident binary layout)",
+    "source": "docs/benchmarks.md 'Round 3 final full run' table",
+    "headline_verified_scores_p50_ms": 1.562,
     "shortlist_ok_rate": 0.906,
-    "int8_fused_extract_p50_ms": 4.20,
-    "bf16_scan_p50_ms": 4.07,
-    "binary_p50_ms": 2.44,
-    "int8_scan_only_p50_ms": 2.50,
-    "cascade_p50_ms": 2.55,
-    "batch16_qps": 2328,
-    "batch64_qps": 3545,
-    "text_query_fused_ms": 5.85,
-    "indexing_images_per_min": 39367,
-    "end_to_end_images_per_min": 7326,
-    "naflex_images_per_sec": 610.7,
+    "int8_fused_extract_p50_ms": 3.193,
+    "bf16_scan_p50_ms": 3.16,
+    "binary_p50_ms": 0.577,
+    "int8_scan_only_p50_ms": 1.634,
+    "cascade_p50_ms": 1.988,
+    "cascade_10m_device_p50_ms": 2.544,
+    "batch16_qps": 4418,
+    "batch64_qps": 5687,
+    "text_query_fused_ms": 3.765,
+    "indexing_images_per_min": 42486,
+    "end_to_end_images_per_min": 2094,
+    "end_to_end_note": "tunnel upload-bound that run; 7326 on 2026-08-18",
+    "naflex_images_per_sec": 740.5,
+    "train_images_per_sec": 51.5,
 }
 
 
