@@ -28,13 +28,30 @@ from tpuclip.ops.topk_int8 import topk_int8_rerank_fused
 
 N, D, K, CHAIN, OKQ = 1_000_000, 1152, 20, 32, 192
 
-CONFIGS = [
-    (512, 0.95),    # shipped default (r3 shortlist redesign)
-    (512, 0.999),
-    (256, 0.999),
-    (128, 0.999),
-    (128, 0.9995),
-]
+# Two sweeps (select with PROBE_SET=base|deep, default deep — base was
+# measured 2026-08-19, results in docs/benchmarks.md):
+# - base: the original (m, recall_target) grid around the shipped default.
+# - deep: deeper shortlist m at the SHIPPED recall — the r=0.999 cost blowup
+#   came from the per-bin candidate inflation the recall target forces, not
+#   from m itself; a deeper shortlist at r=0.95 may buy proof-pass rate at a
+#   fraction of that cost (J stays 4k=80, so ok ⟺ true top-80 coverage).
+CONFIG_SETS = {
+    "base": [
+        (512, 0.95),    # shipped default (r3 shortlist redesign)
+        (512, 0.999),
+        (256, 0.999),
+        (128, 0.999),
+        (128, 0.9995),
+    ],
+    "deep": [
+        (512, 0.95),    # anchor
+        (768, 0.95),
+        (1024, 0.95),
+        (2048, 0.95),
+        (1024, 0.98),
+    ],
+}
+CONFIGS = CONFIG_SETS[__import__("os").environ.get("PROBE_SET", "deep")]
 
 
 def main():

@@ -151,6 +151,27 @@ def main(out_path: str) -> int:
         and np.allclose(np.asarray(se), np.asarray(sf), rtol=0, atol=0),
         idx_equal=bool(np.array_equal(np.asarray(ie), np.asarray(if_))),
     )
+    # Resident-scores proof-miss fallback (r3.7): exact top_k over the
+    # score matrix the verified program keeps on device must reproduce
+    # the extract output bit-for-bit on hardware (regardless of the
+    # proof flag — this path serves whenever the flag is False).
+    from tpuclip.ops.topk_int8 import topk_exact_from_scores
+
+    _, _, _, scores_res = topk_int8_rerank_fused(
+        jnp.asarray(qf[:1]), jnp.asarray(mq), jnp.asarray(scales), rows_dev, 20,
+        n_valid=jnp.asarray(nv, jnp.int32), use_pallas=backend == "tpu",
+        shortlist_method="verified", keep_scores=True,
+    )
+    m_fb = min(max(512, 80), scores_res.shape[1])
+    sfb, ifb = topk_exact_from_scores(
+        scores_res, jnp.asarray(qf[:1]), rows_dev, 20, m_fb
+    )
+    record(
+        "int8_fallback_from_scores_vs_extract",
+        np.array_equal(np.asarray(ifb), np.asarray(if_)[:1])
+        and np.allclose(np.asarray(sfb), np.asarray(sf)[:1], rtol=0, atol=0),
+        idx_equal=bool(np.array_equal(np.asarray(ifb), np.asarray(if_)[:1])),
+    )
     # Adversarial exact-tie clustering across the verify depth: 240
     # byte-identical rows; contract = the 20 LOWEST planted indices.
     m_tie = m[:8192].copy()

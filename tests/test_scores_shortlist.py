@@ -113,7 +113,9 @@ def test_verified_shortlist_detects_planted_miss():
 
 def test_auto_wrapper_fallback_path(monkeypatch):
     """Force the verified program to report a miss: the auto wrapper must
-    re-run the extract path and still return the exact results."""
+    recover via the RESIDENT-SCORES fallback (exact top_k over the score
+    matrix the fused program already materialized — r3.7: no second scan)
+    and still return the exact results."""
     rows, rowsd, mt, sc, nv = _index(n=1700, d=80, seed=7)
     rng = np.random.default_rng(8)
     q = jnp.asarray(rng.standard_normal((1, 80)).astype(np.float32))
@@ -123,23 +125,73 @@ def test_auto_wrapper_fallback_path(monkeypatch):
     monkeypatch.setenv("TPUCLIP_SHORTLIST", "auto")
 
     real_fused = ti.topk_int8_rerank_fused
+    real_from_scores = ti.topk_exact_from_scores
     calls = []
 
     def spy(*args, **kwargs):
         calls.append(kwargs.get("shortlist_method"))
         out = real_fused(*args, **kwargs)
         if kwargs.get("shortlist_method") == "verified":
-            return out[0], out[1], jnp.asarray(False)  # forge a miss
+            return out[0], out[1], jnp.asarray(False), out[3]  # forge a miss
         return out
 
+    def spy_from_scores(*args, **kwargs):
+        calls.append("from_scores")
+        return real_from_scores(*args, **kwargs)
+
     monkeypatch.setattr(ti, "topk_int8_rerank_fused", spy)
+    monkeypatch.setattr(ti, "topk_exact_from_scores", spy_from_scores)
     # use_pallas=True so the policy resolves to "verified" (q=1, "TPU")
+    stats = {}
     s1, i1 = ti.topk_int8_rerank_fused_auto(
-        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=True
+        q, mt, sc, rowsd, 9, n_valid=nv, use_pallas=True, stats=stats
     )
-    assert calls == ["verified", "extract"]
+    assert calls == ["verified", "from_scores"]
+    assert stats == {"verified_queries": 1, "shortlist_fallbacks": 1}
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+
+
+def test_topk_exact_from_scores_matches_fused():
+    """The resident-scores fallback program alone == the default fused
+    path, given the verified program's kept score matrix."""
+    rows, rowsd, mt, sc, nv = _index(n=2300, d=72, seed=21)
+    rng = np.random.default_rng(22)
+    q = jnp.asarray(rng.standard_normal((1, 72)).astype(np.float32))
+    k = 13
+    s0, i0 = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, k, n_valid=nv, use_pallas=False
+    )
+    s, i, ok, scores_res = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, k, n_valid=nv, use_pallas=False,
+        shortlist_method="verified", keep_scores=True,
+    )
+    assert scores_res.shape == (1, mt.shape[1])
+    n = scores_res.shape[1]
+    m = min(max(512, 4 * min(k, n)), n)
+    s1, i1 = ti.topk_exact_from_scores(scores_res, q, rowsd, k, m)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(
+        np.asarray(s0), np.asarray(s1), rtol=0, atol=0
+    )
+
+
+def test_keep_scores_masks_invalid_rows():
+    """Rows past n_valid must be -inf in the kept score matrix so the
+    fallback's exact top_k can never resurrect a pad column."""
+    rows, rowsd, mt, sc, nv = _index(n=600, d=48, seed=23)  # pad to 1024
+    rng = np.random.default_rng(24)
+    q = jnp.asarray(rng.standard_normal((1, 48)).astype(np.float32))
+    _, _, _, scores_res = ti.topk_int8_rerank_fused(
+        q, mt, sc, rowsd, 10, n_valid=nv, use_pallas=False,
+        shortlist_method="verified", keep_scores=True,
+    )
+    arr = np.asarray(scores_res)
+    assert np.all(np.isneginf(arr[:, 600:]))
+    assert np.all(np.isfinite(arr[:, :600]))
+    # fallback over a shortlist deeper than n_valid: pad rows never return
+    s1, i1 = ti.topk_exact_from_scores(scores_res, q, rowsd, 10, 1024)
+    assert np.all(np.asarray(i1) < 600)
 
 
 def test_env_override_forces_method(monkeypatch):

@@ -460,6 +460,56 @@ def test_engine_search_texts_fused_matches_two_stage(tmp_path, monkeypatch):
     assert [p for p, _ in filtered[0]] == [p for p, _ in fused[0]]
 
 
+def test_search_texts_fused_resident_scores_fallback(tmp_path, monkeypatch):
+    """A forged proof failure on the fused text path must recover via the
+    resident-scores fallback (exact top_k over the kept score matrix with
+    the kept embedding — no tower or scan re-run) with identical results."""
+    from tpuclip.engine import ImageDatabase
+    from tpuclip.ops import topk_int8 as ti
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_SEARCH_PRECISION", "int8")
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    monkeypatch.setenv("TPUCLIP_SHORTLIST", "verified")
+    from PIL import Image
+
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(37)
+    for i in range(10):
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "t.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",
+        inference_batch_size=4,
+    )
+    eng.scan_directory(str(root), batch_size=10)
+    k = 4
+    assert eng.index.can_fuse_text_search(k, None)
+    expected = eng.search_texts(["a red car"], k)
+
+    real = ti.text_topk_fused
+    calls = []
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("shortlist_method"))
+        out = real(*args, **kwargs)
+        if kwargs.get("shortlist_method") == "verified":
+            return out[0], out[1], jnp.asarray(False), out[3], out[4]
+        return out
+
+    monkeypatch.setattr(ti, "text_topk_fused", spy)
+    got = eng.search_texts(["a red car"], k)
+    assert calls == ["verified"]  # fallback did NOT re-run the fused program
+    assert eng.index.shortlist_stats["shortlist_fallbacks"] == 1
+    assert [p for p, _ in got[0]] == [p for p, _ in expected[0]]
+    np.testing.assert_allclose(
+        [s for _, s in got[0]], [s for _, s in expected[0]], rtol=1e-6
+    )
+
+
 def test_derive_int8_matrix_device_matches_host_quantize():
     """Device-side derivation from f32 rows == host quantize_matrix_t on the
     same values: int8 entries bit-exact (same per-vector scale rule, same

@@ -115,6 +115,10 @@ class DeviceIndex:
         self._bin_shard_rows: int = 0  # rows/shard, "grouped_sharded" layout
         self._fingerprint: Optional[Tuple[int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
+        # Verified-shortlist observability: how many single-query fused
+        # searches ran the proof-checked program, and how many missed into
+        # the resident-scores fallback (surfaced at serve /stats).
+        self.shortlist_stats = {"verified_queries": 0, "shortlist_fallbacks": 0}
 
     # ---------------------------------------------------------------- loading
 
@@ -578,6 +582,7 @@ class DeviceIndex:
             scores, rows = topk_int8_rerank_fused_auto(
                 q, self._matrix, self._scales, self._rows_device, k,
                 n_valid=self._n_valid, use_pallas=jax.default_backend() == "tpu",
+                stats=self.shortlist_stats,
             )
             scores, rows = np.asarray(scores), np.asarray(rows)
         elif self.precision == "int8":
@@ -641,22 +646,38 @@ class DeviceIndex:
         per request group — significant both on the dev tunnel (tens of ms
         RPC) and at production serving rates. Caller must have checked
         ``can_fuse_text_search``."""
-        from tpuclip.ops.topk_int8 import resolve_shortlist_method, text_topk_fused
+        from tpuclip.ops.topk_int8 import (
+            resolve_shortlist_method,
+            text_topk_fused,
+            topk_exact_from_scores,
+        )
 
         on_tpu = jax.default_backend() == "tpu"
         method = resolve_shortlist_method(int(ids.shape[0]), on_tpu)
         if method == "verified":
-            scores, rows, ok = text_topk_fused(
+            scores, rows, ok, scores_res, emb = text_topk_fused(
                 params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
                 self._scales, self._rows_device, config, k,
                 n_valid=self._n_valid, compute_dtype=compute_dtype,
                 use_pallas=on_tpu, shortlist_method="verified",
+                keep_scores=True,
             )
+            self.shortlist_stats["verified_queries"] += 1
             if not bool(np.asarray(ok)):
-                # Rare approx-shortlist shortfall: re-run with the
-                # by-construction extract kernel (host fallback — in-program
-                # lax.cond executes both branches on this backend).
-                method = "extract"
+                # Rare approx-shortlist shortfall: exact top_k over the
+                # score matrix the fused program kept resident — neither
+                # the text tower nor the scan re-runs (host-side decision;
+                # in-program lax.cond executes both branches on this
+                # backend).
+                self.shortlist_stats["shortlist_fallbacks"] += 1
+                if scores_res.shape[1]:
+                    n = scores_res.shape[1]
+                    m = min(max(512, 4 * min(k, n)), n)
+                    scores, rows = topk_exact_from_scores(
+                        scores_res, emb, self._rows_device, k, m
+                    )
+                else:
+                    method = "extract"
         if method != "verified":
             scores, rows = text_topk_fused(
                 params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
@@ -745,6 +766,7 @@ class DeviceIndex:
                     jnp.asarray(q2d), self._matrix, self._scales,
                     self._rows_device, k, n_valid=self._n_valid,
                     use_pallas=jax.default_backend() == "tpu",
+                    stats=self.shortlist_stats,
                 )
             else:
                 # With re-ranking (default), pull a deeper shortlist from the

@@ -472,10 +472,13 @@ _SCORES_HBM_CAP_MB = float(_os.environ.get("TPUCLIP_SCORES_HBM_MB", "1024"))
 # proof-pass rate to ~1.0 (0.999 → 188-192/192) but the PartialReduce keeps
 # so many more per-bin candidates that the fused program slows past the
 # fallback it avoids — device p50 3.5/5.7/10.9 ms at m=128/256/512 with
-# r=0.999 vs 1.56 ms shipped. Expected latency favors the shipped config:
-# 0.906 x 1.56 + 0.094 x (1.56 + 3.19 extract re-run) ≈ 1.86 ms mean,
-# p99 ≈ 4.8 ms — every always-pass config has a WORSE p50 than that p99
-# basis. Keep 0.95; the env knob exists for distribution-specific tuning.
+# r=0.999 vs 1.56 ms shipped; deeper m at r=0.95 buys NOTHING (identical
+# misses at m=512/768 — PROBE_SET=deep). The pass rate also varies
+# run-to-run on identical deterministic inputs (0.906 vs 0.786 across
+# processes), so r3.7 attacks the fallback cost instead: a proof miss now
+# pays only an exact top_k over the RESIDENT score matrix
+# (topk_exact_from_scores), not a second scan. Keep 0.95; the env knob
+# exists for distribution-specific tuning.
 _SHORTLIST_RECALL = float(
     _os.environ.get("TPUCLIP_SHORTLIST_RECALL", "0.95")
 )
@@ -554,7 +557,7 @@ def topk_int8_xla(
     jax.jit,
     static_argnames=(
         "k", "shortlist", "tile_n", "use_pallas", "use_packed", "interpret",
-        "shortlist_method", "shortlist_recall",
+        "shortlist_method", "shortlist_recall", "keep_scores",
     ),
 )
 def topk_int8_rerank_fused(
@@ -571,6 +574,7 @@ def topk_int8_rerank_fused(
     interpret: bool = False,
     shortlist_method: Optional[str] = None,
     shortlist_recall: Optional[float] = None,
+    keep_scores: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ONE device program: int8 scan -> top-``shortlist`` merge -> gather the
     shortlisted rows from the resident full-precision matrix -> exact rescore
@@ -612,10 +616,15 @@ def topk_int8_rerank_fused(
         n_valid = jnp.asarray(n, jnp.int32)
     k_eff = min(k, n) if n > 0 else 0
     if k_eff == 0:
-        return (
+        empty = (
             jnp.zeros((q_count, 0), jnp.float32),
             jnp.zeros((q_count, 0), jnp.int32),
         )
+        if shortlist_method == "verified":
+            empty += (jnp.asarray(True),)
+            if keep_scores:
+                empty += (jnp.zeros((q_count, 0), jnp.float32),)
+        return empty
 
     # Shortlist selection skips the (rank-invariant) query scale; exact
     # scores come from the rescore anyway.
@@ -722,17 +731,44 @@ def topk_int8_rerank_fused(
         cand = jnp.take_along_axis(rows_q, pos, axis=1)  # (Q, M) row indices
         cand_invalid = jnp.isneginf(top_s)
 
-    # Exact rescore: gather candidate rows and dot with f32 accumulation.
-    # To return the SAME scores the bf16 scan computes, the query must be
-    # rounded to the storage dtype first — and that rounding must be done
-    # with integer bit ops (round_f32_to_bf16_bits): under jit, XLA's
-    # excess-precision rule elides an `astype(bf16)` that feeds the dot's
-    # internal f32 upcast and substitutes the UNROUNDED query (measured
-    # 3e-3 score divergence from the bf16 scan on v5e — enough to drop true
-    # top-k items near the cutoff; verified by bit-exact match against a
-    # host emulation with the unrounded query). With the query genuinely
-    # rounded, products of bf16-rounded inputs are exact in f32, so scores
-    # match the scan's up to f32 summation order (~1e-6).
+    out = _rescore_select(cand, cand_invalid, q_f32, rows_full, k_eff)
+    if shortlist_method == "verified":
+        # Three-tuple return for the host-side fallback decision; constant
+        # True when a gate routed to a proof-clean path (extract/exact).
+        ok = shortlist_ok if shortlist_ok is not None else jnp.asarray(True)
+        if keep_scores:
+            # Resident-scores fourth output: the already-materialized
+            # (Q, N) int8 score matrix stays on device so a proof failure
+            # needs only an exact top_k over it + rescore
+            # (topk_exact_from_scores) — NOT a second full scan. Empty
+            # (Q, 0) when a gate routed away from the scores path (then
+            # ok is constant True and the output is never consumed).
+            scores_res = (
+                scores_all
+                if shortlist_ok is not None
+                else jnp.zeros((q_count, 0), jnp.float32)
+            )
+            return out + (ok, scores_res)
+        return out + (ok,)
+    return out
+
+
+def _rescore_select(cand, cand_invalid, q_f32, rows_full, k_eff):
+    """Shared fused-path tail: exact rescore of a candidate shortlist +
+    final (score desc, idx asc) top-``k_eff``.
+
+    Exact rescore: gather candidate rows and dot with f32 accumulation.
+    To return the SAME scores the bf16 scan computes, the query must be
+    rounded to the storage dtype first — and that rounding must be done
+    with integer bit ops (round_f32_to_bf16_bits): under jit, XLA's
+    excess-precision rule elides an `astype(bf16)` that feeds the dot's
+    internal f32 upcast and substitutes the UNROUNDED query (measured
+    3e-3 score divergence from the bf16 scan on v5e — enough to drop true
+    top-k items near the cutoff; verified by bit-exact match against a
+    host emulation with the unrounded query). With the query genuinely
+    rounded, products of bf16-rounded inputs are exact in f32, so scores
+    match the scan's up to f32 summation order (~1e-6).
+    """
     n_rows = rows_full.shape[0]
     safe = jnp.clip(cand, 0, n_rows - 1)
     if rows_full.dtype == jnp.bfloat16:
@@ -747,16 +783,31 @@ def topk_int8_rerank_fused(
     exact = jnp.where(invalid, _NEG_INF, exact)
     sort_rows = jnp.where(invalid, jnp.iinfo(jnp.int32).max, cand)
     order = jnp.lexsort((sort_rows, -exact), axis=-1)[:, :k_eff]
-    out = (
+    return (
         jnp.take_along_axis(exact, order, axis=1),
         jnp.take_along_axis(sort_rows, order, axis=1),
     )
-    if shortlist_method == "verified":
-        # Three-tuple return for the host-side fallback decision; constant
-        # True when a gate routed to a proof-clean path (extract/exact).
-        ok = shortlist_ok if shortlist_ok is not None else jnp.asarray(True)
-        return out + (ok,)
-    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m"))
+def topk_exact_from_scores(scores, q_f32, rows_full, k, m):
+    """Exact top-``k`` from an already-materialized int8 score matrix.
+
+    The cheap proof-failure fallback for the verified shortlist: instead
+    of re-running the full extract scan (~3.2 ms at 1M×1152 — or, on the
+    fused text path, the whole text tower again), run ``lax.top_k`` over
+    the (Q, N) scores the verified program kept resident
+    (``keep_scores=True``), then the shared exact-rescore tail. The exact
+    top-``m`` of the int8 scores is the STRONGEST possible int8 shortlist
+    — a superset-in-quality of both the approx and extract shortlists —
+    so results carry the same contract: every true top-k item that
+    survives int8 quantization is returned, ties (score desc, idx asc).
+    """
+    k_eff = min(k, scores.shape[1])
+    top_s, cand = jax.lax.top_k(scores, m)
+    return _rescore_select(
+        cand.astype(jnp.int32), jnp.isneginf(top_s), q_f32, rows_full, k_eff
+    )
 
 
 def topk_int8_rerank_fused_auto(
@@ -768,16 +819,21 @@ def topk_int8_rerank_fused_auto(
     shortlist: int = 512,
     n_valid=None,
     use_pallas: bool = True,
+    stats: Optional[dict] = None,
 ):
-    """Host-level fused search: verified fast path + extract fallback.
+    """Host-level fused search: verified fast path + resident-scores fallback.
 
     Single TPU queries run the scores-kernel + verified-approx shortlist
     program (~2.6 ms at 1M x 1152 vs 4.0 for the in-kernel extraction);
-    when the proof flag comes back False (~9% of random 1M-row queries:
-    the approx reduction dropped a top-J candidate or a tie straddles the
-    verify depth), the extract-kernel program re-runs — results then carry
-    its by-construction guarantee. Batches and CPU keep the extract path
-    (batched XLA top_k/approx_max_k degrade catastrophically —
+    when the proof flag comes back False (~9-21% of random 1M-row queries
+    — run-to-run variable, the PartialReduce's drop pattern is not stable
+    across processes on identical inputs), an exact ``lax.top_k`` runs
+    over the score matrix the verified program kept RESIDENT on device
+    (topk_exact_from_scores) — no second scan, no re-quantization. The
+    fallback's exact top-m shortlist strictly dominates the extract
+    kernel's per-tile one, so results carry the same by-construction
+    guarantee. Batches and CPU keep the extract path (batched XLA
+    top_k/approx_max_k degrade catastrophically —
     scripts/probe_shortlist_matrix.py). Policy env-overridable via
     TPUCLIP_SHORTLIST (auto|verified|approx|exact|extract).
     """
@@ -785,12 +841,21 @@ def topk_int8_rerank_fused_auto(
 
     method = resolve_shortlist_method(int(q_f32.shape[0]), bool(use_pallas))
     if method == "verified":
-        s, i, ok = topk_int8_rerank_fused(
+        s, i, ok, scores_res = topk_int8_rerank_fused(
             q_f32, matrix_int8_t, scales, rows_full, k, shortlist=shortlist,
             n_valid=n_valid, use_pallas=use_pallas, shortlist_method="verified",
+            keep_scores=True,
         )
+        if stats is not None:
+            stats["verified_queries"] = stats.get("verified_queries", 0) + 1
         if bool(_np.asarray(ok)):
             return s, i
+        if stats is not None:
+            stats["shortlist_fallbacks"] = stats.get("shortlist_fallbacks", 0) + 1
+        if scores_res.shape[1]:
+            n = scores_res.shape[1]
+            m = min(max(shortlist, 4 * min(k, n)), n)
+            return topk_exact_from_scores(scores_res, q_f32, rows_full, k, m)
         method = "extract"
     return topk_int8_rerank_fused(
         q_f32, matrix_int8_t, scales, rows_full, k, shortlist=shortlist,
@@ -803,7 +868,7 @@ def topk_int8_rerank_fused_auto(
     jax.jit,
     static_argnames=(
         "config", "k", "compute_dtype", "use_pallas", "shortlist",
-        "shortlist_method",
+        "shortlist_method", "keep_scores",
     ),
 )
 def text_topk_fused(
@@ -820,6 +885,7 @@ def text_topk_fused(
     compute_dtype=jnp.float32,
     use_pallas: bool = True,
     shortlist_method: Optional[str] = None,
+    keep_scores: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Token ids → text tower → int8 scan → exact rescore → top-k, ONE
     device program. The embedding never returns to the host — the serving
@@ -828,19 +894,24 @@ def text_topk_fused(
     :1564). Results identical to embed-then-search by construction.
 
     ``shortlist_method="verified"`` adds the proof flag as a third output
-    (see :func:`topk_int8_rerank_fused`); callers re-run with
-    ``"extract"`` on False — host fallback, same policy as
-    :func:`topk_int8_rerank_fused_auto`."""
+    (see :func:`topk_int8_rerank_fused`); with ``keep_scores=True`` the
+    resident (Q, N) score matrix AND the text embedding follow as fourth
+    and fifth outputs so a proof failure costs only
+    :func:`topk_exact_from_scores` — neither the text tower nor the scan
+    re-runs (both stay on device; no host transfer on the happy path)."""
     from tpuclip.models.siglip import get_text_features
 
     emb = get_text_features(
         params, ids, config, compute_dtype=compute_dtype, attention_mask=attn_mask
     )
-    return topk_int8_rerank_fused(
+    out = topk_int8_rerank_fused(
         emb, matrix_int8_t, scales, rows_full, k,
         shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
-        shortlist_method=shortlist_method,
+        shortlist_method=shortlist_method, keep_scores=keep_scores,
     )
+    if keep_scores and shortlist_method == "verified":
+        return out + (emb.astype(jnp.float32),)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

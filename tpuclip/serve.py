@@ -315,6 +315,11 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                     "search_precision": engine.index.precision,
                     "cascade_active": bool(getattr(engine.index, "_cascade", False)),
                 }
+                # Verified-shortlist health: proof-checked fused queries and
+                # how many missed into the resident-scores fallback.
+                payload.update(
+                    getattr(engine.index, "shortlist_stats", {}) or {}
+                )
                 payload.update(metrics.snapshot())
                 if batcher is not None:
                     payload.update(batcher.stats())
