@@ -510,6 +510,98 @@ def test_search_texts_fused_resident_scores_fallback(tmp_path, monkeypatch):
     )
 
 
+def _tiny_image_db(tmp_path, monkeypatch, seed=31, n_images=12):
+    from tpuclip.engine import ImageDatabase
+    from PIL import Image
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_SEARCH_PRECISION", "int8")
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(seed)
+    for i in range(n_images):
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "t.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",
+        inference_batch_size=4,
+    )
+    eng.scan_directory(str(root), batch_size=n_images)
+    return eng, root
+
+
+def test_engine_search_image_fused_matches_two_stage(tmp_path, monkeypatch):
+    """A plain image query through the fused pixels→vision-tower→scan→
+    rescore program (engine.search via search_image_pil) returns the same
+    ranked results as the two-stage embed + index.search path."""
+    from tpuclip.io.decode import load_image
+
+    eng, root = _tiny_image_db(tmp_path, monkeypatch, seed=41)
+    query_path = str(root / "img_3.jpg")
+    k = 5
+    assert eng.index.can_fuse_image_search(k, None)
+    fused = eng.search(query_path, k=k, is_image_path=True, show_duplicates=True)
+    emb = eng._get_image_embedding(query_path)
+    two_stage = eng.index.search(emb, k)
+    assert [p for p, _ in fused] == [p for p, _ in two_stage]
+    np.testing.assert_allclose(
+        [s for _, s in fused], [s for _, s in two_stage], rtol=1e-5, atol=1e-6
+    )
+    # the queried image itself must rank first with ~unit similarity
+    assert fused[0][0] == query_path
+
+    # bytes-level serving entry: same results from the raw file bytes
+    got = eng.search_image_bytes(
+        (root / "img_3.jpg").read_bytes(), k, show_duplicates=True
+    )
+    assert [p for p, _ in got] == [p for p, _ in fused]
+    # undecodable bytes → None (serve maps this to HTTP 400)
+    assert eng.search_image_bytes(b"not an image", k) is None
+
+    # folder-filtered queries keep the two-stage path, same results
+    img = load_image(query_path)
+    filtered = eng.search_image_pil(img, k, filter_folders=[str(root)])
+    assert [p for p, _ in filtered] == [p for p, _ in fused]
+
+
+def test_search_image_fused_resident_scores_fallback(tmp_path, monkeypatch):
+    """A forged proof failure on the fused image path must recover via the
+    resident-scores fallback (exact top_k over the kept score matrix with
+    the kept embedding — no vision tower or scan re-run) with identical
+    results."""
+    from tpuclip.io.decode import load_image
+    from tpuclip.ops import topk_int8 as ti
+
+    monkeypatch.setenv("TPUCLIP_SHORTLIST", "verified")
+    eng, root = _tiny_image_db(tmp_path, monkeypatch, seed=43, n_images=10)
+    k = 4
+    img = load_image(str(root / "img_2.jpg"))
+    assert eng.index.can_fuse_image_search(k, None)
+    expected = eng.search_image_pil(img, k)
+
+    real = ti.image_topk_fused
+    calls = []
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("shortlist_method"))
+        out = real(*args, **kwargs)
+        if kwargs.get("shortlist_method") == "verified":
+            return out[0], out[1], jnp.asarray(False), out[3], out[4]
+        return out
+
+    monkeypatch.setattr(ti, "image_topk_fused", spy)
+    got = eng.search_image_pil(img, k)
+    assert calls == ["verified"]  # fallback did NOT re-run the fused program
+    assert eng.index.shortlist_stats["shortlist_fallbacks"] == 1
+    assert [p for p, _ in got] == [p for p, _ in expected]
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in expected], rtol=1e-6
+    )
+
+
 def test_derive_int8_matrix_device_matches_host_quantize():
     """Device-side derivation from f32 rows == host quantize_matrix_t on the
     same values: int8 entries bit-exact (same per-vector scale rule, same

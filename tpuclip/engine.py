@@ -229,6 +229,27 @@ class ImageDatabase:
         vecs = self.embed_texts_cached(texts)
         return self.index.search_batch(vecs, k, filter_folders=filter_folders)
 
+    def search_image_pil(
+        self, img, k: int, filter_folders=None
+    ) -> List[tuple]:
+        """Single decoded-image search, fusing preprocess→vision-tower→scan→
+        rescore into ONE device program when the index is eligible (the
+        image analog of :meth:`search_texts`; the reference runs tower and
+        scan as separate stages, image_database.py:443-507 then :1564).
+        Falls back to embed + index.search otherwise (NaFlex models keep
+        the two-stage path — their patch inputs feed a different tower)."""
+        if not self.is_naflex and self.index.can_fuse_image_search(
+            k, filter_folders
+        ):
+            from tpuclip.io.preprocess import resize_to_uint8
+
+            pixels = resize_to_uint8(img, self.image_size)[None]
+            return self.index.search_images_fused(
+                self.params, pixels, self.config, k, self.compute_dtype, 1
+            )[0]
+        emb = self._embed_pil(img)
+        return self.index.search(emb, k, filter_folders=filter_folders)
+
     def embed_texts_cached(self, texts: List[str]) -> np.ndarray:
         """Batch text embedding through the session LRU: cache hits skip the
         tower; misses embed in ONE pass and populate the cache (the HTTP
@@ -359,6 +380,36 @@ class ImageDatabase:
         except Exception as e:  # noqa: BLE001 - containment
             safe_print_path("Error processing ", "<image bytes>", e)
             return None
+
+    def search_image_bytes(
+        self,
+        data: bytes,
+        k: int = 10,
+        filter_folders=None,
+        show_duplicates: bool = False,
+    ):
+        """serve's base64 image-query hot path: decode, then ONE fused
+        vision-tower→scan→rescore device program when the index is eligible
+        (otherwise embed + search as two stages). Returns None when the
+        bytes don't decode to an image."""
+        from tpuclip.io.decode import load_image_bytes
+
+        img = load_image_bytes(data, "<bytes>")
+        if img is None:
+            return None
+        if not self.is_naflex and self.index.can_fuse_image_search(
+            k, filter_folders
+        ):
+            results = self.search_image_pil(img, k, filter_folders)
+            if not show_duplicates and results:
+                from tpuclip.index.dedup import filter_duplicates
+
+                results = filter_duplicates(self.store, results, tolerance_bits=2)
+            return results
+        emb = self._embed_pil(img)
+        return self.search_by_embedding(
+            emb, k, filter_folders=filter_folders, show_duplicates=show_duplicates
+        )
 
     def generate_html_gallery(self, results, output_file="results.html", query=None):
         from tpuclip.gallery.html import generate_html_gallery

@@ -637,36 +637,32 @@ class DeviceIndex:
             and k <= 128
         )
 
-    def search_texts_fused(self, params, ids, mask, config, k, compute_dtype, q_count):
-        """Tokenized text queries → ranked results in ONE device round trip.
+    # The image-query fusability gate is the text gate verbatim: fusion is a
+    # property of the index state (resident int8 matrix + full-precision
+    # copy, single device, no folder mask), not of which tower feeds it.
+    can_fuse_image_search = can_fuse_text_search
 
-        Fuses the text tower with the int8 scan + exact rescore
-        (ops/topk_int8._text_topk_fused): no intermediate embedding ever
-        returns to the host, which removes one full host↔device round trip
-        per request group — significant both on the dev tunnel (tens of ms
-        RPC) and at production serving rates. Caller must have checked
-        ``can_fuse_text_search``."""
+    def _run_fused(self, run_fused, q_batch: int, k: int, q_count: int):
+        """Shared tail of the fused tower→scan→rescore paths.
+
+        ``run_fused(method, keep_scores)`` executes the jitted program
+        (text or vision tower + int8 scan) and returns its raw outputs.
+        Handles the shortlist policy: verified fast path with the
+        resident-scores proof-miss fallback, extract otherwise."""
         from tpuclip.ops.topk_int8 import (
             resolve_shortlist_method,
-            text_topk_fused,
             topk_exact_from_scores,
         )
 
         on_tpu = jax.default_backend() == "tpu"
-        method = resolve_shortlist_method(int(ids.shape[0]), on_tpu)
+        method = resolve_shortlist_method(q_batch, on_tpu)
         if method == "verified":
-            scores, rows, ok, scores_res, emb = text_topk_fused(
-                params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
-                self._scales, self._rows_device, config, k,
-                n_valid=self._n_valid, compute_dtype=compute_dtype,
-                use_pallas=on_tpu, shortlist_method="verified",
-                keep_scores=True,
-            )
+            scores, rows, ok, scores_res, emb = run_fused("verified", True)
             self.shortlist_stats["verified_queries"] += 1
             if not bool(np.asarray(ok)):
                 # Rare approx-shortlist shortfall: exact top_k over the
                 # score matrix the fused program kept resident — neither
-                # the text tower nor the scan re-runs (host-side decision;
+                # the tower nor the scan re-runs (host-side decision;
                 # in-program lax.cond executes both branches on this
                 # backend).
                 self.shortlist_stats["shortlist_fallbacks"] += 1
@@ -679,16 +675,58 @@ class DeviceIndex:
                 else:
                     method = "extract"
         if method != "verified":
-            scores, rows = text_topk_fused(
-                params, jnp.asarray(ids), jnp.asarray(mask), self._matrix,
-                self._scales, self._rows_device, config, k,
-                n_valid=self._n_valid, compute_dtype=compute_dtype,
-                use_pallas=on_tpu,
-                shortlist_method=method if method != "auto" else None,
+            scores, rows = run_fused(
+                method if method != "auto" else None, False
             )
         scores = np.asarray(scores)[:q_count]
         rows = np.asarray(rows)[:q_count]
         return self._map_batch_results(scores, rows, q_count)
+
+    def search_texts_fused(self, params, ids, mask, config, k, compute_dtype, q_count):
+        """Tokenized text queries → ranked results in ONE device round trip.
+
+        Fuses the text tower with the int8 scan + exact rescore
+        (ops/topk_int8.text_topk_fused): no intermediate embedding ever
+        returns to the host, which removes one full host↔device round trip
+        per request group — significant both on the dev tunnel (tens of ms
+        RPC) and at production serving rates. Caller must have checked
+        ``can_fuse_text_search``."""
+        from tpuclip.ops.topk_int8 import text_topk_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+
+        def run(method, keep_scores):
+            return text_topk_fused(
+                params, ids_d, mask_d, self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method=method,
+                keep_scores=keep_scores,
+            )
+
+        return self._run_fused(run, int(ids.shape[0]), k, q_count)
+
+    def search_images_fused(self, params, pixels, config, k, compute_dtype, q_count):
+        """uint8 query pixels → ranked results in ONE device round trip —
+        the image analog of :meth:`search_texts_fused` (vision tower + int8
+        scan + exact rescore fused; ops/topk_int8.image_topk_fused). Caller
+        must have checked ``can_fuse_image_search``."""
+        from tpuclip.ops.topk_int8 import image_topk_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        pixels_d = jnp.asarray(pixels)
+
+        def run(method, keep_scores):
+            return image_topk_fused(
+                params, pixels_d, self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method=method,
+                keep_scores=keep_scores,
+            )
+
+        return self._run_fused(run, int(pixels.shape[0]), k, q_count)
 
     def _search_full(self, query, k, filter_folders):
         mask = (

@@ -914,6 +914,52 @@ def text_topk_fused(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "k", "compute_dtype", "use_pallas", "shortlist",
+        "shortlist_method", "keep_scores",
+    ),
+)
+def image_topk_fused(
+    params,
+    pixels: jnp.ndarray,         # (B, S, S, 3) uint8 NHWC (query resolution)
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8
+    scales: jnp.ndarray,         # (N,) f32
+    rows_full: jnp.ndarray,      # (N_rows, D) storage-dtype full copy
+    config,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    shortlist: int = 512,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = True,
+    shortlist_method: Optional[str] = None,
+    keep_scores: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """uint8 pixels → vision tower → int8 scan → exact rescore → top-k, ONE
+    device program — the image-query analog of :func:`text_topk_fused`.
+
+    The reference's image query runs tower inference and the SQL vector
+    scan as separate stages with a host round trip of the embedding in
+    between (image_database.py:443-507 then :1564); here the embedding
+    stays on device. Results identical to embed-then-search by
+    construction. Same ``shortlist_method="verified"`` / ``keep_scores``
+    extra-output contract as :func:`text_topk_fused` (fifth output is the
+    image embedding, so a proof miss re-runs neither the vision tower nor
+    the scan — just :func:`topk_exact_from_scores`)."""
+    from tpuclip.models.siglip import get_image_features
+
+    emb = get_image_features(params, pixels, config, compute_dtype=compute_dtype)
+    out = topk_int8_rerank_fused(
+        emb, matrix_int8_t, scales, rows_full, k,
+        shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=shortlist_method, keep_scores=keep_scores,
+    )
+    if keep_scores and shortlist_method == "verified":
+        return out + (emb.astype(jnp.float32),)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     """Batched int8 scan with ON-DEVICE per-row query quantization.

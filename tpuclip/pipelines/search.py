@@ -218,6 +218,42 @@ def search(
     """Full search: returns [(file_path, similarity)] descending."""
     timings = Timings()
 
+    # Plain single-image query (no blend, no negatives) on an eligible
+    # index: decode → ONE fused vision-tower + scan + rescore device
+    # program (engine.search_image_pil) instead of embed-then-scan.
+    # Results identical by construction; query algebra stays two-stage
+    # (it mixes host-side vectors).
+    if (
+        is_image_path
+        and query2 is None
+        and negative_query is None
+        and not negative_queries
+        and not engine.is_naflex
+        and engine.index.can_fuse_image_search(k, filter_folders)
+    ):
+        if not os.path.exists(query):
+            log(f"Error: Image file {query} does not exist")
+            return []
+        log(f"Processing image query: {query}")
+        from tpuclip.io.decode import load_image
+
+        with timings.track("fused_image_search"):
+            img = load_image(query)
+            if img is None:
+                log("Error: Failed to generate embedding from image")
+                return []
+            try:
+                results = engine.search_image_pil(img, k, filter_folders)
+            except Exception as e:  # noqa: BLE001 - same containment as below
+                log(f"Error during search: {e}")
+                return []
+        if not show_duplicates and results:
+            with timings.track("filter_duplicates"):
+                results = filter_duplicates(engine.store, results, tolerance_bits=2)
+        if profile:
+            timings.report()
+        return results
+
     embedding = build_query_vector(
         engine, query, is_image_path, query2, is_image_path2, weights,
         negative_query, negative_is_image, negative_weight,

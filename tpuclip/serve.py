@@ -472,16 +472,18 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             t0 = _time.perf_counter()
             try:
                 with lock:
-                    emb = engine.embed_image_bytes(data)
-                    if emb is None:
-                        self._json(400, {"error": "could not decode image bytes"})
-                        return
-                    results = engine.search_by_embedding(
-                        emb,
+                    # Fused when eligible: decode → ONE vision-tower + scan
+                    # + rescore device program (engine.search_image_bytes);
+                    # two-stage embed + search otherwise.
+                    results = engine.search_image_bytes(
+                        data,
                         int(req.get("k", 10)),
                         filter_folders=req.get("folders"),
                         show_duplicates=bool(req.get("show_duplicates", False)),
                     )
+                    if results is None:
+                        self._json(400, {"error": "could not decode image bytes"})
+                        return
             except Exception as e:  # noqa: BLE001
                 metrics.record(ok=False)
                 self._json(500, {"error": str(e)})
