@@ -567,6 +567,45 @@ def test_engine_search_image_fused_matches_two_stage(tmp_path, monkeypatch):
     assert [p for p, _ in filtered] == [p for p, _ in fused]
 
 
+def test_naflex_search_image_fused_matches_two_stage(tmp_path, monkeypatch):
+    """The NaFlex family fuses image queries through its own tower entry
+    (naflex_image_topk_fused): same ranked results as embed + search."""
+    from tpuclip.engine import ImageDatabase
+    from tpuclip.io.decode import load_image
+    from PIL import Image
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_SEARCH_PRECISION", "int8")
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(47)
+    for i in range(8):
+        # varied aspect ratios exercise the NaFlex patchify path
+        h, w = rng.integers(32, 80, 2)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "t.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny-naflex",
+        inference_batch_size=4,
+    )
+    assert eng.is_naflex
+    eng.scan_directory(str(root), batch_size=8)
+    k = 4
+    img = load_image(str(root / "img_2.jpg"))
+    assert eng.index.can_fuse_image_search(k, None)
+    fused = eng.search_image_pil(img, k)
+    emb = eng._embed_pil(img)
+    two_stage = eng.index.search(emb, k)
+    assert [p for p, _ in fused] == [p for p, _ in two_stage]
+    np.testing.assert_allclose(
+        [s for _, s in fused], [s for _, s in two_stage], rtol=1e-5, atol=1e-6
+    )
+    assert fused[0][0] == str(root / "img_2.jpg")
+
+
 def test_search_image_fused_resident_scores_fallback(tmp_path, monkeypatch):
     """A forged proof failure on the fused image path must recover via the
     resident-scores fallback (exact top_k over the kept score matrix with

@@ -236,11 +236,21 @@ class ImageDatabase:
         rescore into ONE device program when the index is eligible (the
         image analog of :meth:`search_texts`; the reference runs tower and
         scan as separate stages, image_database.py:443-507 then :1564).
-        Falls back to embed + index.search otherwise (NaFlex models keep
-        the two-stage path — their patch inputs feed a different tower)."""
-        if not self.is_naflex and self.index.can_fuse_image_search(
-            k, filter_folders
-        ):
+        NaFlex models fuse through their own tower entry point. Falls back
+        to embed + index.search otherwise."""
+        if self.index.can_fuse_image_search(k, filter_folders):
+            if self.is_naflex:
+                from tpuclip.io.preprocess import preprocess_naflex
+
+                v = self.config.vision
+                patches, mask, shape = preprocess_naflex(
+                    img, v.patch_size, v.max_num_patches
+                )
+                return self.index.search_images_fused_naflex(
+                    self.params, patches[None], mask[None],
+                    np.asarray([shape], np.int32), self.config, k,
+                    self.compute_dtype, 1,
+                )[0]
             from tpuclip.io.preprocess import resize_to_uint8
 
             pixels = resize_to_uint8(img, self.image_size)[None]
@@ -397,9 +407,7 @@ class ImageDatabase:
         img = load_image_bytes(data, "<bytes>")
         if img is None:
             return None
-        if not self.is_naflex and self.index.can_fuse_image_search(
-            k, filter_folders
-        ):
+        if self.index.can_fuse_image_search(k, filter_folders):
             results = self.search_image_pil(img, k, filter_folders)
             if not show_duplicates and results:
                 from tpuclip.index.dedup import filter_duplicates

@@ -728,6 +728,31 @@ class DeviceIndex:
 
         return self._run_fused(run, int(pixels.shape[0]), k, q_count)
 
+    def search_images_fused_naflex(
+        self, params, patches, mask, shapes, config, k, compute_dtype, q_count
+    ):
+        """:meth:`search_images_fused` for NaFlex (variable-aspect) inputs:
+        uint8 patches + mask + grid through ops/topk_int8.
+        naflex_image_topk_fused. Caller must have checked
+        ``can_fuse_image_search``."""
+        from tpuclip.ops.topk_int8 import naflex_image_topk_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        patches_d = jnp.asarray(patches)
+        mask_d = jnp.asarray(mask)
+        shapes_d = jnp.asarray(shapes)
+
+        def run(method, keep_scores):
+            return naflex_image_topk_fused(
+                params, patches_d, mask_d, shapes_d, self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method=method,
+                keep_scores=keep_scores,
+            )
+
+        return self._run_fused(run, int(patches.shape[0]), k, q_count)
+
     def _search_full(self, query, k, filter_folders):
         mask = (
             self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])

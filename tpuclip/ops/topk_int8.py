@@ -960,6 +960,49 @@ def image_topk_fused(
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "k", "compute_dtype", "use_pallas", "shortlist",
+        "shortlist_method", "keep_scores",
+    ),
+)
+def naflex_image_topk_fused(
+    params,
+    patches: jnp.ndarray,        # (B, L, P*P*C) uint8 patchified pixels
+    pixel_mask: jnp.ndarray,     # (B, L) valid-patch mask
+    spatial_shapes: jnp.ndarray,  # (B, 2) patch grids
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8
+    scales: jnp.ndarray,         # (N,) f32
+    rows_full: jnp.ndarray,      # (N_rows, D) storage-dtype full copy
+    config,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    shortlist: int = 512,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = True,
+    shortlist_method: Optional[str] = None,
+    keep_scores: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`image_topk_fused` for the NaFlex (variable-aspect) family:
+    uint8 patches + mask + grid → NaFlex vision tower → int8 scan → exact
+    rescore → top-k, ONE device program. Same extra-output contract."""
+    from tpuclip.models.naflex import get_image_features_naflex
+
+    emb = get_image_features_naflex(
+        params, patches, pixel_mask, spatial_shapes, config,
+        compute_dtype=compute_dtype,
+    )
+    out = topk_int8_rerank_fused(
+        emb, matrix_int8_t, scales, rows_full, k,
+        shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=shortlist_method, keep_scores=keep_scores,
+    )
+    if keep_scores and shortlist_method == "verified":
+        return out + (emb.astype(jnp.float32),)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     """Batched int8 scan with ON-DEVICE per-row query quantization.

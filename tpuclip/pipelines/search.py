@@ -228,7 +228,6 @@ def search(
         and query2 is None
         and negative_query is None
         and not negative_queries
-        and not engine.is_naflex
         and engine.index.can_fuse_image_search(k, filter_folders)
     ):
         if not os.path.exists(query):
