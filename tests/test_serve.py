@@ -205,6 +205,66 @@ def test_concurrent_searches_micro_batch(engine):
         srv.shutdown()
 
 
+def test_concurrent_image_uploads_micro_batch(engine):
+    """N concurrent image_b64 uploads must collapse into ~1 batched
+    vision-tower pass + 1 scan, each returning its own image first (decode
+    happens on the handler threads; the batcher only sees PIL images)."""
+    import base64
+    import sqlite3
+    import threading
+
+    conn = sqlite3.connect(engine.db_path)
+    paths = [r[0] for r in conn.execute(
+        "SELECT file_path FROM images ORDER BY id"
+    ).fetchall()]
+    conn.close()
+    payloads = []
+    for p in paths + paths:  # 6 uploads over 3 distinct images
+        with open(p, "rb") as f:
+            payloads.append((p, base64.b64encode(f.read()).decode()))
+
+    srv = SearchServer(engine, host="127.0.0.1", port=0, batch_window_ms=100)
+    srv.start_background()
+    try:
+        # warm the vision/search programs so the burst lands in one window
+        _post(srv, "/search", {"image_b64": payloads[0][1], "k": 2})
+        passes_before = srv.batcher.device_passes
+
+        results = [None] * len(payloads)
+        errors = []
+        barrier = threading.Barrier(len(payloads))
+
+        def worker(i, b64):
+            barrier.wait()
+            try:
+                status, body = _post(
+                    srv, "/search", {"image_b64": b64, "k": 2}
+                )
+                assert status == 200, body
+                results[i] = body["results"]
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(i, b64))
+            for i, (_, b64) in enumerate(payloads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors
+        for (p, _), r in zip(payloads, results):
+            assert r[0]["path"] == p
+            assert r[0]["similarity"] == pytest.approx(1.0, abs=5e-3)
+        passes = srv.batcher.device_passes - passes_before
+        assert passes <= 3, f"expected image micro-batching, got {passes} passes"
+        st = srv.batcher.stats()
+        assert st["batched_requests"] >= len(payloads)
+    finally:
+        srv.shutdown()
+
+
 @pytest.fixture(scope="module")
 def fused_server(tmp_path_factory):
     """Server whose index takes the fused tokenize→tower→scan device path

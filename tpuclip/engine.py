@@ -316,6 +316,26 @@ class ImageDatabase:
             safe_print_path("Error processing ", image_path, e)
             return None
 
+    def embed_pils(self, images) -> np.ndarray:
+        """L2-normalized embeddings for a list of decoded PIL images (all
+        valid — callers own decode containment). One batched tower pass
+        (naflex-aware); the serve micro-batcher's image-group path."""
+        if self.is_naflex:
+            from tpuclip.io.preprocess import preprocess_naflex
+
+            v = self.config.vision
+            L = v.max_num_patches
+            patches = np.zeros((len(images), L, v.patch_size**2 * 3), np.uint8)
+            masks = np.zeros((len(images), L), np.int32)
+            shapes = np.ones((len(images), 2), np.int32)
+            for i, img in enumerate(images):
+                patches[i], masks[i], shapes[i] = preprocess_naflex(
+                    img, v.patch_size, L
+                )
+            return self.embed_patches_naflex(patches, masks, shapes)
+        pixels = preprocess_batch(images, self.image_size)
+        return self.embed_images_uint8(pixels)
+
     def _get_image_embeddings_batch(
         self, image_paths: List[str]
     ) -> List[Optional[np.ndarray]]:

@@ -23,13 +23,15 @@ wraps the same engine in a small threaded HTTP server (stdlib only):
                             large photos)
 
 The model and the HBM-resident index stay warm across requests. Plain text
-queries are MICRO-BATCHED: concurrent requests arriving within a short window
-(default 2 ms, ``TPUCLIP_BATCH_WINDOW_MS``) embed in one text-tower pass and
-scan the matrix in one ``search_batch`` device pass — N concurrent queries
-cost ~1 device pass instead of N. Complex queries (image queries, algebra,
-negatives) and non-search endpoints serialize through the engine lock as
-before (scale-out remains DP replicas behind a load balancer, one engine per
-chip).
+queries and ``image_b64`` uploads are MICRO-BATCHED: concurrent requests
+arriving within a short window (default 2 ms, ``TPUCLIP_BATCH_WINDOW_MS``)
+embed in one tower pass (text and vision groups separately; upload decode
+stays on the handler threads) and scan the matrix in one ``search_batch``
+device pass — N concurrent queries cost ~1 device pass instead of N; a lone
+request takes the fused single-program path instead. Complex queries
+(server-path image queries, algebra, negatives) and non-search endpoints
+serialize through the engine lock as before (scale-out remains DP replicas
+behind a load balancer, one engine per chip).
 """
 
 from __future__ import annotations
@@ -80,10 +82,14 @@ class ServerMetrics:
 
 
 class _BatchItem:
-    __slots__ = ("query", "k", "folders", "show_duplicates", "event", "result", "error")
+    __slots__ = (
+        "query", "image", "k", "folders", "show_duplicates", "event",
+        "result", "error",
+    )
 
-    def __init__(self, query: str, k: int, folders, show_duplicates: bool):
-        self.query = query
+    def __init__(self, query, k: int, folders, show_duplicates: bool, image=None):
+        self.query = query          # text query string, or None for images
+        self.image = image          # decoded PIL image (upload queries)
         self.k = k
         self.folders = tuple(folders) if folders else None
         self.show_duplicates = show_duplicates
@@ -93,11 +99,13 @@ class _BatchItem:
 
 
 class MicroBatcher:
-    """Collects concurrent plain-text searches into single device passes.
+    """Collects concurrent plain-text searches AND image uploads into
+    single device passes.
 
     One dispatcher thread drains a queue: after the first request lands it
     waits ``window_s`` for stragglers (bounded by ``max_batch``), embeds the
-    unique query strings in ONE text-tower pass, refreshes the index once,
+    unique query strings in ONE text-tower pass (image uploads in one
+    vision-tower pass per group), refreshes the index once,
     and runs one ``search_batch`` per distinct (k, folders) group. Duplicate
     filtering stays per-request (it is host-side SQLite work).
     """
@@ -124,6 +132,19 @@ class MicroBatcher:
             # would simply have sat out.
             timeout = float(os.environ.get("TPUCLIP_BATCH_TIMEOUT_S", "600"))
         item = _BatchItem(query, k, folders, show_duplicates)
+        return self._await(item, timeout)
+
+    def submit_image(self, image, k: int, folders, show_duplicates: bool, timeout: float = None):
+        """Queue a decoded upload-image query (decode happens on the handler
+        thread — the batcher thread only sees valid PIL images). Concurrent
+        uploads in one window share a batched vision-tower pass and one
+        search_batch scan."""
+        if timeout is None:
+            timeout = float(os.environ.get("TPUCLIP_BATCH_TIMEOUT_S", "600"))
+        item = _BatchItem(None, k, folders, show_duplicates, image=image)
+        return self._await(item, timeout)
+
+    def _await(self, item, timeout):
         self.queue.put(item)
         if not item.event.wait(timeout):
             raise TimeoutError("search timed out in the batching queue")
@@ -191,6 +212,7 @@ class MicroBatcher:
                     for key, group in groups.items()
                     if not fused_group[key]
                     for it in group
+                    if it.image is None
                 })
                 if need_vecs:
                     vec_by_text = dict(
@@ -201,25 +223,52 @@ class MicroBatcher:
                     # discard results already computed for other groups.
                     try:
                         folder_list = list(folders) if folders else None
-                        if fused_group[(k, folders)]:
+                        texts = [it for it in group if it.image is None]
+                        images = [it for it in group if it.image is not None]
+                        done: list = []
+                        if texts and fused_group[(k, folders)]:
                             # ONE device round trip: tokenize -> text tower
                             # -> int8 scan -> exact rescore, fused. Dedup
                             # repeated queries first: a batch of identical hot
                             # queries should run the text tower once, then fan
                             # the results back out (the non-fused path gets
                             # this from its embed cache).
-                            uniq = sorted({it.query for it in group})
+                            uniq = sorted({it.query for it in texts})
                             by_text = dict(
                                 zip(uniq, self.engine.search_texts(uniq, k))
                             )
-                            batches = [by_text[it.query] for it in group]
-                        else:
-                            vecs = np.stack([vec_by_text[it.query] for it in group])
+                            done += [(it, by_text[it.query]) for it in texts]
+                            passes += 1
+                        elif texts:
+                            vecs = np.stack([vec_by_text[it.query] for it in texts])
                             batches = self.engine.index.search_batch(
                                 vecs, k, filter_folders=folder_list
                             )
-                        passes += 1
-                        for it, results in zip(group, batches):
+                            done += list(zip(texts, batches))
+                            passes += 1
+                        if images:
+                            if len(images) == 1 and fused_group[(k, folders)]:
+                                # Lone upload: the fused single-program path
+                                # (vision tower + scan + rescore, one round
+                                # trip).
+                                done.append((
+                                    images[0],
+                                    self.engine.search_image_pil(
+                                        images[0].image, k, folder_list
+                                    ),
+                                ))
+                            else:
+                                # Concurrent uploads: one batched vision-tower
+                                # pass + one search_batch scan for the group.
+                                embs = self.engine.embed_pils(
+                                    [it.image for it in images]
+                                )
+                                batches = self.engine.index.search_batch(
+                                    embs, k, filter_folders=folder_list
+                                )
+                                done += list(zip(images, batches))
+                            passes += 1
+                        for it, results in done:
                             if not it.show_duplicates and results:
                                 results = filter_duplicates(self.engine.store, results, tolerance_bits=2)
                             it.result = results
@@ -471,19 +520,38 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 return
             t0 = _time.perf_counter()
             try:
-                with lock:
-                    # Fused when eligible: decode → ONE vision-tower + scan
-                    # + rescore device program (engine.search_image_bytes);
-                    # two-stage embed + search otherwise.
-                    results = engine.search_image_bytes(
-                        data,
-                        int(req.get("k", 10)),
-                        filter_folders=req.get("folders"),
-                        show_duplicates=bool(req.get("show_duplicates", False)),
-                    )
-                    if results is None:
+                if batcher is not None:
+                    # Decode on THIS handler thread (parallel across
+                    # uploads), then micro-batch: concurrent uploads in one
+                    # window share a batched vision-tower pass + one scan; a
+                    # lone upload runs the fused single-program path.
+                    from tpuclip.io.decode import load_image_bytes
+
+                    img = load_image_bytes(data, "<bytes>")
+                    if img is None:
                         self._json(400, {"error": "could not decode image bytes"})
                         return
+                    results = batcher.submit_image(
+                        img,
+                        int(req.get("k", 10)),
+                        req.get("folders"),
+                        bool(req.get("show_duplicates", False)),
+                    )
+                else:
+                    with lock:
+                        # Fused when eligible: decode → ONE vision-tower +
+                        # scan + rescore device program
+                        # (engine.search_image_bytes); two-stage embed +
+                        # search otherwise.
+                        results = engine.search_image_bytes(
+                            data,
+                            int(req.get("k", 10)),
+                            filter_folders=req.get("folders"),
+                            show_duplicates=bool(req.get("show_duplicates", False)),
+                        )
+                        if results is None:
+                            self._json(400, {"error": "could not decode image bytes"})
+                            return
             except Exception as e:  # noqa: BLE001
                 metrics.record(ok=False)
                 self._json(500, {"error": str(e)})
