@@ -14,6 +14,7 @@ queries + exact-agreement spot check.
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_verified_config.py
 """
 
+import os
 import sys
 
 import numpy as np
@@ -51,7 +52,12 @@ CONFIG_SETS = {
         (1024, 0.98),
     ],
 }
-CONFIGS = CONFIG_SETS[__import__("os").environ.get("PROBE_SET", "deep")]
+_PROBE_SET = os.environ.get("PROBE_SET", "deep")
+if _PROBE_SET not in CONFIG_SETS:
+    raise SystemExit(
+        f"PROBE_SET={_PROBE_SET!r} unknown; valid: {sorted(CONFIG_SETS)}"
+    )
+CONFIGS = CONFIG_SETS[_PROBE_SET]
 
 
 def main():

@@ -405,37 +405,42 @@ def main(out_path: str) -> int:
                 # Fused image query on hardware: an image_b64 upload of a
                 # scanned image must run the ONE-program vision-tower+scan
                 # path and return that image first, matching the two-stage
-                # embed + search result order exactly.
-                import base64
+                # embed + search result order exactly. Own containment so a
+                # failure here is recorded under ITS name, not the
+                # micro-batch check's.
+                try:
+                    import base64
 
-                probe_path = os.path.join(imgs, "im_3.jpg")
-                with open(probe_path, "rb") as fh:
-                    raw = fh.read()
-                req = urllib.request.Request(
-                    f"http://127.0.0.1:{srv.port}/search",
-                    data=json_mod.dumps(
-                        {
-                            "image_b64": base64.b64encode(raw).decode("ascii"),
-                            "k": 5,
-                            "show_duplicates": True,
-                        }
-                    ).encode(),
-                    headers={"Content-Type": "application/json"},
-                    method="POST",
-                )
-                with urllib.request.urlopen(req, timeout=600) as r:
-                    status, body = r.status, json_mod.loads(r.read())
-                got_paths = [row["path"] for row in body["results"]]
-                emb = eng.embed_image_bytes(raw)
-                want = eng.index.search(emb, 5)
-                record(
-                    "serve_image_fused_smoke",
-                    status == 200
-                    and got_paths
-                    and got_paths[0] == probe_path
-                    and got_paths == [p for p, _ in want],
-                    top1_is_query=bool(got_paths and got_paths[0] == probe_path),
-                )
+                    probe_path = os.path.join(imgs, "im_3.jpg")
+                    with open(probe_path, "rb") as fh:
+                        raw = fh.read()
+                    req = urllib.request.Request(
+                        f"http://127.0.0.1:{srv.port}/search",
+                        data=json_mod.dumps(
+                            {
+                                "image_b64": base64.b64encode(raw).decode("ascii"),
+                                "k": 5,
+                                "show_duplicates": True,
+                            }
+                        ).encode(),
+                        headers={"Content-Type": "application/json"},
+                        method="POST",
+                    )
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        status, body = r.status, json_mod.loads(r.read())
+                    got_paths = [row["path"] for row in body["results"]]
+                    emb = eng.embed_image_bytes(raw)
+                    want = eng.index.search(emb, 5)
+                    record(
+                        "serve_image_fused_smoke",
+                        status == 200
+                        and got_paths
+                        and got_paths[0] == probe_path
+                        and got_paths == [p for p, _ in want],
+                        top1_is_query=bool(got_paths and got_paths[0] == probe_path),
+                    )
+                except Exception as e:  # noqa: BLE001
+                    record("serve_image_fused_smoke", False, error=str(e)[:200])
             finally:
                 srv.shutdown()
     except Exception as e:  # noqa: BLE001

@@ -239,26 +239,32 @@ class ImageDatabase:
         NaFlex models fuse through their own tower entry point. Falls back
         to embed + index.search otherwise."""
         if self.index.can_fuse_image_search(k, filter_folders):
-            if self.is_naflex:
-                from tpuclip.io.preprocess import preprocess_naflex
-
-                v = self.config.vision
-                patches, mask, shape = preprocess_naflex(
-                    img, v.patch_size, v.max_num_patches
-                )
-                return self.index.search_images_fused_naflex(
-                    self.params, patches[None], mask[None],
-                    np.asarray([shape], np.int32), self.config, k,
-                    self.compute_dtype, 1,
-                )[0]
-            from tpuclip.io.preprocess import resize_to_uint8
-
-            pixels = resize_to_uint8(img, self.image_size)[None]
-            return self.index.search_images_fused(
-                self.params, pixels, self.config, k, self.compute_dtype, 1
-            )[0]
+            return self._search_image_fused(img, k)
         emb = self._embed_pil(img)
         return self.index.search(emb, k, filter_folders=filter_folders)
+
+    def _search_image_fused(self, img, k: int) -> List[tuple]:
+        """Fused-path body of :meth:`search_image_pil`: caller has already
+        checked ``can_fuse_image_search`` (the gate runs a DB fingerprint
+        scan — don't pay it twice on one request)."""
+        if self.is_naflex:
+            from tpuclip.io.preprocess import preprocess_naflex
+
+            v = self.config.vision
+            patches, mask, shape = preprocess_naflex(
+                img, v.patch_size, v.max_num_patches
+            )
+            return self.index.search_images_fused_naflex(
+                self.params, patches[None], mask[None],
+                np.asarray([shape], np.int32), self.config, k,
+                self.compute_dtype, 1,
+            )[0]
+        from tpuclip.io.preprocess import resize_to_uint8
+
+        pixels = resize_to_uint8(img, self.image_size)[None]
+        return self.index.search_images_fused(
+            self.params, pixels, self.config, k, self.compute_dtype, 1
+        )[0]
 
     def embed_texts_cached(self, texts: List[str]) -> np.ndarray:
         """Batch text embedding through the session LRU: cache hits skip the
@@ -342,31 +348,15 @@ class ImageDatabase:
         from tpuclip.io.decode import load_image
 
         images = [load_image(p) for p in image_paths]
-        if not any(img is not None for img in images):
+        valid = [i for i, img in enumerate(images) if img is not None]
+        if not valid:
             return [None] * len(image_paths)
         try:
-            if self.is_naflex:
-                from tpuclip.io.preprocess import preprocess_naflex
-
-                v = self.config.vision
-                L = v.max_num_patches
-                patches = np.zeros((len(images), L, v.patch_size**2 * 3), np.uint8)
-                masks = np.zeros((len(images), L), np.int32)
-                masks[:, 0] = 1
-                shapes = np.ones((len(images), 2), np.int32)
-                for i, img in enumerate(images):
-                    if img is not None:
-                        patches[i], masks[i], shapes[i] = preprocess_naflex(
-                            img, v.patch_size, L
-                        )
-                embeddings = self.embed_patches_naflex(patches, masks, shapes)
-            else:
-                pixels = preprocess_batch(images, self.image_size)
-                embeddings = self.embed_images_uint8(pixels)
-            return [
-                embeddings[i].flatten() if images[i] is not None else None
-                for i in range(len(image_paths))
-            ]
+            embeddings = self.embed_pils([images[i] for i in valid])
+            out: List[Optional[np.ndarray]] = [None] * len(image_paths)
+            for j, i in enumerate(valid):
+                out[i] = embeddings[j].flatten()
+            return out
         except Exception as e:  # noqa: BLE001
             log(f"Error processing batch: {e}")
             return [None] * len(image_paths)
@@ -428,7 +418,7 @@ class ImageDatabase:
         if img is None:
             return None
         if self.index.can_fuse_image_search(k, filter_folders):
-            results = self.search_image_pil(img, k, filter_folders)
+            results = self._search_image_fused(img, k)
             if not show_duplicates and results:
                 from tpuclip.index.dedup import filter_duplicates
 

@@ -864,6 +864,17 @@ def topk_int8_rerank_fused_auto(
     )
 
 
+def _fused_embedding_tail(out, emb, shortlist_method, keep_scores):
+    """Shared extra-output contract of the tower-fused wrappers: with
+    ``keep_scores`` on the verified program, the (fp32) query embedding
+    follows the resident score matrix so a proof miss never re-runs the
+    tower. One place, three wrappers — a drifted copy would produce a
+    wrong-arity unpack in DeviceIndex._run_fused."""
+    if keep_scores and shortlist_method == "verified":
+        return out + (emb.astype(jnp.float32),)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -909,9 +920,7 @@ def text_topk_fused(
         shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
         shortlist_method=shortlist_method, keep_scores=keep_scores,
     )
-    if keep_scores and shortlist_method == "verified":
-        return out + (emb.astype(jnp.float32),)
-    return out
+    return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
 
 
 @functools.partial(
@@ -955,9 +964,7 @@ def image_topk_fused(
         shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
         shortlist_method=shortlist_method, keep_scores=keep_scores,
     )
-    if keep_scores and shortlist_method == "verified":
-        return out + (emb.astype(jnp.float32),)
-    return out
+    return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
 
 
 @functools.partial(
@@ -998,9 +1005,7 @@ def naflex_image_topk_fused(
         shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
         shortlist_method=shortlist_method, keep_scores=keep_scores,
     )
-    if keep_scores and shortlist_method == "verified":
-        return out + (emb.astype(jnp.float32),)
-    return out
+    return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -239,10 +239,10 @@ def search(
         with timings.track("fused_image_search"):
             img = load_image(query)
             if img is None:
-                log("Error: Failed to generate embedding from image")
+                log(f"Error: Could not decode image file {query}")
                 return []
             try:
-                results = engine.search_image_pil(img, k, filter_folders)
+                results = engine._search_image_fused(img, k)
             except Exception as e:  # noqa: BLE001 - same containment as below
                 log(f"Error during search: {e}")
                 return []

@@ -250,11 +250,12 @@ class MicroBatcher:
                             if len(images) == 1 and fused_group[(k, folders)]:
                                 # Lone upload: the fused single-program path
                                 # (vision tower + scan + rescore, one round
-                                # trip).
+                                # trip; eligibility already decided for the
+                                # group — skip the repeat fingerprint scan).
                                 done.append((
                                     images[0],
-                                    self.engine.search_image_pil(
-                                        images[0].image, k, folder_list
+                                    self.engine._search_image_fused(
+                                        images[0].image, k
                                     ),
                                 ))
                             else:
