@@ -77,6 +77,17 @@ def test_embed_image_bytes_list_contains_failures(client):
     assert out[1] is None
 
 
+def test_classify_image_bytes(client):
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (210, 40, 40)).save(buf, format="JPEG")
+    labels = ["red", "green"]
+    ranked = client.classify_image_bytes(buf.getvalue(), labels)
+    assert sorted(l for l, _, _ in ranked) == sorted(labels)
+    probs = [p for _, p, _ in ranked]
+    assert probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+
+
 def test_server_errors_surface(client):
     with pytest.raises(ServeError) as e:
         client.search("")  # missing query string

@@ -366,6 +366,54 @@ def test_image_b64_search(server, engine):
     assert status == 400
 
 
+def test_classify_endpoint(server, engine):
+    """POST /classify: per-label probabilities from the resident engine,
+    sorted by sigmoid descending, matching the library head exactly."""
+    import base64
+    import sqlite3
+
+    from tpuclip.io.decode import load_image
+    from tpuclip.pipelines.classify import classify_pil
+
+    conn = sqlite3.connect(engine.db_path)
+    a_path = conn.execute(
+        "SELECT file_path FROM images ORDER BY id LIMIT 1"
+    ).fetchone()[0]
+    conn.close()
+    labels = ["a red square", "a green square", "a blue square"]
+    with open(a_path, "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+
+    status, body = _post(server, "/classify", {"image_b64": b64, "labels": labels})
+    assert status == 200
+    got = [(r["label"], r["prob"], r["rel"]) for r in body["labels"]]
+    assert sorted(l for l, _, _ in got) == sorted(labels)
+    probs = [p for _, p, _ in got]
+    assert probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    rels = [r for _, _, r in got]
+    assert sum(rels) == pytest.approx(1.0, abs=1e-4)
+    want = classify_pil(engine, load_image(a_path), labels)
+    assert [l for l, _, _ in got] == [l for l, _, _ in want]
+    for (_, p, r), (_, wp, wr) in zip(got, want):
+        assert p == pytest.approx(wp, abs=1e-5)
+        assert r == pytest.approx(wr, abs=1e-5)
+
+    # server-local path variant agrees
+    status, body2 = _post(server, "/classify", {"image": a_path, "labels": labels})
+    assert status == 200 and body2 == body
+
+    # bad requests
+    assert _post(server, "/classify", {"labels": labels})[0] == 400  # no image
+    assert _post(server, "/classify", {"image": a_path})[0] == 400  # no labels
+    assert _post(
+        server, "/classify", {"image": a_path, "image_b64": b64, "labels": labels}
+    )[0] == 400  # both sources
+    assert _post(
+        server, "/classify", {"image_b64": "!!!", "labels": labels}
+    )[0] == 400  # bad base64
+
+
 def test_embed_images_b64(server, engine):
     import base64
     import sqlite3

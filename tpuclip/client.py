@@ -134,6 +134,24 @@ class Client:
         out = self._request("/search_batch", payload)
         return [self._results({"results": rs}) for rs in out["results"]]
 
+    def classify_image_bytes(
+        self, data: bytes, labels: Sequence[str]
+    ) -> List[tuple]:
+        """Zero-shot classification of an uploaded image: returns
+        [(label, sigmoid_prob, softmax_prob)] sorted descending."""
+        out = self._request(
+            "/classify",
+            {
+                "image_b64": base64.b64encode(data).decode("ascii"),
+                "labels": list(labels),
+            },
+        )
+        return [(r["label"], r["prob"], r["rel"]) for r in out["labels"]]
+
+    def classify_image_file(self, path: str, labels: Sequence[str]) -> List[tuple]:
+        with open(path, "rb") as f:
+            return self.classify_image_bytes(f.read(), labels)
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """L2-normalized text embeddings, fp32 (n, D)."""
         out = self._request("/embed", {"texts": list(texts)})

@@ -63,6 +63,16 @@ def classify_image(
         )
     )
 
+    return score_labels(labels, txt, img, params)
+
+
+def score_labels(
+    labels: List[str], txt: np.ndarray, img: np.ndarray, params
+) -> List[Tuple[str, float, float]]:
+    """SigLIP head over unit-norm embeddings: per-label sigmoid probability
+    (`logit_scale * cos + logit_bias`, the training objective) plus a
+    softmax view for forced choice. Returns [(label, sigmoid, softmax)]
+    sorted by sigmoid descending."""
     cos = txt @ img
     scale = float(np.exp(np.asarray(params.get("logit_scale", math.log(10.0)), np.float32)))
     bias = float(np.asarray(params.get("logit_bias", -10.0), np.float32))
@@ -75,6 +85,16 @@ def classify_image(
         zip(labels, sigmoid, softmax), key=lambda x: x[1], reverse=True
     )
     return [(l, float(p), float(sm)) for l, p, sm in ranked]
+
+
+def classify_pil(engine, img, labels: List[str]) -> List[Tuple[str, float, float]]:
+    """Zero-shot classification against a RESIDENT engine (the serve
+    /classify path): reuses the loaded towers and the text-embedding LRU,
+    no model load per call. NaFlex-capable — the engine's embed path owns
+    the patchified input contract classify_image can't drive itself."""
+    img_emb = engine._embed_pil(img)
+    txt = engine.embed_texts_cached(list(labels))
+    return score_labels(list(labels), txt, img_emb, engine.params)
 
 
 def run_classify(image_path: str, labels: List[str], model_name: str, model_cache_dir) -> None:

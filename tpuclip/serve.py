@@ -21,6 +21,9 @@ wraps the same engine in a small threaded HTTP server (stdlib only):
                             upload the query image instead of naming a
                             server-local path (raise TPUCLIP_MAX_BODY_MB for
                             large photos)
+  POST /classify          → {"labels": [str...]} + one of {"image_b64"} /
+                            {"image": <server path>} → zero-shot per-label
+                            sigmoid + softmax probabilities (no database)
 
 The model and the HBM-resident index stay warm across requests. Plain text
 queries and ``image_b64`` uploads are MICRO-BATCHED: concurrent requests
@@ -409,6 +412,9 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             if self.path == "/search_batch":
                 self._handle_search_batch(req)
                 return
+            if self.path == "/classify":
+                self._handle_classify(req)
+                return
             if self.path != "/search":
                 self._json(404, {"error": "not found"})
                 return
@@ -565,6 +571,63 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                     "results": [
                         {"path": p, "similarity": round(s, 6)} for p, s in results
                     ],
+                },
+            )
+
+        def _handle_classify(self, req) -> None:
+            """Zero-shot classification against the resident engine:
+            {"labels": [str...]} plus ONE of {"image_b64": <base64 raster>}
+            or {"image": <server-local path>} → per-label sigmoid + softmax
+            probabilities, sorted descending (pipelines/classify.py head;
+            no database involved)."""
+            labels = req.get("labels")
+            if (
+                not labels
+                or not isinstance(labels, list)
+                or not all(isinstance(x, str) and x for x in labels)
+            ):
+                self._json(400, {"error": "missing 'labels' list of strings"})
+                return
+            has_b64 = req.get("image_b64") is not None
+            has_path = req.get("image") is not None
+            if has_b64 == has_path:  # neither or both
+                self._json(400, {"error": "provide exactly one of 'image_b64' or 'image'"})
+                return
+            try:
+                if has_b64:
+                    import base64
+
+                    from tpuclip.io.decode import load_image_bytes
+
+                    try:
+                        data = base64.b64decode(req["image_b64"], validate=True)
+                    except Exception:  # noqa: BLE001
+                        self._json(400, {"error": "image_b64 is not valid base64"})
+                        return
+                    img = load_image_bytes(data, "<bytes>")
+                else:
+                    from tpuclip.io.decode import load_image
+
+                    img = load_image(str(req["image"]))
+                if img is None:
+                    self._json(400, {"error": "could not decode image"})
+                    return
+                from tpuclip.pipelines.classify import classify_pil
+
+                with lock:
+                    ranked = classify_pil(engine, img, [str(x) for x in labels])
+            except Exception as e:  # noqa: BLE001
+                metrics.record(ok=False)
+                self._json(500, {"error": str(e)})
+                return
+            metrics.record(ok=True)
+            self._json(
+                200,
+                {
+                    "labels": [
+                        {"label": l, "prob": round(p, 6), "rel": round(sm, 6)}
+                        for l, p, sm in ranked
+                    ]
                 },
             )
 
