@@ -77,6 +77,15 @@ def test_embed_image_bytes_list_contains_failures(client):
     assert out[1] is None
 
 
+def test_search_image_bytes_batch(client):
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32), (210, 40, 40)).save(buf, format="JPEG")
+    out = client.search_image_bytes_batch([buf.getvalue(), b"not an image"], k=2)
+    assert len(out) == 2
+    assert out[0] is not None and len(out[0]) == 2
+    assert out[1] is None
+
+
 def test_classify_image_bytes(client):
     buf = io.BytesIO()
     Image.new("RGB", (32, 32), (210, 40, 40)).save(buf, format="JPEG")

@@ -130,6 +130,40 @@ def test_search_batch_endpoint(server):
     assert all(len(r) == 2 for r in body["results"])
     status, _ = _post(server, "/search_batch", {"queries": "notalist"})
     assert status == 400
+    status, _ = _post(server, "/search_batch", {})
+    assert status == 400
+
+
+def test_search_batch_images(server, engine):
+    """images_b64 in /search_batch: one vision pass for the group; each
+    uploaded DB image ranks itself first; undecodable slots return null;
+    text and image queries mix in one request."""
+    import base64
+    import sqlite3
+
+    conn = sqlite3.connect(engine.db_path)
+    paths = [r[0] for r in conn.execute(
+        "SELECT file_path FROM images ORDER BY id LIMIT 2"
+    ).fetchall()]
+    conn.close()
+    b64s = []
+    for p in paths:
+        with open(p, "rb") as f:
+            b64s.append(base64.b64encode(f.read()).decode())
+    b64s.append(base64.b64encode(b"junk, not an image").decode())
+
+    status, body = _post(
+        server, "/search_batch",
+        {"queries": ["red"], "images_b64": b64s, "k": 2},
+    )
+    assert status == 200
+    assert len(body["results"]) == 1 and len(body["results"][0]) == 2
+    img_rows = body["image_results"]
+    assert len(img_rows) == 3
+    for p, rs in zip(paths, img_rows[:2]):
+        assert rs[0]["path"] == p
+        assert rs[0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+    assert img_rows[2] is None  # undecodable slot
 
 
 def test_stats_metrics_counters(server):

@@ -134,6 +134,27 @@ class Client:
         out = self._request("/search_batch", payload)
         return [self._results({"results": rs}) for rs in out["results"]]
 
+    def search_image_bytes_batch(
+        self,
+        images: Sequence[bytes],
+        k: int = 10,
+        folders: Optional[Sequence[str]] = None,
+    ) -> List[Optional[Results]]:
+        """Many upload-image queries in one request: the server embeds them
+        in one vision-tower pass and scans the matrix once. None per slot
+        that failed to decode."""
+        payload: dict = {
+            "images_b64": [base64.b64encode(b).decode("ascii") for b in images],
+            "k": k,
+        }
+        if folders:
+            payload["folders"] = list(folders)
+        out = self._request("/search_batch", payload)
+        return [
+            self._results({"results": rs}) if rs is not None else None
+            for rs in out["image_results"]
+        ]
+
     def classify_image_bytes(
         self, data: bytes, labels: Sequence[str]
     ) -> List[tuple]:

@@ -676,41 +676,78 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 self._json(500, {"error": str(e)})
 
         def _handle_search_batch(self, req) -> None:
-            """{"queries": [str...], "k": int?} → per-query results; all text
-            queries embed in one tower pass and scan the matrix once."""
-            queries = req.get("queries")
-            if not queries or not isinstance(queries, list):
-                self._json(400, {"error": "missing 'queries' list"})
+            """{"queries": [str...]} and/or {"images_b64": [...]}, "k": int?
+            → per-query results; text queries embed in one tower pass and
+            image uploads in one vision pass, each scanning the matrix
+            once. Undecodable upload slots return null."""
+            queries = req.get("queries") or []
+            images_b64 = req.get("images_b64") or []
+            if not isinstance(queries, list) or not isinstance(images_b64, list):
+                self._json(400, {"error": "'queries'/'images_b64' must be lists"})
                 return
-            if len(queries) > self.MAX_BATCH_QUERIES:
+            if not queries and not images_b64:
+                self._json(400, {"error": "missing 'queries' and/or 'images_b64' list"})
+                return
+            if len(queries) + len(images_b64) > self.MAX_BATCH_QUERIES:
                 # Unbounded fan-out would bucket the text tower to the next
                 # power of two and can OOM the device on one bad request.
                 self._json(400, {
-                    "error": f"too many queries ({len(queries)} > "
+                    "error": f"too many queries ({len(queries) + len(images_b64)} > "
                              f"{self.MAX_BATCH_QUERIES})"
                 })
                 return
             k = int(req.get("k", 10))
+            folders = req.get("folders")
             try:
+                image_rows = []
+                if images_b64:
+                    import base64
+
+                    from tpuclip.io.decode import load_image_bytes
+
+                    imgs = []
+                    for b in images_b64:
+                        try:
+                            imgs.append(
+                                load_image_bytes(
+                                    base64.b64decode(b, validate=True), "<bytes>"
+                                )
+                            )
+                        except Exception:  # noqa: BLE001
+                            imgs.append(None)
                 with lock:
                     # No explicit refresh: engine.search_texts refreshes via
                     # can_fuse_text_search / search_batch — doing it here too
                     # would just repeat the full-table fingerprint scans.
                     # engine.search_texts fuses tokenize→tower→scan→rescore
                     # into one device pass when the index is eligible.
-                    batches = engine.search_texts(
-                        [str(q) for q in queries], k,
-                        filter_folders=req.get("folders"),
+                    batches = (
+                        engine.search_texts(
+                            [str(q) for q in queries], k, filter_folders=folders
+                        )
+                        if queries
+                        else []
                     )
-                self._json(
-                    200,
-                    {
-                        "results": [
-                            [{"path": p, "similarity": round(s, 6)} for p, s in rs]
-                            for rs in batches
-                        ]
-                    },
-                )
+                    if images_b64:
+                        valid = [i for i, im in enumerate(imgs) if im is not None]
+                        image_rows = [None] * len(imgs)
+                        if valid:
+                            embs = engine.embed_pils([imgs[i] for i in valid])
+                            found = engine.index.search_batch(
+                                embs, k, filter_folders=folders
+                            )
+                            for j, i in enumerate(valid):
+                                image_rows[i] = found[j]
+
+                def rows(rs):
+                    if rs is None:
+                        return None
+                    return [{"path": p, "similarity": round(s, 6)} for p, s in rs]
+
+                out = {"results": [rows(rs) for rs in batches]}
+                if images_b64:
+                    out["image_results"] = [rows(rs) for rs in image_rows]
+                self._json(200, out)
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
 
