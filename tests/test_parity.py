@@ -168,7 +168,11 @@ def test_uint8_pixel_normalization(models):
     normalized = (raw.astype(np.float32) / 255.0 - 0.5) / 0.5
     out_u8 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(raw), cfg.vision))
     out_f32 = np.asarray(siglip.vision_forward(params["vision"], jnp.asarray(normalized), cfg.vision))
-    tol = 1e-3 if ON_DEVICE else 1e-5  # same program, device rounding only
+    # Two separately-compiled programs: on the real device their f32
+    # contractions run default-precision bf16 passes with different fusion
+    # choices, so the pooled outputs drift ~1e-2 abs (measured 8e-3 on
+    # v5e); on CPU both are IEEE f32.
+    tol = 2e-2 if ON_DEVICE else 1e-5
     np.testing.assert_allclose(out_u8, out_f32, rtol=tol, atol=tol)
 
 
@@ -256,13 +260,20 @@ def test_sigmoid_contrastive_loss_vs_hf(models):
         want_gs = float(hf.logit_scale.grad)
         want_gb = float(hf.logit_bias.grad)
 
-        loss, grads = jax.value_and_grad(sigmoid_contrastive_loss)(
-            params,
-            jnp.asarray(pix.transpose(0, 2, 3, 1)),  # NHWC
-            jnp.asarray(ids.astype(np.int32)),
-            cfg,
-            jnp.float32,
-        )
-        assert float(loss) == pytest.approx(want_loss, rel=1e-5), trial
-        assert float(grads["logit_scale"]) == pytest.approx(want_gs, rel=1e-4, abs=1e-7)
-        assert float(grads["logit_bias"]) == pytest.approx(want_gb, rel=1e-4, abs=1e-7)
+        # True-f32 matmul passes: the device's DEFAULT f32 precision runs
+        # bf16 passes whose fwd+bwd error compounds to ~6% on the small
+        # head grads — HIGHEST restores the tight torch-oracle contract on
+        # hardware (no-op on CPU; production training keeps the default).
+        with jax.default_matmul_precision("highest"):
+            loss, grads = jax.value_and_grad(sigmoid_contrastive_loss)(
+                params,
+                jnp.asarray(pix.transpose(0, 2, 3, 1)),  # NHWC
+                jnp.asarray(ids.astype(np.int32)),
+                cfg,
+                jnp.float32,
+            )
+        rel_l = 2e-4 if ON_DEVICE else 1e-5
+        rel_g = 2e-3 if ON_DEVICE else 1e-4
+        assert float(loss) == pytest.approx(want_loss, rel=rel_l), trial
+        assert float(grads["logit_scale"]) == pytest.approx(want_gs, rel=rel_g, abs=1e-6 if ON_DEVICE else 1e-7)
+        assert float(grads["logit_bias"]) == pytest.approx(want_gb, rel=rel_g, abs=1e-6 if ON_DEVICE else 1e-7)

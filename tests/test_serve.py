@@ -165,7 +165,8 @@ def test_search_batch_images(server, engine):
     assert len(img_rows) == 3
     for p, rs in zip(paths, img_rows[:2]):
         assert rs[0]["path"] == p
-        assert rs[0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+        # bf16 batch-bucket divergence between query and indexed embeddings
+        assert rs[0]["similarity"] == pytest.approx(1.0, abs=5e-3)
     assert img_rows[2] is None  # undecodable slot
 
 
@@ -384,7 +385,10 @@ def test_image_b64_search(server, engine):
     status, body = _post(server, "/search", {"image_b64": b64, "k": 3})
     assert status == 200
     assert body["results"][0]["path"] == a_path
-    assert body["results"][0]["similarity"] == pytest.approx(1.0, abs=1e-4)
+    # 5e-3: on bf16 backends the query embeds at batch 1 and the indexed
+    # row at the scan batch bucket — different compiled programs, low bits
+    # differ (same tolerance rationale as the micro-batch test).
+    assert body["results"][0]["similarity"] == pytest.approx(1.0, abs=5e-3)
 
     # both query and image_b64 → 400
     status, body = _post(server, "/search", {"image_b64": b64, "query": "x"})

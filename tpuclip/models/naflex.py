@@ -80,7 +80,12 @@ def resize_position_embeddings(
         c = p_eff % w
         rw = _axis_weights(s, h, r)  # (L, S)
         cw = _axis_weights(s, w, c)  # (L, S)
-        return jnp.einsum("pi,pj,ijd->pd", rw, cw, grid)
+        # HIGHEST: TPU default-precision f32 contractions run bf16 passes
+        # (~4e-3 abs error vs HF's fp32 interpolate); this runs once per
+        # grid shape, so true-f32 MXU passes cost nothing measurable.
+        return jnp.einsum(
+            "pi,pj,ijd->pd", rw, cw, grid, precision=jax.lax.Precision.HIGHEST
+        )
 
     return jax.vmap(one)(spatial_shapes.astype(jnp.int32))
 
