@@ -171,6 +171,9 @@ negatives (<code>a - b</code>), or an uploaded image</div>
   <button type="submit">Search</button>
   <label class="upload">Image&hellip;<input id="file" type="file"
     accept="image/*" hidden></label>
+  <label class="upload" style="background:#8a5ac0"
+    title="Type comma-separated labels in the query box, then pick an image">
+    Classify&hellip;<input id="cfile" type="file" accept="image/*" hidden></label>
 </form>
 <div id="status"></div>
 <div class="gallery" id="g"></div>
@@ -247,6 +250,49 @@ $("file").addEventListener("change", () => {
   };
   reader.readAsDataURL(f);
   $("file").value = "";
+});
+
+$("cfile").addEventListener("change", () => {
+  // Zero-shot classification: labels come from the query box
+  // (comma-separated), the image from the picked file -> POST /classify.
+  const f = $("cfile").files[0];
+  $("cfile").value = "";
+  if (!f) return;
+  const labels = $("q").value.split(",").map(s => s.trim()).filter(Boolean);
+  if (labels.length < 2) {
+    status_("Classify needs 2+ comma-separated labels in the query box", true);
+    return;
+  }
+  const reader = new FileReader();
+  reader.onload = async () => {
+    const b64 = reader.result.split(",", 2)[1];
+    status_(`Classifying ${f.name}…`);
+    try {
+      const resp = await fetch("/classify", { method: "POST",
+        headers: { "Content-Type": "application/json" },
+        body: JSON.stringify({ image_b64: b64, labels }) });
+      const data = await resp.json();
+      if (!resp.ok) { status_(data.error || resp.statusText, true); return; }
+      const g = $("g");
+      g.innerHTML = "";
+      const card = document.createElement("div");
+      card.className = "result-item";
+      card.innerHTML = `<div class="score"></div>`;
+      card.querySelector(".score").textContent = `zero-shot: ${f.name}`;
+      for (const row of data.labels) {
+        const line = document.createElement("div");
+        line.className = "file-path";
+        line.style.fontSize = "14px";
+        line.textContent =
+          `${(row.prob * 100).toFixed(2).padStart(6)}%  (rel ` +
+          `${(row.rel * 100).toFixed(1)}%)  ${row.label}`;
+        card.appendChild(line);
+      }
+      g.appendChild(card);
+      status_(`${data.labels.length} labels`);
+    } catch (e) { status_(String(e), true); }
+  };
+  reader.readAsDataURL(f);
 });
 
 fetch("/stats").then(r => r.json()).then(s => {
