@@ -177,6 +177,31 @@ def test_binary_only_mode(tree, tmp_path):
     assert all(0.0 <= s <= 1.0 for _, s in results)
 
 
+def test_oversized_index_degrades_to_binary(db, monkeypatch, capsys):
+    """A flat matrix over the HBM cap must skip the device upload with a
+    loud hint (cascade/sharded/ivf) and serve from the binary index —
+    graceful degradation instead of an opaque device OOM."""
+    from tpuclip.index.search import DeviceIndex
+
+    monkeypatch.setenv("TPUCLIP_INDEX_HBM_GB", "0.0000001")
+    monkeypatch.setenv("TPUCLIP_QUIET", "0")  # conftest silences log()
+    idx = DeviceIndex(db.store)
+    idx.refresh()
+    assert idx._matrix is None
+    assert idx._bin_matrix is not None
+    out = capsys.readouterr().out
+    assert "too large" in out and "cascade" in out
+    q = np.random.default_rng(3).standard_normal(db.embedding_dim)
+    q = (q / np.linalg.norm(q)).astype(np.float32)
+    results = idx.search(q, 3)
+    assert len(results) == 3
+
+    monkeypatch.delenv("TPUCLIP_INDEX_HBM_GB")
+    ok = DeviceIndex(db.store)
+    ok.refresh()
+    assert ok._matrix is not None  # cap lifted -> flat matrix resident again
+
+
 def test_int8_precision_index(db, tree):
     """int8 search mode must return the same top results on this tiny DB."""
     from tpuclip.index.search import DeviceIndex

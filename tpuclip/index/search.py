@@ -261,6 +261,25 @@ class DeviceIndex:
                         jnp.asarray(mt, dtype=self.matrix_dtype), self.mesh
                     )
                     self._scales = None
+            elif not self._flat_matrix_fits(len(ids)):
+                # Graceful degradation instead of an opaque device OOM: a
+                # single-chip index whose FLAT matrix alone exceeds the HBM
+                # cap skips the upload; searches serve from the packed
+                # binary index (the reference's own fallback tier) until
+                # the user picks a big-index mode.
+                log(
+                    f"  [WARNING] index too large for one chip's HBM "
+                    f"({len(ids):,} x {self.store.embedding_dim} "
+                    f"{'int8' if self.precision == 'int8' else 'bf16'} exceeds "
+                    f"TPUCLIP_INDEX_HBM_GB) — serving from the binary index. "
+                    f"Use TPUCLIP_SEARCH_MODE=cascade (exact-rescored, "
+                    f"~N/8 bytes resident), TPUCLIP_SHARDED_INDEX=1 on a "
+                    f"mesh, or TPUCLIP_SEARCH_MODE=ivf."
+                )
+                self._matrix = None
+                self._scales = None
+                self._rows_device = None
+                n_valid = 0
             elif self.precision == "int8":
                 from tpuclip.ops.topk_int8 import (
                     INT8_TILE_N,
@@ -423,6 +442,25 @@ class DeviceIndex:
         slots = int(n_rows * capacity_factor)
         k_clusters = max(8, min(2 * int(np.sqrt(max(n_rows, 1))), n_rows // 8 or 8))
         return slots * d + slots * 8 + k_clusters * d * 4
+
+    def _flat_matrix_fits(self, n_rows: int) -> bool:
+        """Capacity gate for the single-chip FLAT matrix upload: without it
+        an oversized index dies inside device_put with an opaque OOM. The
+        cap covers only the scan matrix itself (the int8+full-copy pair has
+        its own budget in _want_device_rerank). Default 12 GB ≈ a 16 GB
+        v5e minus workspace; TPUCLIP_INDEX_HBM_GB overrides (and makes the
+        gate apply off-TPU too, for tests — host 'device' memory is RAM)."""
+        import os
+
+        env = os.environ.get("TPUCLIP_INDEX_HBM_GB")
+        if env is None and jax.default_backend() != "tpu":
+            return True
+        d = self.store.embedding_dim
+        if self.precision == "int8":
+            flat = n_rows * d  # int8 bytes; scales are negligible
+        else:
+            flat = n_rows * d * jnp.dtype(self.matrix_dtype).itemsize
+        return flat / 1e9 <= float(env if env is not None else 12.0)
 
     def _want_device_rerank(self, n_rows: int) -> bool:
         """Device re-rank gate: forced by TPUCLIP_DEVICE_RERANK=1/0, else auto
