@@ -453,6 +453,10 @@ def test_classify_endpoint(server, engine):
     assert _post(
         server, "/classify", {"image_b64": "!!!", "labels": labels}
     )[0] == 400  # bad base64
+    status, body2 = _post(
+        server, "/classify", {"image": a_path, "labels": ["x"] * 10_000}
+    )
+    assert status == 400 and "too many labels" in body2["error"]
 
 
 def test_embed_images_b64(server, engine):

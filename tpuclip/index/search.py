@@ -273,8 +273,9 @@ class DeviceIndex:
                     f"{'int8' if self.precision == 'int8' else 'bf16'} exceeds "
                     f"TPUCLIP_INDEX_HBM_GB) — serving from the binary index. "
                     f"Use TPUCLIP_SEARCH_MODE=cascade (exact-rescored, "
-                    f"~N/8 bytes resident), TPUCLIP_SHARDED_INDEX=1 on a "
-                    f"mesh, or TPUCLIP_SEARCH_MODE=ivf."
+                    f"~N/8 bytes resident) or TPUCLIP_SHARDED_INDEX=1 on a "
+                    f"mesh. (IVF would not help: its resident footprint "
+                    f"exceeds the flat matrix's.)"
                 )
                 self._matrix = None
                 self._scales = None
@@ -455,12 +456,19 @@ class DeviceIndex:
         env = os.environ.get("TPUCLIP_INDEX_HBM_GB")
         if env is None and jax.default_backend() != "tpu":
             return True
+        try:
+            cap = float(env) if env is not None else 12.0
+        except ValueError:
+            # Malformed knob must not take down every search — same
+            # fall-back-to-default policy as the other env parsers.
+            log(f"  [WARNING] ignoring malformed TPUCLIP_INDEX_HBM_GB={env!r}")
+            cap = 12.0
         d = self.store.embedding_dim
         if self.precision == "int8":
             flat = n_rows * d  # int8 bytes; scales are negligible
         else:
             flat = n_rows * d * jnp.dtype(self.matrix_dtype).itemsize
-        return flat / 1e9 <= float(env if env is not None else 12.0)
+        return flat / 1e9 <= cap
 
     def _want_device_rerank(self, n_rows: int) -> bool:
         """Device re-rank gate: forced by TPUCLIP_DEVICE_RERANK=1/0, else auto

@@ -49,6 +49,22 @@ from tpuclip.cli import parse_interactive_line
 from tpuclip.utils.logging import log
 
 
+def _decode_b64_image(b64):
+    """base64 string → decoded PIL image, or None for invalid base64 /
+    undecodable bytes (the one containment shared by every upload-accepting
+    endpoint — /search image_b64, /search_batch images_b64, /classify,
+    /embed)."""
+    import base64
+
+    from tpuclip.io.decode import load_image_bytes
+
+    try:
+        data = base64.b64decode(b64, validate=True)
+    except Exception:  # noqa: BLE001
+        return None
+    return load_image_bytes(data, "<bytes>")
+
+
 class ServerMetrics:
     """Cumulative request metrics surfaced at /stats (the reference exports
     no metrics at all — SURVEY.md §5 observability)."""
@@ -514,30 +530,22 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             the uploaded image and scan the index. k / folders /
             show_duplicates apply as usual; 'query' must not also be set
             (blend algebra stays path/text-based)."""
-            import base64
             import time as _time
 
             if req.get("query"):
                 self._json(400, {"error": "provide either 'query' or 'image_b64', not both"})
                 return
-            try:
-                data = base64.b64decode(req["image_b64"], validate=True)
-            except Exception:  # noqa: BLE001
-                self._json(400, {"error": "image_b64 is not valid base64"})
+            # Decode on THIS handler thread (parallel across uploads).
+            img = _decode_b64_image(req["image_b64"])
+            if img is None:
+                self._json(400, {"error": "could not decode image_b64"})
                 return
             t0 = _time.perf_counter()
             try:
                 if batcher is not None:
-                    # Decode on THIS handler thread (parallel across
-                    # uploads), then micro-batch: concurrent uploads in one
-                    # window share a batched vision-tower pass + one scan; a
-                    # lone upload runs the fused single-program path.
-                    from tpuclip.io.decode import load_image_bytes
-
-                    img = load_image_bytes(data, "<bytes>")
-                    if img is None:
-                        self._json(400, {"error": "could not decode image bytes"})
-                        return
+                    # Micro-batch: concurrent uploads in one window share a
+                    # batched vision-tower pass + one scan; a lone upload
+                    # runs the fused single-program path.
                     results = batcher.submit_image(
                         img,
                         int(req.get("k", 10)),
@@ -546,19 +554,19 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                     )
                 else:
                     with lock:
-                        # Fused when eligible: decode → ONE vision-tower +
-                        # scan + rescore device program
-                        # (engine.search_image_bytes); two-stage embed +
-                        # search otherwise.
-                        results = engine.search_image_bytes(
-                            data,
-                            int(req.get("k", 10)),
+                        # Fused when eligible: ONE vision-tower + scan +
+                        # rescore device program; two-stage embed + search
+                        # otherwise.
+                        results = engine.search_image_pil(
+                            img, int(req.get("k", 10)),
                             filter_folders=req.get("folders"),
-                            show_duplicates=bool(req.get("show_duplicates", False)),
                         )
-                        if results is None:
-                            self._json(400, {"error": "could not decode image bytes"})
-                            return
+                        if not bool(req.get("show_duplicates", False)) and results:
+                            from tpuclip.index.dedup import filter_duplicates
+
+                            results = filter_duplicates(
+                                engine.store, results, tolerance_bits=2
+                            )
             except Exception as e:  # noqa: BLE001
                 metrics.record(ok=False)
                 self._json(500, {"error": str(e)})
@@ -588,6 +596,14 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             ):
                 self._json(400, {"error": "missing 'labels' list of strings"})
                 return
+            if len(labels) > self.MAX_BATCH_QUERIES:
+                # Same fan-out cap as /search_batch: an unbounded label list
+                # is one un-chunked text-tower pass under the serving lock.
+                self._json(400, {
+                    "error": f"too many labels ({len(labels)} > "
+                             f"{self.MAX_BATCH_QUERIES})"
+                })
+                return
             has_b64 = req.get("image_b64") is not None
             has_path = req.get("image") is not None
             if has_b64 == has_path:  # neither or both
@@ -595,16 +611,7 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                 return
             try:
                 if has_b64:
-                    import base64
-
-                    from tpuclip.io.decode import load_image_bytes
-
-                    try:
-                        data = base64.b64decode(req["image_b64"], validate=True)
-                    except Exception:  # noqa: BLE001
-                        self._json(400, {"error": "image_b64 is not valid base64"})
-                        return
-                    img = load_image_bytes(data, "<bytes>")
+                    img = _decode_b64_image(req["image_b64"])
                 else:
                     from tpuclip.io.decode import load_image
 
@@ -658,15 +665,12 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                             embs.append(e.tolist() if e is not None else None)
                         out["image_embeddings"] = embs
                     if images_b64:
-                        import base64
-
                         embs = []
                         for b in images_b64:
                             try:
-                                e = engine.embed_image_bytes(
-                                    base64.b64decode(b, validate=True)
-                                )
-                            except Exception:  # noqa: BLE001
+                                img = _decode_b64_image(b)
+                                e = engine._embed_pil(img) if img is not None else None
+                            except Exception:  # noqa: BLE001 - None per slot
                                 e = None
                             embs.append(e.tolist() if e is not None else None)
                         out["image_b64_embeddings"] = embs
@@ -701,20 +705,7 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
             try:
                 image_rows = []
                 if images_b64:
-                    import base64
-
-                    from tpuclip.io.decode import load_image_bytes
-
-                    imgs = []
-                    for b in images_b64:
-                        try:
-                            imgs.append(
-                                load_image_bytes(
-                                    base64.b64decode(b, validate=True), "<bytes>"
-                                )
-                            )
-                        except Exception:  # noqa: BLE001
-                            imgs.append(None)
+                    imgs = [_decode_b64_image(b) for b in images_b64]
                 with lock:
                     # No explicit refresh: engine.search_texts refreshes via
                     # can_fuse_text_search / search_batch — doing it here too
