@@ -243,6 +243,36 @@ def test_concurrent_searches_micro_batch(engine):
         srv.shutdown()
 
 
+def test_api_fuzz_no_500(server):
+    """Adversarial request bodies must map to 4xx (or succeed), never to an
+    unhandled 500: wrong types, negative/huge k, null fields, deep nesting,
+    unicode, and type confusion on every POST endpoint."""
+    import random
+
+    rng = random.Random(11)
+    values = [
+        None, True, False, 0, -5, 3.7, 1e18, "", "x", "a" * 500,
+        "\x00\uffff\U0001f600", [], {}, [None], [[1, 2]], {"q": 1},
+        ["red", None, 7], {"deep": {"deeper": [1, {"a": None}]}},
+    ]
+    fields = [
+        "query", "queries", "image_b64", "images_b64", "image", "labels",
+        "k", "folders", "negative", "negative_weight", "query2", "weights",
+        "show_duplicates", "texts", "images",
+    ]
+    endpoints = ["/search", "/search_batch", "/classify", "/embed"]
+    for trial in range(60):
+        body = {
+            rng.choice(fields): rng.choice(values)
+            for _ in range(rng.randint(1, 4))
+        }
+        ep = rng.choice(endpoints)
+        status, resp = _post(server, ep, body)
+        assert status in (200, 400, 404), (
+            f"{ep} {body!r} -> {status}: {resp}"
+        )
+
+
 def test_concurrent_image_uploads_micro_batch(engine):
     """N concurrent image_b64 uploads must collapse into ~1 batched
     vision-tower pass + 1 scan, each returning its own image first (decode
