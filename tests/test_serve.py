@@ -243,6 +243,48 @@ def test_concurrent_searches_micro_batch(engine):
         srv.shutdown()
 
 
+def test_sigterm_graceful_shutdown(engine, tmp_path):
+    """`tpuclip serve` must drain and exit 0 on SIGTERM (the orchestrator
+    stop signal), not die mid-request with a nonzero status."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+        "JAX_PLATFORMS": "cpu",
+        "TPUCLIP_MODEL": "tpuclip/test-tiny",
+        "TPUCLIP_HOME": str(tmp_path),
+        "TPUCLIP_QUIET": "0",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "tpuclip.cli", "serve",
+         "--db", engine.db_path, "--port", "0"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "Serving on http://" in line:
+                port = int(line.split(":")[-1].split()[0].strip("/"))
+                break
+        assert port, "server never reported ready"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=10) as r:
+            assert r.status == 200
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=30)
+        assert rc == 0, f"exit code {rc}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+
 def test_api_fuzz_no_500(server):
     """Adversarial request bodies must map to 4xx (or succeed), never to an
     unhandled 500: wrong types, negative/huge k, null fields, deep nesting,

@@ -803,4 +803,22 @@ def run_serve(args, paths) -> None:
         log("Warmup query compiled the serving programs.")
     except Exception as e:  # noqa: BLE001 - an empty DB still serves /embed
         log(f"Warmup query skipped: {e}")
-    SearchServer(engine, args.host, args.port).serve_forever()
+    srv = SearchServer(engine, args.host, args.port)
+
+    # Graceful SIGTERM (the orchestrator-default stop signal): finish
+    # in-flight requests, drain the micro-batcher, exit 0 — instead of
+    # killing mid-request. serve_forever already handles SIGINT.
+    import signal
+    import threading
+
+    def _term(_sig, _frm):
+        log("SIGTERM: draining and shutting down.")
+        # shutdown() must come from another thread: it joins the server
+        # loop that this handler interrupted.
+        threading.Thread(target=srv.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # non-main thread (embedded use) — skip the hook
+        pass
+    srv.serve_forever()
