@@ -157,19 +157,33 @@ def _decode_one(
     return finish(img, file_hash)
 
 
+def _env_int(name: str, default: int) -> int:
+    """Malformed numeric env knobs fall back to the default with a warning
+    (a bare int() would raise from inside the producer thread with a
+    traceback that never names the variable)."""
+    env = os.environ.get(name)
+    if not env:
+        return default
+    try:
+        return int(env)
+    except ValueError:
+        from tpuclip.utils.logging import log
+
+        log(f"  [WARNING] ignoring malformed {name}={env!r}")
+        return default
+
+
 def default_workers() -> int:
-    env = os.environ.get("TPUCLIP_DECODE_WORKERS")
-    if env:
-        return max(1, int(env))
     # One worker per core: a second decode thread on a 1-core host only adds
     # context-switch overhead (measured 161 vs 191 img/s single-thread).
-    return max(1, min(32, (os.cpu_count() or 4)))
+    return max(1, _env_int(
+        "TPUCLIP_DECODE_WORKERS", max(1, min(32, (os.cpu_count() or 4)))
+    ))
 
 
 def default_procs() -> int:
     """Decode worker *processes*; 0 (default) = in-process thread pool."""
-    env = os.environ.get("TPUCLIP_DECODE_PROCS")
-    return max(0, int(env)) if env else 0
+    return max(0, _env_int("TPUCLIP_DECODE_PROCS", 0))
 
 
 def _make_decode_executor(num_workers: Optional[int], num_procs: Optional[int]) -> Executor:
@@ -203,8 +217,9 @@ def prefetch_batches(
     (default: ``TPUCLIP_DECODE_PROCS`` env, else a thread pool).
     ``naflex``: (patch_size, max_num_patches) yields patchified batches with
     masks/shapes instead of square pixel batches (still fixed-shape).
-    ``reuse_lookup``: optional hash -> embedding callable; hits skip
-    decode and come back as ``DecodedImage.reused_embedding`` slots.
+    ``reuse_lookup``: optional ``hash -> (embedding, binary-blob-or-None)``
+    callable (None = miss); hits skip decode and come back as
+    ``DecodedImage.reused_embedding`` / ``reused_binary`` slots.
     Thread-pool only — a closure over a SQLite connection can't cross a
     process boundary, so it is dropped (with the decode still correct)
     when worker processes are selected.
@@ -223,13 +238,43 @@ def prefetch_batches(
 
     def producer() -> None:
         try:
-            with _make_decode_executor(num_workers, num_procs) as pool:
+            pool = _make_decode_executor(num_workers, num_procs)
+            try:
                 pending: List = []
 
                 def flush() -> None:
+                    nonlocal pool
                     if not pending:
                         return
-                    items = [f.result() for f in pending]
+                    # Per-file containment even when a WORKER PROCESS dies
+                    # (segfault in a codec): BrokenProcessPool poisons every
+                    # in-flight future AND the pool itself — map the batch's
+                    # slots to decode failures and rebuild the pool so the
+                    # rest of the scan proceeds (a bad file must never kill
+                    # a scan).
+                    items = []
+                    broken = False
+                    for f, path, lm in pending:
+                        try:
+                            items.append(f.result())
+                        except Exception as e:  # noqa: BLE001
+                            items.append(DecodedImage(path, lm, None, None))
+                            from concurrent.futures import BrokenExecutor
+
+                            if isinstance(e, BrokenExecutor):
+                                broken = True
+                    if broken:
+                        from tpuclip.utils.logging import log
+
+                        log(
+                            "  [WARNING] a decode worker process crashed; "
+                            "containing the batch and rebuilding the pool"
+                        )
+                        try:
+                            pool.shutdown(wait=False)
+                        except Exception:  # noqa: BLE001
+                            pass
+                        pool = _make_decode_executor(num_workers, num_procs)
                     valid = np.zeros((batch_size,), bool)
                     if naflex is not None:
                         p, L = naflex
@@ -259,15 +304,18 @@ def prefetch_batches(
                 for path, last_modified in files:
                     if stop_event.is_set():
                         break
-                    pending.append(
+                    pending.append((
                         pool.submit(
                             _decode_one, path, last_modified, image_size,
                             with_hash, naflex, reuse_lookup,
-                        )
-                    )
+                        ),
+                        path, last_modified,
+                    ))
                     if len(pending) >= batch_size:
                         flush()
                 flush()
+            finally:
+                pool.shutdown(wait=True)
         except BaseException as e:  # noqa: BLE001 - surface in consumer thread
             error_holder.append(e)
         finally:

@@ -143,8 +143,12 @@ def scan_directory(
 
     vlog("\n[Step 3/4] Processing images...")
     vlog(f"  Processing {len(folders):,} folders...")
+    # Progress total = THIS worker's files (post shard filter), not the
+    # whole census — with --num-shards the global count would leave the bar
+    # stuck at ~1/num_shards forever.
+    shard_total = sum(len(fs) for _, fs in folders)
     pbar = (
-        tqdm(total=total_found, desc="Processing images", unit="img", unit_scale=True)
+        tqdm(total=shard_total, desc="Processing images", unit="img", unit_scale=True)
         if tqdm and verbose
         else None
     )
@@ -166,6 +170,11 @@ def scan_directory(
         check_cursor = check_conn.cursor()
         try:
             for parent_dir, folder_files in folders:
+                # Files of THIS folder already reflected in stats/pbar (or
+                # handed downstream, which accounts for them itself) — the
+                # folder-level containment must only count the remainder,
+                # not re-count them.
+                accounted = 0
                 try:
                     state["folders_done"] += 1
                     files_to_process = sample_folder_sequences(sorted(folder_files))
@@ -173,6 +182,7 @@ def scan_directory(
                     if removed:
                         state["files_removed"] += removed
                         state["sampled_folders"] += 1
+                        accounted += removed
                         if pbar:
                             pbar.total = max(pbar.total - removed, pbar.n)
 
@@ -186,6 +196,7 @@ def scan_directory(
                             # to the file, not the whole folder.
                             with errors_lock:
                                 state["errors"] += 1
+                            accounted += 1
                             if pbar:
                                 pbar.update(1)
                             continue
@@ -199,20 +210,23 @@ def scan_directory(
                     for file_path, last_modified in folder_metadata:
                         if file_path in processed_files:
                             state["skipped"] += 1
+                            accounted += 1
                             if pbar:
                                 pbar.update(1)
                             continue
                         if limit is not None and state["queued"] >= limit:
                             return
                         state["queued"] += 1
+                        accounted += 1
                         yield file_path, last_modified
                 except Exception as e:  # noqa: BLE001 - folder containment
                     log(f"\n  [ERROR] Error processing folder {state['folders_done']}: {str(parent_dir)[-80:]}")
                     log(f"  Error: {e}")
+                    miss = max(0, len(folder_files) - accounted)
                     with errors_lock:
-                        state["errors"] += len(folder_files)
+                        state["errors"] += miss
                     if pbar:
-                        pbar.update(len(folder_files))
+                        pbar.update(miss)
                     continue
         finally:
             check_conn.close()
@@ -267,24 +281,28 @@ def scan_directory(
 
         def reuse_lookup(file_hash: str):
             """hash -> (embedding, binary-blob-or-None) or None. Run-cache
-            hits return blob=None: commit then derives sign(vec) from the
-            SAME fp32 vector the source row's commit derived from, so the
-            blobs match without caching them."""
+            hits from fresh embeds carry blob=None: commit then derives
+            sign(vec) from the SAME fp32 vector the source row's commit
+            derived from, so the blobs match without caching them; cached
+            DB hits keep their fetched blob (exact under lossy stored
+            dtypes)."""
             with reuse_mutex:
-                vec = run_cache.get(file_hash)
-                if vec is not None:
-                    return vec, None
+                hit = run_cache.get(file_hash)
+                if hit is not None:
+                    return hit
                 return engine.store.fetch_embedding_by_hash(reuse_cursor, file_hash)
 
-        def remember(file_hash: str, vec: np.ndarray) -> None:
+        def remember(file_hash: str, vec: np.ndarray, blob=None) -> None:
             with reuse_mutex:
                 if len(run_cache) >= _RUN_CACHE_MAX:
                     run_cache.clear()  # simple epoch reset; DB backstops misses
                 # copy: vec is a row view into the whole (B, D) batch array —
                 # caching the view would pin every batch in memory.
-                run_cache[file_hash] = np.array(vec)
+                run_cache[file_hash] = (np.array(vec), blob)
 
-        reuse_state = {"conn": reuse_conn, "remember": remember}
+        reuse_state = {
+            "conn": reuse_conn, "remember": remember, "mutex": reuse_mutex,
+        }
 
     # Opt-in device tracing behind the same --profile flag: the wall-clock
     # timers show host time; a perfetto trace under TPUCLIP_TRACE_DIR shows
@@ -306,7 +324,10 @@ def scan_directory(
             emb_dev, items, valid = pe
             emb = None
             if emb_dev is not None:
-                with timers.track("inference", count=len(items)):
+                # count= only the slots actually embedded: reuse hits and
+                # decode failures never touched the device, and counting
+                # them would deflate the reported ms/img inference average.
+                with timers.track("inference", count=int(np.sum(valid))):
                     emb = np.asarray(emb_dev, dtype=np.float32)
             remember = reuse_state.get("remember")
             for i, item in enumerate(items):
@@ -316,6 +337,14 @@ def scan_directory(
                          item.reused_embedding, item.reused_binary)
                     )
                     state["reused"] += 1
+                    if remember is not None:
+                        # Cache DB-fetched hits too: copies 2..N of the same
+                        # file become pure dict hits instead of repeating the
+                        # SQLite fetch under the shared-connection lock.
+                        remember(
+                            item.file_hash, item.reused_embedding,
+                            item.reused_binary,
+                        )
                 elif valid[i] and item.file_hash is not None:
                     db_batch.append((item.path, item.last_modified, item.file_hash, emb[i]))
                     if remember is not None:
@@ -374,7 +403,11 @@ def scan_directory(
                     compute_dtype=engine.compute_dtype,
                 )
             if pending_embed is not None:
-                drain(pending_embed)
+                # Clear BEFORE draining: a Ctrl-C landing mid-drain must not
+                # let the interrupt handler drain the same batch again
+                # (double-staged rows, inflated stats).
+                pe, pending_embed = pending_embed, None
+                drain(pe)
             pending_embed = (emb_dev[: len(batch.items)], batch.items, batch.valid)
 
             if len(db_batch) >= batch_size:
@@ -382,8 +415,8 @@ def scan_directory(
                 commit(flush)
 
         if pending_embed is not None:
-            drain(pending_embed)
-            pending_embed = None
+            pe, pending_embed = pending_embed, None
+            drain(pe)
         if db_batch:
             commit(db_batch)
             db_batch = []
@@ -402,8 +435,9 @@ def scan_directory(
         state["interrupted"] = True
         log("\n\nInterrupted! Committing current batch...")
         if pending_embed is not None:
+            pe, pending_embed = pending_embed, None
             try:
-                drain(pending_embed)
+                drain(pe)
             except Exception:  # noqa: BLE001
                 pass
         if db_batch:
@@ -423,7 +457,11 @@ def scan_directory(
         if pbar:
             pbar.close()
         if reuse_state.get("conn") is not None:
-            reuse_state["conn"].close()
+            # Under the lookup mutex: decode workers may still be mid-query
+            # on this shared connection when an early exit lands here (the
+            # prefetch shutdown join is time-bounded).
+            with reuse_state["mutex"]:
+                reuse_state["conn"].close()
         conn.close()
 
     if not interrupted:
