@@ -124,3 +124,39 @@ def test_modified_file_is_rescanned(tree, tmp_path):
     row = np.where(ids == new_id)[0]
     assert len(row) == 1
     np.testing.assert_allclose(np.asarray(mat[row[0]]), b, rtol=1e-6)
+
+
+def test_cache_detects_crash_torn_append(tree, tmp_path):
+    """Data files LONGER than the manifest (a crash between the tail append
+    and the manifest write) must force a full rebuild — appending onto them
+    would permanently scramble the id<->vector pairing and the next
+    manifest would mask it forever."""
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "c.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny",
+        inference_batch_size=4,
+    )
+    eng.scan_directory(str(tree / "folder0"), inference_batch_size=4)
+    cache = eng.index.cache
+    ids0, mat0 = cache.load()
+    want = {int(i): np.array(mat0[j]) for j, i in enumerate(ids0)}
+    dim = mat0.shape[1]
+
+    # Simulate the torn state: files carry extra rows the manifest ignores.
+    with open(cache.cache_dir / "vectors.f32", "ab") as f:
+        f.write(np.full((3, dim), 7.0, np.float32).tobytes())
+    with open(cache.cache_dir / "ids.i64", "ab") as f:
+        f.write(np.array([901, 902, 903], np.int64).tobytes())
+
+    # New rows commit; the refresh must NOT append onto the torn files.
+    eng.scan_directory(str(tree / "folder1"), inference_batch_size=4)
+    ids1, mat1 = cache.load()
+    assert len(ids1) > len(ids0)
+    assert 901 not in set(int(i) for i in ids1)  # garbage rows gone
+    for j, i in enumerate(ids1):
+        if int(i) in want:  # original rows still map to their vectors
+            np.testing.assert_allclose(np.asarray(mat1[j]), want[int(i)], rtol=1e-6)
+    # and the files now match the manifest exactly
+    m = cache._read_manifest()
+    assert cache._files_match(m)

@@ -8,11 +8,15 @@ once per session; queries are then a single fused matmul+top-k on device.
 Layout, per database ``<db>.cache/``:
     vectors.f32   raw little-endian float32, shape (n, dim), image_id order
     ids.i64       raw int64 image_ids, ascending
-    bits.u8       packed sign bits, shape (n, dim // 8) (np.packbits order)
+    bits.u8       packed sign bits, shape (n, ceil(dim / 8)) (np.packbits)
     manifest.json {"count": n, "max_image_id": m, "dim": d, "version": 1}
 
 The cache is append-only-refreshable: new rows committed since the manifest
-stamp are appended from SQLite; any other mismatch triggers a full rebuild.
+stamp are appended from SQLite; any other mismatch — including data files
+whose SIZE disagrees with the manifest (a crash between append and manifest
+write) — triggers a full rebuild. Refresh holds an flock on
+``refresh.lock`` so concurrent PROCESSES (serve + CLI on one DB) cannot
+interleave appends.
 """
 
 from __future__ import annotations
@@ -71,10 +75,13 @@ class MatrixCache:
 
     # ------------------------------------------------------------------ load
 
-    def load(self) -> Tuple[np.ndarray, np.ndarray]:
+    def load(self, refresh: bool = True) -> Tuple[np.ndarray, np.ndarray]:
         """Return (ids[int64, n], vectors[float32 memmap, (n, dim)]),
-        refreshing the cache from SQLite if stale."""
-        self.refresh()
+        refreshing the cache from SQLite if stale (pass ``refresh=False``
+        when the caller already ran :meth:`refresh` this round — the
+        staleness check is two full-table aggregate scans)."""
+        if refresh:
+            self.refresh()
         m = self._read_manifest()
         if m is None or m["count"] == 0:
             dim = self.store.embedding_dim
@@ -86,46 +93,98 @@ class MatrixCache:
         )
         return ids, vectors
 
-    def load_binary(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (ids[int64, n], packed_bits[uint8 memmap, (n, dim//8)])."""
-        self.refresh()
+    def load_binary(self, refresh: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (ids[int64, n], packed_bits[uint8 memmap, (n, ceil(dim/8))])."""
+        if refresh:
+            self.refresh()
         m = self._read_manifest()
         dim = self.store.embedding_dim
         if m is None or m.get("bin_count", 0) == 0:
-            return np.empty((0,), np.int64), np.empty((0, dim // 8), np.uint8)
+            return np.empty((0,), np.int64), np.empty((0, -(-dim // 8)), np.uint8)
         n = m["bin_count"]
         dim = m["dim"]
         ids = np.fromfile(self.cache_dir / "bin_ids.i64", dtype=np.int64, count=n)
+        # ceil(dim/8): np.packbits pads the last byte — dim//8 would map a
+        # PREFIX of each longer row and shift every row after the first.
         bits = np.memmap(
-            self.cache_dir / "bits.u8", dtype=np.uint8, mode="r", shape=(n, dim // 8)
+            self.cache_dir / "bits.u8", dtype=np.uint8, mode="r",
+            shape=(n, -(-dim // 8)),
         )
         return ids, bits
 
     # --------------------------------------------------------------- refresh
 
-    def refresh(self) -> None:
-        full_fp = self.store.embeddings_fingerprint()  # (count, max_id, sum_id)
-        bin_fp = self.store.binary_fingerprint()
-        m = self._read_manifest()
-        dim = self.store.embedding_dim
+    def _files_match(self, m: Optional[dict]) -> bool:
+        """True when every data file's SIZE equals what the manifest
+        implies. Existence alone is not enough: a crash between the tail
+        append and the manifest write leaves files LONGER than the stamp,
+        and appending onto them would permanently scramble the row
+        mapping (the next manifest would then match the DB fingerprint, so
+        nothing downstream could ever detect it)."""
+        if m is None:
+            return False
+        row_bytes = -(-m["dim"] // 8)
+        expected = {
+            "vectors.f32": m["count"] * m["dim"] * 4,
+            "ids.i64": m["count"] * 8,
+            "bits.u8": m.get("bin_count", 0) * row_bytes,
+            "bin_ids.i64": m.get("bin_count", 0) * 8,
+        }
+        try:
+            return all(
+                (self.cache_dir / name).stat().st_size == size
+                for name, size in expected.items()
+            )
+        except OSError:
+            return False
 
-        files_ok = all(
-            (self.cache_dir / name).exists()
-            for name in ("vectors.f32", "ids.i64", "bits.u8", "bin_ids.i64")
-        )
-        fresh = (
+    def _is_fresh(self, full_fp, bin_fp, m: Optional[dict], dim: int) -> bool:
+        return (
             m is not None
-            and files_ok
+            and self._files_match(m)
             and m["dim"] == dim
             and (m["count"], m["max_image_id"], m.get("sum_image_id")) == full_fp
             and (m.get("bin_count"), m.get("bin_max_image_id"), m.get("bin_sum_image_id"))
             == bin_fp
         )
-        if fresh:
+
+    def refresh(self, full_fp=None, bin_fp=None) -> None:
+        """Bring the cache up to date with SQLite. ``full_fp``/``bin_fp``
+        accept precomputed table fingerprints so a caller that already
+        scanned them (DeviceIndex.refresh) doesn't pay the aggregates
+        again."""
+        if full_fp is None:
+            full_fp = self.store.embeddings_fingerprint()  # (count, max, sum)
+        if bin_fp is None:
+            bin_fp = self.store.binary_fingerprint()
+        m = self._read_manifest()
+        dim = self.store.embedding_dim
+        if self._is_fresh(full_fp, bin_fp, m, dim):
             return
 
         self.cache_dir.mkdir(parents=True, exist_ok=True)
+        # Cross-PROCESS exclusion: a serve and a CLI refreshing one cache
+        # concurrently would interleave their appends across the data files
+        # and scramble the id<->vector pairing. flock is advisory but both
+        # writers are tpuclip.
+        lock_file = open(self.cache_dir / "refresh.lock", "w")
+        try:
+            try:
+                import fcntl
 
+                fcntl.flock(lock_file, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # non-POSIX: in-process callers still serialize upstream
+            # Re-check under the lock: the process we waited on may have
+            # done this exact refresh.
+            m = self._read_manifest()
+            if self._is_fresh(full_fp, bin_fp, m, dim):
+                return
+            self._refresh_locked(full_fp, bin_fp, m, dim)
+        finally:
+            lock_file.close()
+
+    def _refresh_locked(self, full_fp, bin_fp, m, dim) -> None:
         # Append-only refresh is valid only if every change since the manifest
         # is strictly new rows past the old max id — proven by comparing the
         # tail (count, id-sum) against the fingerprint deltas. A modified file
@@ -137,7 +196,7 @@ class MatrixCache:
             m is not None
             and m["dim"] == dim
             and m.get("sum_image_id") is not None
-            and files_ok
+            and self._files_match(m)
         ):
             start_id = m["max_image_id"]
             bin_start_id = m.get("bin_max_image_id", 0)

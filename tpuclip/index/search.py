@@ -129,7 +129,11 @@ class DeviceIndex:
         fp = self._current_fingerprint()
         if not force and fp == self._fingerprint:
             return
-        ids, vectors = self.cache.load()
+        # One cache refresh with the fingerprints we just computed, then
+        # refresh-free loads: letting load()/load_binary() each re-refresh
+        # would re-run the full-table aggregate scans two more times.
+        self.cache.refresh(full_fp=fp[:3], bin_fp=fp[3:])
+        ids, vectors = self.cache.load(refresh=False)
         self._ids = ids
         self._host_vectors = vectors if len(ids) else None
         self._rows_device = None
@@ -142,7 +146,7 @@ class DeviceIndex:
         # Load binary rows ONCE for both the cascade gate and the binary
         # matrix build further down (a second load_binary re-reads the whole
         # ids sidecar — ~80 MB at 10M rows).
-        bin_ids, packed = self.cache.load_binary()
+        bin_ids, packed = self.cache.load_binary(refresh=False)
         # Cascade gate: single device, full rows on host, and the binary
         # rows EXACTLY aligned with the full rows (both caches are
         # image_id-ordered, so set equality means index equality). When it

@@ -232,7 +232,7 @@ class MetadataStore:
                     time.sleep(0.1 * (attempt + 1))
                     continue
                 raise
-        return False
+        raise AssertionError("unreachable: last attempt returns or raises")
 
     def commit_batch(
         self,
@@ -441,8 +441,6 @@ class MetadataStore:
         """image_ids whose file_path falls under any of the given folders,
         using the reference's escaped LIKE-prefix semantics
         (image_database.py:1513-1529, 1576-1579)."""
-        import os
-
         if not filter_folders:
             return set()
         conditions = []
@@ -561,7 +559,10 @@ class MetadataStore:
     ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
         """Yield (image_ids[int64], vectors[float32, (n, D)]) in image_id order,
         starting after min_image_id. Streams in batches to bound memory."""
-        conn = connect(self.db_path)
+        # check_same_thread=False: an abandoned half-consumed generator is
+        # finalized by whichever thread runs GC, and its finally-close would
+        # raise on a thread-bound connection (see connect()'s docstring).
+        conn = connect(self.db_path, check_same_thread=False)
         try:
             cur = conn.cursor()
             cur.execute(
@@ -590,7 +591,9 @@ class MetadataStore:
         self, min_image_id: int = 0, batch_rows: int = 8192
     ) -> Iterable[Tuple[np.ndarray, np.ndarray]]:
         """Yield (image_ids[int64], bits[uint8 0/1, (n, D)]) in image_id order."""
-        conn = connect(self.db_path)
+        # check_same_thread=False: same GC-time finally-close rationale as
+        # iter_embeddings.
+        conn = connect(self.db_path, check_same_thread=False)
         try:
             cur = conn.cursor()
             cur.execute(
