@@ -96,3 +96,41 @@ def test_session_eof_exits_cleanly(env, monkeypatch, capsys):
     _run_session(monkeypatch, [], ["search", "--db-name", "i", "--interactive"])
     out = capsys.readouterr().out
     assert "Ending session. Goodbye!" in out
+
+
+def test_cli_query_session_command_applies(env, monkeypatch, capsys):
+    """A CLI-provided first line that is a session command must be APPLIED
+    (the reference checks k:/folder:/duplicates: before treating args.query
+    as a query) — previously it was silently swallowed."""
+    _run_session(
+        monkeypatch,
+        ["a red thing", "quit"],
+        ["search", "k:2", "--db-name", "i"],
+    )
+    out = capsys.readouterr().out
+    assert "Number of results set to 2" in out
+    assert out.count("Found 2 results") == 1
+
+
+def test_cli_output_does_not_leak_to_later_query(env, monkeypatch, capsys, tmp_path):
+    """--output belongs to the CLI-provided query; when that query fails,
+    a later interactive query must derive its own filename."""
+    target = tmp_path / "mine.html"
+    _run_session(
+        monkeypatch,
+        ["green", "quit"],
+        ["search", str(tmp_path / "missing.jpg"), "--image",
+         "--db-name", "i", "--output", str(target)],
+    )
+    out = capsys.readouterr().out
+    assert "does not exist" in out  # first (CLI) query failed
+    assert "Found" in out  # the interactive query succeeded
+    assert not target.exists(), "--output leaked onto the interactive query"
+
+
+def test_set_k_rejects_nonpositive():
+    from tpuclip.cli import parse_interactive_line
+
+    assert parse_interactive_line("k:0").kind == "error"
+    assert parse_interactive_line("k:-5").kind == "error"
+    assert parse_interactive_line("k:1").kind == "set_k"

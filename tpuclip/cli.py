@@ -75,9 +75,15 @@ def parse_interactive_line(
         return ReplCommand("quit")
     if query.lower().startswith("k:"):
         try:
-            return ReplCommand("set_k", k=int(query.split(":", 1)[1].strip()))
+            k = int(query.split(":", 1)[1].strip())
         except ValueError:
             return ReplCommand("error", message="Invalid number. Usage: k:20")
+        if k < 1:
+            # The reference accepts 0/negatives (its SQL LIMIT just returns
+            # nothing); here a negative k would error the device top-k on
+            # every subsequent search — reject it upfront.
+            return ReplCommand("error", message="k must be >= 1. Usage: k:20")
+        return ReplCommand("set_k", k=k)
     if query.lower().startswith("folder:"):
         folder_path = query.split(":", 1)[1].strip()
         if folder_path.lower() == "clear":
@@ -349,6 +355,17 @@ def _require_db_path(args, paths) -> str:
         sys.exit(2)
 
 
+def _require_existing_db_path(args, paths) -> str:
+    """_require_db_path + existence check with the shared error contract
+    (one place for the wording and exit code — this block was previously
+    copy-pasted per subcommand)."""
+    db_path = _require_db_path(args, paths)
+    if not os.path.exists(db_path):
+        log(f"[X] Error: Database file does not exist: {db_path}")
+        sys.exit(2)
+    return db_path
+
+
 def _make_engine(db_path: str, args):
     from tpuclip.engine import ImageDatabase
     from tpuclip.models.configs import DEFAULT_MODEL
@@ -534,11 +551,11 @@ def _run_search(args, paths) -> None:
     else:
         output_file = args.output
 
-    display_query = args.query
-    if args.query2:
-        display_query += f" + {args.query2}"
-    if args.negative:
-        display_query += f" - {args.negative}"
+    display_query = display_query_string(
+        SearchSpec(
+            query=args.query, query2=args.query2, negative_query=args.negative
+        )
+    )
     db.generate_html_gallery(results, output_file, query=display_query)
     log(f"\nResults saved to {output_file}")
 
@@ -582,6 +599,7 @@ def _interactive_session(db, args) -> None:
 
     while True:
         try:
+            output_override = None
             if first_cli_query is not None:
                 # First iteration consumes the CLI query + CLI modifiers, then
                 # the mini-language still applies to whatever the CLI did not
@@ -596,59 +614,59 @@ def _interactive_session(db, args) -> None:
                 )
                 cmd = parse_interactive_line(first_cli_query, negative_weight, preset=preset)
                 first_cli_query = None
-                if cmd.kind != "search":
-                    if cmd.kind == "quit":
-                        log("Ending session. Goodbye!")
-                        break
-                    if cmd.message:
-                        log(cmd.message)
-                    continue
-                spec = cmd.search
+                if cmd.kind == "search":
+                    # Consume --output for THIS query only: a first query
+                    # that fails must not leak it onto a later unrelated
+                    # interactive query's gallery.
+                    output_override, cli_output = cli_output, None
             else:
                 if not interactive:
                     break
                 line = input("Query> ")
                 cmd = parse_interactive_line(line, negative_weight)
-                if cmd.kind == "empty":
-                    continue
-                if cmd.kind == "quit":
-                    log("Ending session. Goodbye!")
-                    break
-                if cmd.kind == "error":
-                    log(cmd.message)
-                    continue
-                if cmd.kind == "set_k":
-                    current_k = cmd.k
-                    log(f"Number of results set to {current_k}")
-                    continue
-                if cmd.kind == "folder_clear":
-                    filter_folders = []
-                    log("Folder filters cleared")
-                    continue
-                if cmd.kind == "folder":
-                    folder_abs = os.path.abspath(cmd.folder)
-                    if os.path.isdir(folder_abs):
-                        if folder_abs not in filter_folders:
-                            filter_folders.append(folder_abs)
-                            log(f"Added folder filter: {folder_abs}")
-                        else:
-                            log(f"Folder already in filter list: {folder_abs}")
+            # Session commands apply to the CLI-provided first line too —
+            # the reference checks quit/k:/folder:/duplicates: before
+            # treating args.query as a query (image_database.py:2110-2155).
+            if cmd.kind == "empty":
+                continue
+            if cmd.kind == "quit":
+                log("Ending session. Goodbye!")
+                break
+            if cmd.kind == "error":
+                log(cmd.message)
+                continue
+            if cmd.kind == "set_k":
+                current_k = cmd.k
+                log(f"Number of results set to {current_k}")
+                continue
+            if cmd.kind == "folder_clear":
+                filter_folders = []
+                log("Folder filters cleared")
+                continue
+            if cmd.kind == "folder":
+                folder_abs = os.path.abspath(cmd.folder)
+                if os.path.isdir(folder_abs):
+                    if folder_abs not in filter_folders:
+                        filter_folders.append(folder_abs)
+                        log(f"Added folder filter: {folder_abs}")
                     else:
-                        log(f"Warning: Folder does not exist: {folder_abs}")
-                    if filter_folders:
-                        log(f"Current folder filters ({len(filter_folders)}):")
-                        for f in filter_folders:
-                            log(f"  - {f}")
-                    continue
-                if cmd.kind == "duplicates":
-                    show_duplicates = cmd.show_duplicates
-                    log(
-                        "Duplicate images will be shown"
-                        if show_duplicates
-                        else "Duplicate images will be hidden (default)"
-                    )
-                    continue
-                spec = cmd.search
+                        log(f"Folder already in filter list: {folder_abs}")
+                else:
+                    log(f"Warning: Folder does not exist: {folder_abs}")
+                if filter_folders:
+                    log(f"Current folder filters ({len(filter_folders)}):")
+                    for f in filter_folders:
+                        log(f"  - {f}")
+                continue
+            if cmd.kind == "duplicates":
+                show_duplicates = cmd.show_duplicates
+                log(
+                    "Duplicate images will be shown"
+                    if show_duplicates
+                    else "Duplicate images will be hidden (default)"
+                )
+                continue
+            spec = cmd.search
 
             # Echo the parsed query (image_database.py:2215-2250)
             if spec.query2:
@@ -681,8 +699,8 @@ def _interactive_session(db, args) -> None:
 
             if results:
                 _print_results(results)
-                if cli_output:
-                    output_file, cli_output = cli_output, None
+                if output_override:
+                    output_file = output_override
                 else:
                     output_file = generate_output_filename(
                         spec.query, spec.is_image, results_dir=Path(db.results_dir)
@@ -747,10 +765,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.mode == "check":
         from tpuclip.pipelines.check import check_database
 
-        db_path = _require_db_path(args, paths)
-        if not os.path.exists(db_path):
-            log(f"[X] Error: Database file does not exist: {db_path}")
-            sys.exit(2)
+        db_path = _require_existing_db_path(args, paths)
         result = check_database(db_path, fix=args.fix)
         if not result.ok:
             if args.fix and result.fixed:
@@ -766,20 +781,14 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.mode == "prune":
         from tpuclip.pipelines.prune import prune_missing
 
-        db_path = _require_db_path(args, paths)
-        if not os.path.exists(db_path):
-            log(f"[X] Error: Database file does not exist: {db_path}")
-            sys.exit(2)
+        db_path = _require_existing_db_path(args, paths)
         prune_missing(db_path, folders=args.folder, dry_run=args.dry_run)
     elif args.mode == "migrate":
         import sqlite3
 
         from tpuclip.index.migrate import migrate_reference_db
 
-        db_path = _require_db_path(args, paths)
-        if not os.path.exists(db_path):
-            log(f"[X] Error: Database file does not exist: {db_path}")
-            sys.exit(2)
+        db_path = _require_existing_db_path(args, paths)
         try:
             migrate_reference_db(db_path, dry_run=args.dry_run)
         except (ValueError, sqlite3.DatabaseError) as e:
@@ -790,10 +799,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.mode == "export":
         from tpuclip.pipelines.export import export_embeddings
 
-        db_path = _require_db_path(args, paths)
-        if not os.path.exists(db_path):
-            log(f"[X] Error: Database file does not exist: {db_path}")
-            sys.exit(2)
+        db_path = _require_existing_db_path(args, paths)
         fmt = args.format
         if fmt is None:
             ext = os.path.splitext(args.output)[1].lower().lstrip(".")
@@ -806,10 +812,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     elif args.mode == "duplicates":
         from tpuclip.pipelines.duplicates import report_duplicates
 
-        db_path = _require_db_path(args, paths)
-        if not os.path.exists(db_path):
-            log(f"[X] Error: Database file does not exist: {db_path}")
-            sys.exit(2)
+        db_path = _require_existing_db_path(args, paths)
         report_duplicates(db_path, tolerance_bits=args.tolerance)
     elif args.mode == "train":
         from tpuclip.models.configs import DEFAULT_MODEL
@@ -837,10 +840,7 @@ def _run_info(args, paths) -> None:
 
     from tpuclip.index.store import MetadataStore
 
-    db_path = _require_db_path(args, paths)
-    if not os.path.exists(db_path):
-        log(f"[X] Error: Database file does not exist: {db_path}")
-        sys.exit(2)
+    db_path = _require_existing_db_path(args, paths)
     store = MetadataStore(db_path)
     dim = store.stored_embedding_dim()
     full, binary = store.count_embeddings()

@@ -222,12 +222,19 @@ class ImageDatabase:
         if not texts:
             return []
         if self.index.can_fuse_text_search(k, filter_folders):
-            ids, mask = self._tokenize_bucketed(texts)
-            return self.index.search_texts_fused(
-                self.params, ids, mask, self.config, k, self.compute_dtype, len(texts)
-            )
+            return self._search_texts_fused(texts, k)
         vecs = self.embed_texts_cached(texts)
         return self.index.search_batch(vecs, k, filter_folders=filter_folders)
+
+    def _search_texts_fused(self, texts: List[str], k: int) -> List[List[tuple]]:
+        """Fused-path body of :meth:`search_texts`: caller has already
+        checked ``can_fuse_text_search`` (the gate runs a DB fingerprint
+        scan — the serve micro-batcher decides it once per group and must
+        not pay it again per call)."""
+        ids, mask = self._tokenize_bucketed(texts)
+        return self.index.search_texts_fused(
+            self.params, ids, mask, self.config, k, self.compute_dtype, len(texts)
+        )
 
     def search_image_pil(
         self, img, k: int, filter_folders=None
@@ -422,7 +429,7 @@ class ImageDatabase:
             if not show_duplicates and results:
                 from tpuclip.index.dedup import filter_duplicates
 
-                results = filter_duplicates(self.store, results, tolerance_bits=2)
+                results = filter_duplicates(self.store, results)
             return results
         emb = self._embed_pil(img)
         return self.search_by_embedding(

@@ -248,7 +248,7 @@ def search(
                 return []
         if not show_duplicates and results:
             with timings.track("filter_duplicates"):
-                results = filter_duplicates(engine.store, results, tolerance_bits=2)
+                results = filter_duplicates(engine.store, results)
         if profile:
             timings.report()
         return results
@@ -307,5 +307,5 @@ def search_by_embedding(
 
     if not show_duplicates and len(results) > 0:
         with timings.track("filter_duplicates"):
-            results = filter_duplicates(engine.store, results, tolerance_bits=2)
+            results = filter_duplicates(engine.store, results)
     return results

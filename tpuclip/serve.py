@@ -253,8 +253,11 @@ class MicroBatcher:
                             # the results back out (the non-fused path gets
                             # this from its embed cache).
                             uniq = sorted({it.query for it in texts})
+                            # Pre-gated entry: fused-ness was decided once
+                            # for the group above; engine.search_texts would
+                            # re-run the fingerprint-scanning gate per call.
                             by_text = dict(
-                                zip(uniq, self.engine.search_texts(uniq, k))
+                                zip(uniq, self.engine._search_texts_fused(uniq, k))
                             )
                             done += [(it, by_text[it.query]) for it in texts]
                             passes += 1
@@ -290,7 +293,7 @@ class MicroBatcher:
                             passes += 1
                         for it, results in done:
                             if not it.show_duplicates and results:
-                                results = filter_duplicates(self.engine.store, results, tolerance_bits=2)
+                                results = filter_duplicates(self.engine.store, results)
                             it.result = results
                     except Exception as e:  # noqa: BLE001
                         for it in group:
@@ -565,7 +568,7 @@ def make_handler(engine, lock: threading.Lock, metrics: ServerMetrics, batcher: 
                             from tpuclip.index.dedup import filter_duplicates
 
                             results = filter_duplicates(
-                                engine.store, results, tolerance_bits=2
+                                engine.store, results
                             )
             except Exception as e:  # noqa: BLE001
                 metrics.record(ok=False)
