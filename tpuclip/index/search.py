@@ -113,7 +113,7 @@ class DeviceIndex:
         self._bin_n_valid: Optional[jnp.ndarray] = None
         self._bin_layout: str = "rows"
         self._bin_shard_rows: int = 0  # rows/shard, "grouped_sharded" layout
-        self._fingerprint: Optional[Tuple[int, int, int, int]] = None
+        self._fingerprint: Optional[Tuple[int, int, int, int, int, int]] = None
         self._mask_cache: Dict[Tuple[str, ...], jnp.ndarray] = {}
         # Verified-shortlist observability: how many single-query fused
         # searches ran the proof-checked program, and how many missed into
@@ -122,7 +122,11 @@ class DeviceIndex:
 
     # ---------------------------------------------------------------- loading
 
-    def _current_fingerprint(self) -> Tuple[int, int, int, int]:
+    def _current_fingerprint(self) -> Tuple[int, int, int, int, int, int]:
+        """(count, max_id, sum_id) of the embeddings table followed by the
+        same triple for binary_embeddings — refresh() slices [:3]/[3:]
+        apart again for MatrixCache.refresh, so the 3+3 layout is
+        load-bearing."""
         return self.store.embeddings_fingerprint() + self.store.binary_fingerprint()
 
     def refresh(self, force: bool = False) -> None:
@@ -271,11 +275,17 @@ class DeviceIndex:
                 # cap skips the upload; searches serve from the packed
                 # binary index (the reference's own fallback tier) until
                 # the user picks a big-index mode.
+                fallback = (
+                    "serving from the binary index"
+                    if fp[3]  # binary_embeddings row count
+                    else "NO binary rows exist either — searches will "
+                         "return nothing"
+                )
                 log(
                     f"  [WARNING] index too large for one chip's HBM "
                     f"({len(ids):,} x {self.store.embedding_dim} "
                     f"{'int8' if self.precision == 'int8' else 'bf16'} exceeds "
-                    f"TPUCLIP_INDEX_HBM_GB) — serving from the binary index. "
+                    f"TPUCLIP_INDEX_HBM_GB) — {fallback}. "
                     f"Use TPUCLIP_SEARCH_MODE=cascade (exact-rescored, "
                     f"~N/8 bytes resident) or TPUCLIP_SHARDED_INDEX=1 on a "
                     f"mesh. (IVF would not help: its resident footprint "
@@ -700,6 +710,7 @@ class DeviceIndex:
         Handles the shortlist policy: verified fast path with the
         resident-scores proof-miss fallback, extract otherwise."""
         from tpuclip.ops.topk_int8 import (
+            fallback_shortlist_depth,
             resolve_shortlist_method,
             topk_exact_from_scores,
         )
@@ -714,16 +725,14 @@ class DeviceIndex:
                 # score matrix the fused program kept resident — neither
                 # the tower nor the scan re-runs (host-side decision;
                 # in-program lax.cond executes both branches on this
-                # backend).
+                # backend). ok can only be False when the scores path ran,
+                # so scores_res is always non-empty here.
                 self.shortlist_stats["shortlist_fallbacks"] += 1
-                if scores_res.shape[1]:
-                    n = scores_res.shape[1]
-                    m = min(max(512, 4 * min(k, n)), n)
-                    scores, rows = topk_exact_from_scores(
-                        scores_res, emb, self._rows_device, k, m
-                    )
-                else:
-                    method = "extract"
+                n = scores_res.shape[1]
+                m = fallback_shortlist_depth(k, n)
+                scores, rows = topk_exact_from_scores(
+                    scores_res, emb, self._rows_device, k, m
+                )
         if method != "verified":
             scores, rows = run_fused(
                 method if method != "auto" else None, False

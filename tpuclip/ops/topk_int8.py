@@ -789,6 +789,14 @@ def _rescore_select(cand, cand_invalid, q_f32, rows_full, k_eff):
     )
 
 
+def fallback_shortlist_depth(k: int, n: int, shortlist: int = 512) -> int:
+    """Shortlist depth for the proof-miss fallback over the resident score
+    matrix — ONE definition shared by topk_int8_rerank_fused_auto and
+    DeviceIndex._run_fused, so the two 'identical' fallback paths cannot
+    drift apart if the formula is ever tuned."""
+    return min(max(shortlist, 4 * min(k, n)), n)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "m"))
 def topk_exact_from_scores(scores, q_f32, rows_full, k, m):
     """Exact top-``k`` from an already-materialized int8 score matrix.
@@ -852,15 +860,14 @@ def topk_int8_rerank_fused_auto(
             return s, i
         if stats is not None:
             stats["shortlist_fallbacks"] = stats.get("shortlist_fallbacks", 0) + 1
-        if scores_res.shape[1]:
-            n = scores_res.shape[1]
-            m = min(max(shortlist, 4 * min(k, n)), n)
-            return topk_exact_from_scores(scores_res, q_f32, rows_full, k, m)
-        method = "extract"
+        # ok can only be False when the scores path actually ran, so the
+        # resident matrix is always non-empty here.
+        n = scores_res.shape[1]
+        m = fallback_shortlist_depth(k, n, shortlist)
+        return topk_exact_from_scores(scores_res, q_f32, rows_full, k, m)
     return topk_int8_rerank_fused(
         q_f32, matrix_int8_t, scales, rows_full, k, shortlist=shortlist,
-        n_valid=n_valid, use_pallas=use_pallas,
-        shortlist_method=method if method != "verified" else "extract",
+        n_valid=n_valid, use_pallas=use_pallas, shortlist_method=method,
     )
 
 
