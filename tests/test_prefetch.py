@@ -86,6 +86,58 @@ def test_process_pool_decode_matches_threads(files, tmp_path):
         assert [i.file_hash for i in rb.items] == [i.file_hash for i in gb.items]
 
 
+def test_worker_process_crash_is_contained(files, tmp_path, monkeypatch):
+    """A decode worker PROCESS dying mid-batch (simulating a codec segfault;
+    here os.abort in the worker) must map the batch's poisoned slots to
+    contained decode failures, rebuild the pool, and keep scanning — a bad
+    file must never kill a scan (tpuclip/io/prefetch.py flush containment)."""
+    import os as _os
+
+    import tpuclip.io.prefetch as pf
+
+    crash = tmp_path / "crash.png"
+    Image.new("RGB", (32, 24), (1, 2, 3)).save(crash)
+    # The crash file goes LAST in the first batch: the single FIFO worker
+    # finishes the three good slots before aborting, so exactly one slot
+    # is poisoned and the assertion below is deterministic.
+    mixed = files[:3] + [(str(crash), 0.0)] + files[3:6]
+
+    real_make = pf._make_decode_executor
+    made = []
+
+    class _Rigged:
+        """Pass-through executor that swaps the crash file's decode for
+        os.abort — SIGABRT inside the spawned worker, the same failure
+        shape as a native codec segfault."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def submit(self, fn, path, *a, **k):
+            if _os.path.basename(str(path)) == "crash.png":
+                return self._real.submit(_os.abort)
+            return self._real.submit(fn, path, *a, **k)
+
+        def shutdown(self, wait=True):
+            self._real.shutdown(wait=wait)
+
+    def make(num_workers, num_procs):
+        pool = real_make(num_workers, num_procs)
+        made.append(pool)
+        return _Rigged(pool) if len(made) == 1 else pool
+
+    monkeypatch.setattr(pf, "_make_decode_executor", make)
+    batches = list(
+        prefetch_batches(iter(mixed), batch_size=4, image_size=16, num_procs=1)
+    )
+    assert len(made) >= 2  # the broken pool was rebuilt
+    paths = [item.path for b in batches for item in b.items]
+    assert paths == [p for p, _ in mixed]  # nothing dropped, order kept
+    flat_valid = [bool(v) for b in batches for v in b.valid[: len(b.items)]]
+    assert flat_valid == [True, True, True, False, True, True, True]
+    assert batches[0].items[3].pixels is None
+
+
 def test_fast_decode_levels(tmp_path, monkeypatch):
     """Level parsing + the draft targets each level hands libjpeg.
 
