@@ -57,3 +57,83 @@ def test_search_during_scan(tmp_path):
     assert results_seen and max(results_seen) == 5
     final = reader.search("a colored square", k=10, show_duplicates=True)
     assert len(final) == 10
+
+
+_REFRESH_CHILD = """
+import os, sys, time
+db, go = sys.argv[1], sys.argv[2]
+from tpuclip.index.store import MetadataStore
+from tpuclip.index.cache import MatrixCache
+cache = MatrixCache(MetadataStore(db, embedding_dim=16))
+deadline = time.time() + 30
+while not os.path.exists(go):
+    if time.time() > deadline:
+        raise SystemExit("go file never appeared")
+    time.sleep(0.002)
+cache.refresh()
+ids, _ = cache.load(refresh=False)
+print(len(ids))
+"""
+
+
+def test_concurrent_process_refresh_appends_once(tmp_path):
+    """Two PROCESSES refreshing one stale cache concurrently (serve + CLI
+    on one DB) must not interleave their tail appends: the refresh flock +
+    freshness re-check under the lock makes one process append and the
+    other skip, so the id<->vector pairing stays exact
+    (tpuclip/index/cache.py refresh)."""
+    import os
+    import sqlite3
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import tpuclip
+    from tpuclip.index.cache import MatrixCache
+    from tpuclip.index.store import MetadataStore
+
+    dim = 16
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((32, dim)).astype(np.float32)
+    db = str(tmp_path / "conc.db")
+    store = MetadataStore(db, embedding_dim=dim)
+    store.init_schema(verbose=False)
+
+    def commit(rows):
+        conn = sqlite3.connect(db)
+        batch = [
+            (f"/data/img{i}.jpg", 1.0, f"h{i}", vecs[i]) for i in rows
+        ]
+        store.commit_with_retry(conn.cursor(), conn, batch, save_full_embeddings=True)
+        conn.close()
+
+    commit(range(20))
+    MatrixCache(store).refresh()  # manifest at 20 rows
+    commit(range(20, 32))  # stale tail: the next refresh appends
+
+    repo_root = str(Path(tpuclip.__file__).parents[1])
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    go = str(tmp_path / "go")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _REFRESH_CHILD, db, go],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for _ in range(2)
+    ]
+    import time
+
+    time.sleep(0.5)  # let both children reach the go-file poll
+    (tmp_path / "go").touch()
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err
+        assert out.strip() == "32", (out, err)
+
+    ids, mat = MatrixCache(store).load()
+    assert len(ids) == 32  # appended once, not twice
+    assert sorted(set(int(i) for i in ids)) == list(range(1, 33))
+    for row, image_id in enumerate(ids):
+        np.testing.assert_array_equal(np.asarray(mat[row]), vecs[int(image_id) - 1])
