@@ -195,3 +195,21 @@ def test_decode_modes_normalize_to_rgb(tmp_path):
         )
         got = resize_to_uint8(loaded, 16)
         np.testing.assert_array_equal(got, want)
+
+
+def test_malformed_env_knobs_fall_back(monkeypatch, capsys):
+    """Malformed TPUCLIP_DECODE_WORKERS/PROCS values must warn and fall
+    back to defaults instead of raising inside the producer thread."""
+    from tpuclip.io.prefetch import default_procs, default_workers
+
+    monkeypatch.setenv("TPUCLIP_QUIET", "0")  # conftest silences log()
+    monkeypatch.setenv("TPUCLIP_DECODE_WORKERS", "many")
+    monkeypatch.setenv("TPUCLIP_DECODE_PROCS", "3.5")
+    assert default_workers() >= 1
+    assert default_procs() == 0
+    out = capsys.readouterr().out
+    assert "TPUCLIP_DECODE_WORKERS" in out and "TPUCLIP_DECODE_PROCS" in out
+    monkeypatch.setenv("TPUCLIP_DECODE_WORKERS", "2")
+    monkeypatch.setenv("TPUCLIP_DECODE_PROCS", "1")
+    assert default_workers() == 2
+    assert default_procs() == 1
