@@ -130,12 +130,45 @@ _LAST_HARDWARE_RUN = {
 }
 
 
+# The driver keeps only a ~2000-char tail of stdout and parses the last
+# line: round 2 lost the record to a timeout mid-line, round 3 to a single
+# enriched JSON line that grew past the tail window (the leading
+# metric/value keys were the first bytes truncated). The fix: the full
+# enriched dict goes to bench_full.json on disk; stdout carries ONLY a
+# compact summary line (numbers, no prose), hard-capped well under the
+# tail window and round-trip-checked before printing.
+_FULL_RECORD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+)
+# Core driver contract first (never dropped), then the north-star and
+# per-mode numbers in priority order — the tail of this tuple is shed
+# first if the line ever approaches the cap.
+_SUMMARY_KEYS = (
+    "metric", "value", "unit", "vs_baseline",
+    "headline_mean_ms", "headline_p99_ms",
+    "served_p50_measured_ms", "served_p99_measured_ms",
+    "indexing_images_per_min", "end_to_end_images_per_min",
+    "e2e_predecoded_images_per_min",
+    "backend", "kernel", "n_vectors",
+    "shortlist_ok_rate", "tunnel_rpc_ms",
+    "bf16_scan_p50_ms", "int8_p50_ms", "binary_p50_ms",
+    "cascade_p50_ms", "cascade_10m_p50_ms", "ivf_p50_ms",
+    "int8_fused_batch64_qps", "ivf_win_config",
+    "naflex_images_per_sec", "train_images_per_sec",
+    "stage", "elapsed_s",
+    "partial", "terminated_by", "watchdog_flush",
+    "backend_init_stalled", "error",
+)
+_SUMMARY_MAX_CHARS = 1500  # driver tail is ~2000; leave real margin
+
+
 def _emit(final: bool = True):
-    """Print the cumulative result as ONE JSON line.
+    """Flush the cumulative result: full dict to bench_full.json, compact
+    summary as ONE short JSON line on stdout.
 
     Called with final=False after every completed sub-bench: whatever kills
     this process at ANY later moment (driver timeout included) leaves the
-    richest-so-far result as the last complete stdout line. The final/flush
+    richest-so-far summary as the last complete stdout line. The final/flush
     call wins the lock once and marks emission done."""
     global _EMITTED
     with _EMIT_LOCK:
@@ -158,12 +191,38 @@ def _emit(final: bool = True):
         # virtually always enough; never let the flush die on it.
         for _ in range(1000):
             try:
-                line = json.dumps(RESULT)
+                full = json.dumps(RESULT)
+                summary = {k: RESULT[k] for k in _SUMMARY_KEYS if k in RESULT}
                 break
             except RuntimeError:
                 continue
         else:
             return  # un-dumpable right now; a later flush will retry
+        summary["full_record"] = os.path.basename(_FULL_RECORD_PATH)
+        line = json.dumps(summary)
+        while len(line) > _SUMMARY_MAX_CHARS:
+            # Shed lowest-priority keys until it fits; the driver-contract
+            # quartet is never dropped (and alone is ~150 chars).
+            for k in reversed(list(summary)):
+                if k not in ("metric", "value", "unit", "vs_baseline"):
+                    del summary[k]
+                    break
+            else:
+                break
+            line = json.dumps(summary)
+        try:
+            json.loads(line)  # self-check: the line must round-trip
+        except ValueError:
+            return  # never print a malformed line; a later flush retries
+        try:
+            tmp = _FULL_RECORD_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(full + "\n")
+            os.replace(tmp, _FULL_RECORD_PATH)
+        except OSError as e:
+            # Disk trouble must not block the stdout record.
+            summary["full_record"] = f"unwritable: {e}"[:80]
+            line = json.dumps(summary)
         print(line, flush=True)
         if final:
             _EMITTED = True
@@ -1147,6 +1206,72 @@ def bench_end_to_end_scan(jax):
 _E2E_STATE = {}
 
 
+def bench_e2e_predecoded(jax):
+    """The FULL scan pipeline — census, sha256, dedup-check, batch
+    assembly, host->device upload, embed, commit — with host decode served
+    from a hot content-addressed cache (TPUCLIP_DECODE_CACHE).
+
+    Purpose (VERDICT r3 item 2): the >=10k images/min/chip north star has
+    never been on the record because this 1-core dev host decodes at ~190
+    img/s and uploads through a ~14-66 MB/s tunnel. Decode is quantified
+    separately (host_decode_images_per_sec); this bench removes it from
+    the loop and shows what the pipeline itself sustains. Piggybacks on
+    bench_end_to_end_scan's tree + engine (same process, so the embed
+    program is already compiled; a fresh DB makes every row real work)."""
+    engine = _E2E_STATE.get("engine")
+    tmp = _E2E_STATE.get("tmp")
+    if engine is None or tmp is None:
+        raise RuntimeError("requires the e2e bench to have run first")
+    main_dir = os.path.join(tmp, "imgs")
+    files = []
+    for dp, _, fns in os.walk(main_dir):
+        files.extend((os.path.join(dp, f), 0.0) for f in sorted(fns))
+    n = len(files)
+
+    cache_dir = os.path.join(tmp, "dcache")
+    os.environ["TPUCLIP_DECODE_CACHE"] = cache_dir
+    try:
+        from tpuclip.io.prefetch import prefetch_batches
+
+        _dbg("e2e_predecoded: populating decode cache")
+        for _b in prefetch_batches(iter(files), engine.inference_batch_size, engine.image_size):
+            pass
+        entries = len(os.listdir(cache_dir))
+        if entries < n:
+            raise RuntimeError(f"decode cache holds {entries}/{n} entries")
+        _dbg(f"e2e_predecoded: cache hot ({entries} entries)")
+
+        # Retarget the engine at a FRESH database so the timed scan does
+        # every pipeline step for every file (the model params + compiled
+        # embed program carry over — that is the point of same-process).
+        from tpuclip.index.search import DeviceIndex
+        from tpuclip.index.store import MetadataStore
+
+        # Rebind db_path too: the scan pipeline opens its own connections
+        # from engine.db_path (pipelines/scan.py), and store/index only
+        # cover the check/commit helpers — missing either would run the
+        # dedup-check against the already-scanned DB and skip every file.
+        old_store, old_index, old_db = engine.store, engine.index, engine.db_path
+        engine.db_path = os.path.join(tmp, "bench_pre.db")
+        engine.store = MetadataStore(engine.db_path, embedding_dim=engine.embedding_dim)
+        engine.store.init_schema(verbose=False)
+        engine.index = DeviceIndex(engine.store, device=engine.device)
+        try:
+            t0 = time.perf_counter()
+            engine.scan_directory(main_dir, batch_size=75)
+            dt = time.perf_counter() - t0
+            conn = __import__("sqlite3").connect(os.path.join(tmp, "bench_pre.db"))
+            rows = conn.execute("SELECT COUNT(*) FROM images").fetchone()[0]
+            conn.close()
+            if rows < n * 0.98:
+                raise RuntimeError(f"predecoded scan indexed only {rows}/{n}")
+        finally:
+            engine.store, engine.index, engine.db_path = old_store, old_index, old_db
+        return n / dt
+    finally:
+        os.environ.pop("TPUCLIP_DECODE_CACHE", None)
+
+
 def _cascade_recall_on_vectors(x, k=20, depths=(320, 640, 1280), n_queries=16):
     """Sign-bit prefilter recall of the true top-k on the given embeddings
     (host numpy; the cascade's device kernel computes the same match
@@ -1423,6 +1548,16 @@ def main():
                     e2e_per_sec / RESULT["indexing_images_per_sec"], 3
                 )
 
+        def _e2e_predecoded():
+            rate = bench_e2e_predecoded(jax)
+            RESULT["e2e_predecoded_images_per_sec"] = round(rate, 1)
+            RESULT["e2e_predecoded_images_per_min"] = round(rate * 60)
+            RESULT["e2e_predecoded_workload"] = (
+                "full scan pipeline (census+sha256+dedup+upload+embed+commit) "
+                "from a hot decode cache into a fresh DB — host decode "
+                "removed from the loop, everything else real"
+            )
+
         def _ivf_scanned():
             # IVF recall on REAL tower embeddings (VERDICT r2 item 6): the
             # Gaussian-cluster recall in bench_ivf is synthetic; this sweeps
@@ -1535,6 +1670,7 @@ def main():
         run("fallback_tail", 15, _fallback_tail)
         run("indexing", 60, _indexing)
         run("e2e", 150, _e2e)
+        run("e2e_predecoded", 60, _e2e_predecoded)
         run("bf16_scan", 20, _bf16_scan)
         run("batch", 15, _batch)
         run("binary", 30, _binary)
