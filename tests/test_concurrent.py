@@ -70,9 +70,9 @@ while not os.path.exists(go):
     if time.time() > deadline:
         raise SystemExit("go file never appeared")
     time.sleep(0.002)
-cache.refresh()
+appended = cache.refresh()
 ids, _ = cache.load(refresh=False)
-print(len(ids))
+print(f"{len(ids)} {int(appended)}")
 """
 
 
@@ -115,6 +115,10 @@ def test_concurrent_process_refresh_appends_once(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_PLATFORMS", "cpu")
+    # Explicit, not inherited from conftest's setdefault: with QUIET=0 the
+    # 'Matrix cache refreshed' log line would land on the child's stdout
+    # and break the exact-output assertion below (advisor r3).
+    env["TPUCLIP_QUIET"] = "1"
     go = str(tmp_path / "go")
     procs = [
         subprocess.Popen(
@@ -128,9 +132,20 @@ def test_concurrent_process_refresh_appends_once(tmp_path):
     time.sleep(0.5)  # let both children reach the go-file poll
     (tmp_path / "go").touch()
     outs = [p.communicate(timeout=120) for p in procs]
+    appended_flags = []
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, err
-        assert out.strip() == "32", (out, err)
+        count, appended = out.split()
+        assert count == "32", (out, err)
+        appended_flags.append(int(appended))
+    # Exactly one child must have written the data files; the other must
+    # have skipped via the freshness re-check (pre-lock or under the lock).
+    # Asserting this — not just the final state — proves the exclusion path
+    # was actually exercised rather than both children racing past it
+    # (advisor r3: the go-file barrier makes contention likely, not
+    # guaranteed, and a silent double-append could still net count==32
+    # only by luck of the fingerprint re-check).
+    assert sorted(appended_flags) == [0, 1], appended_flags
 
     ids, mat = MatrixCache(store).load()
     assert len(ids) == 32  # appended once, not twice

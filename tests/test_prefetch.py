@@ -134,7 +134,15 @@ def test_worker_process_crash_is_contained(files, tmp_path, monkeypatch):
     paths = [item.path for b in batches for item in b.items]
     assert paths == [p for p, _ in mixed]  # nothing dropped, order kept
     flat_valid = [bool(v) for b in batches for v in b.valid[: len(b.items)]]
-    assert flat_valid == [True, True, True, False, True, True, True]
+    # Exactly the crash.png slot is poisoned. Deliberately NOT asserting
+    # that all three pre-crash slots survived: whether the pool's manager
+    # thread drains queued good results from the result pipe before
+    # declaring the pool broken after os.abort is a CPython-internals
+    # ordering detail, not a contract (advisor r3). The containment
+    # contract is: the crash slot is invalid, no OTHER batch loses slots,
+    # and nothing is dropped or reordered (asserted above).
+    assert not flat_valid[3]
+    assert all(flat_valid[4:])  # post-rebuild batches are fully valid
     assert batches[0].items[3].pixels is None
 
 
@@ -213,3 +221,55 @@ def test_malformed_env_knobs_fall_back(monkeypatch, capsys):
     monkeypatch.setenv("TPUCLIP_DECODE_PROCS", "1")
     assert default_workers() == 2
     assert default_procs() == 1
+
+
+def test_decode_cache_round_trip(files, tmp_path, monkeypatch):
+    """TPUCLIP_DECODE_CACHE: first pass populates content-addressed .npy
+    entries; a second pass serves pixels from the cache WITHOUT invoking
+    the decoder (proved by bombing the decoder), with identical output.
+    Hash/census/dedup work still happens on hits (the hash IS the key)."""
+    import os
+
+    import tpuclip.io.prefetch as pf
+
+    cache = tmp_path / "dcache"
+    monkeypatch.setenv("TPUCLIP_DECODE_CACHE", str(cache))
+
+    first = list(prefetch_batches(iter(files), batch_size=4, image_size=16))
+    entries = sorted(os.listdir(cache))
+    assert len(entries) == len(files)
+    assert all(e.endswith("_16_l0.npy") for e in entries)
+
+    def bomb(*a, **k):
+        raise AssertionError("decoder must not run on a cache hit")
+
+    monkeypatch.setattr(pf, "load_image_bytes", bomb)
+    second = list(prefetch_batches(iter(files), batch_size=4, image_size=16))
+    for b1, b2 in zip(first, second):
+        np.testing.assert_array_equal(b1.pixels, b2.pixels)
+        np.testing.assert_array_equal(b1.valid, b2.valid)
+        assert [i.file_hash for i in b1.items] == [i.file_hash for i in b2.items]
+
+    # Different settings key differently: a new image_size misses the cache
+    # (and with the decoder bombed, comes back as an invalid slot, not as
+    # wrong-size pixels silently served).
+    third = list(prefetch_batches(iter(files[:4]), batch_size=4, image_size=32))
+    assert not third[0].valid.any()
+
+
+def test_decode_cache_corrupt_entry_falls_through(files, tmp_path, monkeypatch):
+    import os
+
+    import tpuclip.io.prefetch as pf
+
+    cache = tmp_path / "dcache"
+    monkeypatch.setenv("TPUCLIP_DECODE_CACHE", str(cache))
+    list(prefetch_batches(iter(files[:2]), batch_size=2, image_size=16))
+    for e in os.listdir(cache):
+        with open(cache / e, "wb") as f:
+            f.write(b"not an npy file")
+    # Corrupt entries must be ignored (real decode again), then rewritten.
+    out = list(prefetch_batches(iter(files[:2]), batch_size=2, image_size=16))
+    assert out[0].valid.all()
+    reread = np.load(cache / sorted(os.listdir(cache))[0])
+    assert reread.shape == (16, 16, 3) and reread.dtype == np.uint8

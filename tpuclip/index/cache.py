@@ -148,11 +148,14 @@ class MatrixCache:
             == bin_fp
         )
 
-    def refresh(self, full_fp=None, bin_fp=None) -> None:
+    def refresh(self, full_fp=None, bin_fp=None) -> bool:
         """Bring the cache up to date with SQLite. ``full_fp``/``bin_fp``
         accept precomputed table fingerprints so a caller that already
         scanned them (DeviceIndex.refresh) doesn't pay the aggregates
-        again."""
+        again. Returns True iff this call wrote the data files (appended
+        or rebuilt) — False when the cache was already fresh, including
+        the case where a concurrent process did the work while we waited
+        on the refresh lock."""
         if full_fp is None:
             full_fp = self.store.embeddings_fingerprint()  # (count, max, sum)
         if bin_fp is None:
@@ -160,7 +163,7 @@ class MatrixCache:
         m = self._read_manifest()
         dim = self.store.embedding_dim
         if self._is_fresh(full_fp, bin_fp, m, dim):
-            return
+            return False
 
         self.cache_dir.mkdir(parents=True, exist_ok=True)
         # Cross-PROCESS exclusion: a serve and a CLI refreshing one cache
@@ -179,8 +182,9 @@ class MatrixCache:
             # done this exact refresh.
             m = self._read_manifest()
             if self._is_fresh(full_fp, bin_fp, m, dim):
-                return
+                return False
             self._refresh_locked(full_fp, bin_fp, m, dim)
+            return True
         finally:
             lock_file.close()
 
