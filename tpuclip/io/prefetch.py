@@ -141,7 +141,12 @@ def _decode_one(
         reused = reuse_hit(file_hash)
         if reused is not None:
             return reused
-        return finish(load_image_bytes(data, path, draft_size=draft), file_hash)
+        cached = _decode_cache_get(file_hash, image_size, level, naflex)
+        if cached is not None:
+            return DecodedImage(path, last_modified, cached, file_hash)
+        out = finish(load_image_bytes(data, path, draft_size=draft), file_hash)
+        _decode_cache_put(out, file_hash, image_size, level, naflex)
+        return out
     # PDF path: fitz renders from the file, so hash FIRST (cheap read, page
     # cache warm for the render) — a reuse hit then skips the render too.
     file_hash = None
@@ -155,6 +160,47 @@ def _decode_one(
             return reused
     img = load_image(path, draft_size=draft)
     return finish(img, file_hash)
+
+
+def _decode_cache_key(file_hash: str, image_size: int, level: int) -> str:
+    # Content-addressed: keyed by the file's sha256 plus everything that
+    # changes the decoded pixels (target size, fast-decode level). A
+    # re-scan of the same bytes at the same settings is a pure cache hit.
+    return f"{file_hash}_{image_size}_l{level}.npy"
+
+
+def _decode_cache_get(file_hash, image_size, level, naflex):
+    """Resized-uint8 pixels for this (content, settings) from the decode
+    cache, or None. Enabled by TPUCLIP_DECODE_CACHE=<dir>; square mode only
+    (naflex batches carry variable patch/mask/shape triples — not worth the
+    cache complexity for the one mode that benefits)."""
+    cache = os.environ.get("TPUCLIP_DECODE_CACHE")
+    if not cache or naflex is not None or file_hash is None:
+        return None
+    try:
+        px = np.load(os.path.join(cache, _decode_cache_key(file_hash, image_size, level)))
+    except (OSError, ValueError):
+        return None
+    if px.dtype != np.uint8 or px.shape != (image_size, image_size, 3):
+        return None  # stale/corrupt entry: fall through to a real decode
+    return px
+
+
+def _decode_cache_put(item: DecodedImage, file_hash, image_size, level, naflex) -> None:
+    cache = os.environ.get("TPUCLIP_DECODE_CACHE")
+    if not cache or naflex is not None or file_hash is None or item.pixels is None:
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        final = os.path.join(cache, _decode_cache_key(file_hash, image_size, level))
+        # Atomic publish: concurrent decode workers may race on one entry;
+        # whoever renames last wins with identical bytes.
+        tmp = f"{final}.{os.getpid()}.{threading.get_ident()}.tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, item.pixels)
+        os.replace(tmp, final)
+    except OSError:
+        pass  # cache is best-effort; the decode already succeeded
 
 
 def _env_int(name: str, default: int) -> int:
