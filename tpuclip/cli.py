@@ -325,6 +325,25 @@ def build_parser() -> argparse.ArgumentParser:
     migrate_parser.add_argument("--db-name", default=None, help=f"Database filename in {paths.db_dir}")
     migrate_parser.add_argument("--dry-run", action="store_true", help="Report what would be migrated without writing")
 
+    selftest_parser = subparsers.add_parser(
+        "selftest",
+        help="Real-checkpoint bring-up drill: locate/download, convert, "
+        "load, tokenizer golden check, HF parity spot check (exit 1 on any "
+        "failure)",
+    )
+    selftest_parser.add_argument(
+        "--real-checkpoint", action="store_true",
+        help="Run against the real pretrained checkpoint (currently the only "
+        "mode; the flag documents intent)",
+    )
+    selftest_parser.add_argument("--model", default=None, help="Model name (default: the engine default model)")
+    selftest_parser.add_argument("--source", default=None, help="Local HF-layout checkpoint directory (skips cache lookup and download)")
+    selftest_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
+    selftest_parser.add_argument("--no-download", action="store_true", help="Never attempt a network download")
+    selftest_parser.add_argument("--parity-bound", type=float, default=None, help="Min acceptable cosine vs the HF oracle (default 0.999)")
+    selftest_parser.add_argument("--skip-parity", action="store_true", help="Skip the HF/PyTorch forward parity step")
+    selftest_parser.add_argument("--convert-to", default=None, help="Directory for the converted tpuclip-native checkpoint (default: <model-cache>/tpuclip--<name>)")
+
     export_parser = subparsers.add_parser(
         "export", help="Export embeddings to npz/npy/jsonl for external tooling (no model load)"
     )
@@ -758,6 +777,23 @@ def main(argv: Optional[List[str]] = None) -> None:
             model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
             model_cache_dir=args.model_cache or None,
         )
+    elif args.mode == "selftest":
+        from tpuclip.selftest import DEFAULT_PARITY_BOUND, run_selftest
+
+        report = run_selftest(
+            model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
+            model_cache_dir=args.model_cache or None,
+            source=args.source,
+            allow_download=not args.no_download,
+            parity_bound=(
+                args.parity_bound if args.parity_bound is not None
+                else DEFAULT_PARITY_BOUND
+            ),
+            skip_parity=args.skip_parity,
+            convert_dst=args.convert_to,
+        )
+        if not report.ok:
+            sys.exit(1)
     elif args.mode == "info":
         _run_info(args, paths)
     elif args.mode == "gc":

@@ -57,7 +57,13 @@ def write_safetensors(path: str, tensors: Dict[str, np.ndarray]) -> None:
     offset = 0
     blobs = []
     for name in sorted(tensors):
-        arr = np.ascontiguousarray(tensors[name])
+        arr = np.asarray(tensors[name])
+        if not arr.flags["C_CONTIGUOUS"]:
+            # NOT unconditional: np.ascontiguousarray promotes 0-d arrays
+            # to shape (1,), which corrupted scalar leaves (logit_bias)
+            # through a save/load round trip (found by selftest, r4). 0-d
+            # arrays are always contiguous, so they never take this branch.
+            arr = np.ascontiguousarray(arr)
         data = arr.tobytes()
         header[name] = {
             "dtype": _st_dtype_name(arr),
