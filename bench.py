@@ -550,6 +550,103 @@ def bench_fallback_from_scores(jax, n, d=1152, k=20, chain=32):
     )
 
 
+def bench_served_distribution(jax, n, d=1152, k=20):
+    """MEASURED served latency distribution (VERDICT r3 item 4): fire many
+    sequential single queries through the production decision flow —
+    verified program, host proof check, resident-scores exact fallback
+    firing inline when the proof misses — and record real percentiles next
+    to the model-derived headline_p99_ms.
+
+    Through the dev tunnel every dispatch/fetch pays a ~25 ms RPC, which
+    would drown the sub-ms device tail; so alongside the raw wall
+    percentiles this measures a NULL calibration (the same dispatch+fetch
+    pattern against a 2-tile matrix, whose device time is ~0.05 ms) and
+    reports transport-corrected percentiles: corrected_i = wall_i -
+    null_median(pattern_i), where the pattern is 1 invocation for a proof
+    pass and 2 for a fallback. Medians of the pass/fallback populations
+    are robust to RPC jitter, so ``served_fallback_increment_ms`` — the
+    inline cost the tail model attributes to a proof miss — is the
+    strongest validated number; the corrected p99 still carries residual
+    transport jitter (quantified by ``served_transport_jitter_ms``)."""
+    import jax.numpy as jnp
+
+    from tpuclip.ops.topk_int8 import (
+        topk_exact_from_scores,
+        topk_int8_rerank_fused,
+    )
+
+    nq = int(os.environ.get("TPUCLIP_BENCH_SERVED_N", 1000))
+    use_pallas = jax.default_backend() == "tpu"
+    p = _device_prep(jax, n, d)
+    tiny = _device_prep(jax, 2 * 6144, d)
+    rng = np.random.default_rng(123)
+    qs = rng.standard_normal((nq, 1, d)).astype(np.float32)
+
+    def serve_once(q, prep, force_fallback=None):
+        """One production-flow query; returns (wall_s, fell_back)."""
+        t0 = time.perf_counter()
+        s, idx, ok, scores_res = topk_int8_rerank_fused(
+            q, prep["mq"], prep["scales"], prep["rows"], k,
+            n_valid=prep["n_valid"], use_pallas=use_pallas,
+            shortlist_method="verified", keep_scores=True,
+        )
+        ok_h = bool(np.asarray(ok))  # host fetch: the serving decision point
+        fall = (not ok_h) if force_fallback is None else force_fallback
+        if fall:
+            m = min(max(512, 4 * k), scores_res.shape[1])
+            s, idx = topk_exact_from_scores(scores_res, q, prep["rows"], k, m)
+        np.asarray(s), np.asarray(idx)  # result fetch, as serving does
+        return time.perf_counter() - t0, fall
+
+    # Warm every program (both matrix sizes, both branches) out of band.
+    for prep in (tiny, p):
+        serve_once(jnp.asarray(qs[0]), prep, force_fallback=False)
+        serve_once(jnp.asarray(qs[0]), prep, force_fallback=True)
+
+    # Null calibration: transport cost of each dispatch/fetch pattern.
+    null1 = [serve_once(jnp.asarray(qs[i % nq]), tiny, force_fallback=False)[0]
+             for i in range(48)]
+    null2 = [serve_once(jnp.asarray(qs[i % nq]), tiny, force_fallback=True)[0]
+             for i in range(48)]
+    null1_ms = float(np.median(null1) * 1000)
+    null2_ms = float(np.median(null2) * 1000)
+    jitter_ms = float((np.percentile(null1, 99) - np.median(null1)) * 1000)
+
+    walls, fells = [], []
+    deadline = time.perf_counter() + max(30.0, min(120.0, _remaining() - 60.0))
+    for i in range(nq):
+        if time.perf_counter() > deadline:
+            break
+        w, fell = serve_once(jnp.asarray(qs[i]), p)
+        walls.append(w)
+        fells.append(fell)
+    walls_ms = np.asarray(walls) * 1000
+    fells_arr = np.asarray(fells)
+    corrected = walls_ms - np.where(fells_arr, null2_ms, null1_ms)
+    corrected = np.maximum(corrected, 0.0)
+
+    out = {
+        "served_queries_measured": int(len(walls)),
+        "served_fallback_rate": round(float(fells_arr.mean()), 3),
+        "served_wall_p50_ms": round(float(np.percentile(walls_ms, 50)), 3),
+        "served_wall_p99_ms": round(float(np.percentile(walls_ms, 99)), 3),
+        "served_p50_measured_ms": round(float(np.percentile(corrected, 50)), 3),
+        "served_p90_measured_ms": round(float(np.percentile(corrected, 90)), 3),
+        "served_p99_measured_ms": round(float(np.percentile(corrected, 99)), 3),
+        "served_null_pattern_ms": [round(null1_ms, 3), round(null2_ms, 3)],
+        "served_transport_jitter_ms": round(jitter_ms, 3),
+    }
+    if fells_arr.any() and (~fells_arr).any():
+        # Inline fallback increment, transport-pattern-corrected: medians
+        # are jitter-robust, so this is the tail model's direct validation.
+        inc = (
+            float(np.median(walls_ms[fells_arr]) - np.median(walls_ms[~fells_arr]))
+            - (null2_ms - null1_ms)
+        )
+        out["served_fallback_increment_ms"] = round(inc, 3)
+    return out
+
+
 def bench_image_query_fused(jax, n, d=1152, k=20, chain=16):
     """End-to-end image query as ONE device program: uint8 pixels → SO400M
     vision tower → int8 scan → exact rescore → top-k
@@ -1519,6 +1616,9 @@ def main():
                     "mean = p50 + miss_rate * fallback"
                 )
 
+        def _served_dist():
+            RESULT.update(bench_served_distribution(jax, n))
+
         def _bf16_scan():
             # r1/r2 headline basis, kept for cross-round continuity.
             dev, amort, impl = bench_query_latency(jax, n, chain=chain)
@@ -1646,6 +1746,10 @@ def main():
             ivf_ms, ivf_recall = bench_ivf(jax, n, chain=chain)
             RESULT["ivf_p50_ms"] = round(ivf_ms, 3)
             RESULT["ivf_recall_top20"] = round(ivf_recall, 4)
+            # Settled r4 (VERDICT r3 item 5): no measured or structural
+            # regime beats flat-verified/cascade on v5e HBM scales — the
+            # cascade's 1-bit prefilter reads 18x fewer bytes/row. Frozen.
+            RESULT["ivf_status"] = "experimental-frozen; superseded by cascade (README)"
 
         def _naflex():
             ips = bench_naflex_throughput(jax)
@@ -1668,6 +1772,7 @@ def main():
         run("headline", 30, _headline, required=True)
         run("extract_continuity", 20, _extract_continuity)
         run("fallback_tail", 15, _fallback_tail)
+        run("served_dist", 100, _served_dist)
         run("indexing", 60, _indexing)
         run("e2e", 150, _e2e)
         run("e2e_predecoded", 60, _e2e_predecoded)

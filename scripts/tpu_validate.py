@@ -460,7 +460,90 @@ def main(out_path: str) -> int:
     return failures
 
 
+def run_suite(out_path: str) -> int:
+    """Run the pytest suite on the active backend and record a
+    machine-readable outcome (VERDICT r3 item 6: the on-hardware suite
+    state was prose — '350 passed / 35 skipped' — with the skip reasons
+    nowhere on record). Writes counts, per-reason skip lists, failures,
+    and duration; exit code = failed + errored."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    xml_path = tempfile.mktemp(suffix="_suite.xml")
+    env = dict(os.environ)
+    env.setdefault("TPUCLIP_TEST_TPU", "1")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "-q", f"--junitxml={xml_path}"],
+        cwd=repo, env=env, capture_output=True, text=True,
+    )
+    duration_s = round(time.time() - t0, 1)
+
+    counts = {"passed": 0, "failed": 0, "errored": 0, "skipped": 0}
+    skip_reasons: dict = {}
+    failed = []
+    try:
+        tree = ET.parse(xml_path)
+        for tc in tree.iter("testcase"):
+            name = f"{tc.get('classname')}::{tc.get('name')}"
+            if tc.find("failure") is not None:
+                counts["failed"] += 1
+                failed.append(name)
+            elif tc.find("error") is not None:
+                counts["errored"] += 1
+                failed.append(name)
+            elif (sk := tc.find("skipped")) is not None:
+                counts["skipped"] += 1
+                reason = (sk.get("message") or sk.get("type") or "unknown")[:160]
+                skip_reasons.setdefault(reason, []).append(name)
+            else:
+                counts["passed"] += 1
+        parse_error = None
+    except (ET.ParseError, OSError) as e:
+        parse_error = f"{type(e).__name__}: {e} (pytest likely crashed pre-report)"
+
+    result = {
+        "ok": proc.returncode == 0,
+        "pytest_rc": proc.returncode,
+        "duration_s": duration_s,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "env": {
+            "TPUCLIP_TEST_TPU": env.get("TPUCLIP_TEST_TPU"),
+            "JAX_PLATFORMS": env.get("JAX_PLATFORMS", ""),
+        },
+        "counts": counts,
+        "failed": failed,
+        "skip_reasons": {r: sorted(ts) for r, ts in sorted(skip_reasons.items())},
+        "stdout_tail": proc.stdout[-1500:],
+    }
+    if parse_error:
+        result["report_parse_error"] = parse_error
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=1)
+    print(
+        f"suite: {counts['passed']} passed, {counts['failed']} failed, "
+        f"{counts['errored']} errored, {counts['skipped']} skipped "
+        f"in {duration_s}s -> {out_path}"
+    )
+    return counts["failed"] + counts["errored"] + (
+        1 if parse_error and proc.returncode != 0 else 0
+    )
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="TPU_VALIDATE.json")
-    raise SystemExit(main(p.parse_args().out))
+    p.add_argument(
+        "--suite", action="store_true",
+        help="Run the pytest suite instead of the kernel checks and write a "
+        "machine-readable SUITE record (use --out SUITE_TPU_rNN.json)",
+    )
+    args = p.parse_args()
+    if args.suite:
+        out = args.out if args.out != "TPU_VALIDATE.json" else "SUITE_TPU.json"
+        raise SystemExit(run_suite(out))
+    raise SystemExit(main(args.out))
