@@ -575,7 +575,7 @@ def bench_served_distribution(jax, n, d=1152, k=20):
         topk_int8_rerank_fused,
     )
 
-    nq = int(os.environ.get("TPUCLIP_BENCH_SERVED_N", 1000))
+    nq = int(os.environ.get("TPUCLIP_BENCH_SERVED_N", 600))
     use_pallas = jax.default_backend() == "tpu"
     p = _device_prep(jax, n, d)
     tiny = _device_prep(jax, 2 * 6144, d)
@@ -635,15 +635,45 @@ def bench_served_distribution(jax, n, d=1152, k=20):
         "served_p99_measured_ms": round(float(np.percentile(corrected, 99)), 3),
         "served_null_pattern_ms": [round(null1_ms, 3), round(null2_ms, 3)],
         "served_transport_jitter_ms": round(jitter_ms, 3),
+        "served_note": (
+            "wall percentiles are TRANSPORT-BOUND through the dev tunnel "
+            "(~25 ms RPC x 3 invocations/query, jitter above); on a local "
+            "production host they collapse to the device numbers. The "
+            "validated figures are the measured fallback rate and the "
+            "paired fallback increment below."
+        ),
     }
-    if fells_arr.any() and (~fells_arr).any():
-        # Inline fallback increment, transport-pattern-corrected: medians
-        # are jitter-robust, so this is the tail model's direct validation.
-        inc = (
-            float(np.median(walls_ms[fells_arr]) - np.median(walls_ms[~fells_arr]))
-            - (null2_ms - null1_ms)
+    # Inline fallback increment, jitter-robust (first r4 run showed the
+    # population-median approach fails here: the tunnel's RPC jitter —
+    # p99-p50 ≈ 14 ms per invocation — swamps the sub-ms device signal,
+    # producing a nonsense negative increment). Protocol: per query, take
+    # the MIN of 3 forced-fallback walls minus the MIN of 3 forced-pass
+    # walls (min filters the positive-tailed transport jitter; pairing
+    # cancels per-query cost), median over queries; subtract the same
+    # paired statistic measured on the 2-tile matrix (pure transport
+    # pattern delta). What remains is the device cost a proof miss adds
+    # inline — the tail model's increment, measured.
+    def paired_increment(prep, pairs):
+        deltas = []
+        for i in range(pairs):
+            q = jnp.asarray(qs[i % nq])
+            wp = min(serve_once(q, prep, force_fallback=False)[0] for _ in range(3))
+            wf = min(serve_once(q, prep, force_fallback=True)[0] for _ in range(3))
+            deltas.append(wf - wp)
+        return float(np.median(deltas) * 1000)
+
+    pair_n = int(os.environ.get("TPUCLIP_BENCH_SERVED_PAIRS", 120))
+    if pair_n > 0 and _remaining() > 45:
+        inc_tiny = paired_increment(tiny, max(24, pair_n // 4))
+        inc_real = paired_increment(p, pair_n)
+        out["served_fallback_increment_ms"] = round(inc_real - inc_tiny, 3)
+        out["served_fallback_increment_raw_ms"] = [
+            round(inc_real, 3), round(inc_tiny, 3)
+        ]
+        out["served_fallback_increment_method"] = (
+            "median over paired min-of-3 walls (forced fallback vs pass per "
+            "query), transport pattern delta subtracted via the 2-tile matrix"
         )
-        out["served_fallback_increment_ms"] = round(inc, 3)
     return out
 
 
@@ -1502,6 +1532,11 @@ def main():
         n = int(os.environ.get("TPUCLIP_BENCH_N", 1_000_000))
         chain = int(os.environ.get("TPUCLIP_BENCH_CHAIN", 32))
         RESULT["n_vectors"] = n
+        # Settled r4 (VERDICT r3 item 5); recorded unconditionally so a
+        # budget-skipped _ivf still carries the verdict: no measured or
+        # structural regime beats flat-verified/cascade on v5e HBM scales
+        # (the cascade's 1-bit prefilter reads 18x fewer bytes/row). Frozen.
+        RESULT["ivf_status"] = "experimental-frozen; superseded by cascade (README)"
 
         def run(name, est_s, fn, required=False):
             """Run one sub-bench inside the budget; record outcome."""
@@ -1746,10 +1781,6 @@ def main():
             ivf_ms, ivf_recall = bench_ivf(jax, n, chain=chain)
             RESULT["ivf_p50_ms"] = round(ivf_ms, 3)
             RESULT["ivf_recall_top20"] = round(ivf_recall, 4)
-            # Settled r4 (VERDICT r3 item 5): no measured or structural
-            # regime beats flat-verified/cascade on v5e HBM scales — the
-            # cascade's 1-bit prefilter reads 18x fewer bytes/row. Frozen.
-            RESULT["ivf_status"] = "experimental-frozen; superseded by cascade (README)"
 
         def _naflex():
             ips = bench_naflex_throughput(jax)
@@ -1772,7 +1803,7 @@ def main():
         run("headline", 30, _headline, required=True)
         run("extract_continuity", 20, _extract_continuity)
         run("fallback_tail", 15, _fallback_tail)
-        run("served_dist", 100, _served_dist)
+        run("served_dist", 150, _served_dist)
         run("indexing", 60, _indexing)
         run("e2e", 150, _e2e)
         run("e2e_predecoded", 60, _e2e_predecoded)
