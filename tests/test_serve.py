@@ -595,3 +595,66 @@ def test_serve_in_cascade_mode(engine, monkeypatch):
     finally:
         srv.shutdown()
         engine.index = old_index
+
+
+def test_fused_mixed_window_combines_scan(fused_server):
+    """A window holding BOTH text queries and image uploads takes the
+    combined mixed program (both towers + ONE shared scan, r4): every
+    request gets its own correct result, the upload ranks itself first,
+    and the group resolves in one device pass."""
+    import base64
+    import sqlite3
+    import threading
+
+    eng = fused_server.batcher.engine
+    assert eng.index.can_fuse_text_search(2, None)
+    conn = sqlite3.connect(eng.db_path)
+    img_path = conn.execute(
+        "SELECT file_path FROM images ORDER BY id LIMIT 1"
+    ).fetchone()[0]
+    conn.close()
+    with open(img_path, "rb") as f:
+        b64 = base64.b64encode(f.read()).decode()
+
+    # warm both program shapes so the burst lands in one window
+    _post(fused_server, "/search", {"query": "warm", "k": 2})
+    _post(fused_server, "/search", {"image_b64": b64, "k": 2})
+
+    payloads = [
+        {"query": "a red square", "k": 2},
+        {"query": "something green", "k": 2},
+        {"image_b64": b64, "k": 2},
+        {"image_b64": b64, "k": 2},
+    ]
+    results = [None] * len(payloads)
+    errors = []
+    barrier = threading.Barrier(len(payloads))
+
+    def worker(i):
+        barrier.wait()
+        try:
+            status, body = _post(fused_server, "/search", payloads[i])
+            assert status == 200, body
+            results[i] = body["results"]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    passes_before = fused_server.batcher.device_passes
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(payloads))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors
+
+    # text results match the two-stage oracle
+    vec = eng.embed_texts(["a red square"])
+    oracle = eng.index.search_batch(vec, 2)[0]
+    assert [r["path"] for r in results[0]] == [p for p, _ in oracle]
+    # uploads find themselves
+    for r in (results[2], results[3]):
+        assert r[0]["path"] == img_path
+        assert r[0]["similarity"] == pytest.approx(1.0, abs=5e-3)
+    # the whole burst resolved in few device passes (mixed windows take 1;
+    # allow slack for requests split across windows under thread jitter)
+    assert fused_server.batcher.device_passes - passes_before <= 3

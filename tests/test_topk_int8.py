@@ -702,3 +702,57 @@ def test_fused_rerank_shape_boundary_fuzz():
             np.testing.assert_allclose(
                 scores[qi][: len(want)], exact[qi][want], rtol=1e-5, atol=1e-6
             )
+
+
+def test_engine_search_mixed_fused_matches_separate_paths(tmp_path, monkeypatch):
+    """The mixed text+image fused program (both towers + ONE shared scan,
+    r4) must return exactly what the separate fused passes return, for
+    every text and every image, across bucket-padded shapes (3 texts →
+    bucket 4; 2 images → bucket 2)."""
+    from tpuclip.io.decode import load_image
+
+    eng, root = _tiny_image_db(tmp_path, monkeypatch, seed=51)
+    k = 5
+    assert eng.index.can_fuse_text_search(k, None)
+    texts = ["a red car", "blue sky", "green field"]
+    img_paths = [str(root / "img_1.jpg"), str(root / "img_4.jpg")]
+    imgs = [load_image(p) for p in img_paths]
+
+    t_res, i_res = eng._search_mixed_fused(texts, imgs, k)
+    assert len(t_res) == len(texts) and len(i_res) == len(imgs)
+
+    exp_t = eng._search_texts_fused(texts, k)
+    for got, exp in zip(t_res, exp_t):
+        assert [p for p, _ in got] == [p for p, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+        )
+    for path, img, got in zip(img_paths, imgs, i_res):
+        exp = eng._search_image_fused(img, k)
+        assert [p for p, _ in got] == [p for p, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+        )
+        assert got[0][0] == path  # the image finds itself first
+
+    # proof-miss fallback on the mixed program: forge ok=False, results
+    # must recover via the resident-scores path unchanged
+    from tpuclip.ops import topk_int8 as ti
+
+    real = ti.mixed_topk_fused
+    calls = []
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("shortlist_method"))
+        out = real(*args, **kwargs)
+        if kwargs.get("shortlist_method") == "verified":
+            return out[0], out[1], jnp.asarray(False), out[3], out[4]
+        return out
+
+    monkeypatch.setattr(ti, "mixed_topk_fused", spy)
+    before = eng.index.shortlist_stats["shortlist_fallbacks"]
+    t2, i2 = eng._search_mixed_fused(texts, imgs, k)
+    if calls == ["verified"]:  # CPU resolves to a non-verified method
+        assert eng.index.shortlist_stats["shortlist_fallbacks"] == before + 1
+    for got, exp in zip(t2 + i2, t_res + i_res):
+        assert [p for p, _ in got] == [p for p, _ in exp]

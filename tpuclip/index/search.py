@@ -787,6 +787,35 @@ class DeviceIndex:
 
         return self._run_fused(run, int(pixels.shape[0]), k, q_count)
 
+    def search_mixed_fused(
+        self, params, ids, mask, pixels, config, k, compute_dtype
+    ):
+        """Mixed text+image query block through ONE device program (text
+        tower + vision tower + one shared int8 scan + exact rescore;
+        ops/topk_int8.mixed_topk_fused — the scan's matrix read is ~flat
+        in query count, so the separate text/image passes of a mixed serve
+        window paid it twice; measured −3.2 ms per 2+2 window at 1M rows
+        on v5e). Returns mapped results for EVERY row of the padded block:
+        texts at [0, Tb), images at [Tb, Tb+Ib) — the caller slices the
+        real entries. Caller must have checked ``can_fuse_text_search``."""
+        from tpuclip.ops.topk_int8 import mixed_topk_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        pixels_d = jnp.asarray(pixels)
+        total = int(ids.shape[0]) + int(pixels.shape[0])
+
+        def run(method, keep_scores):
+            return mixed_topk_fused(
+                params, ids_d, mask_d, pixels_d, self._matrix,
+                self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method=method,
+                keep_scores=keep_scores,
+            )
+
+        return self._run_fused(run, total, k, total)
+
     def search_images_fused_naflex(
         self, params, patches, mask, shapes, config, k, compute_dtype, q_count
     ):

@@ -1015,6 +1015,60 @@ def naflex_image_topk_fused(
     return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "k", "compute_dtype", "use_pallas", "shortlist",
+        "shortlist_method", "keep_scores",
+    ),
+)
+def mixed_topk_fused(
+    params,
+    ids: jnp.ndarray,            # (Tb, 64) token ids (prompted + padded rows)
+    attn_mask: jnp.ndarray,      # (Tb, 64) attention mask (pad rows all-zero)
+    pixels: jnp.ndarray,         # (Ib, S, S, 3) uint8 NHWC (pad rows zero)
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8
+    scales: jnp.ndarray,         # (N,) f32
+    rows_full: jnp.ndarray,      # (N_rows, D) storage-dtype full copy
+    config,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    shortlist: int = 512,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = True,
+    shortlist_method: Optional[str] = None,
+    keep_scores: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mixed text+image query block: text tower + vision tower + ONE int8
+    scan over the concatenated (texts-first) query block, exact rescore,
+    top-k — one device program.
+
+    Why: the scan's cost is ~flat in the query count (it is an HBM
+    bandwidth read of the matrix), so a mixed serve window that runs the
+    text group and the image group as separate passes pays that read
+    twice. Measured on v5e (scripts/probe_mixed_batch.py, 1M x 1152,
+    2 texts + 2 images): separate passes 8.20 ms, combined 5.00 ms —
+    the second scan is pure waste. Row layout of every output: texts
+    occupy rows [0, Tb), images rows [Tb, Tb+Ib); the caller slices the
+    real (unpadded) entries out of each span. Same
+    ``shortlist_method="verified"`` / ``keep_scores`` extra-output
+    contract as :func:`text_topk_fused` (fifth output is the concatenated
+    query embedding block)."""
+    from tpuclip.models.siglip import get_image_features, get_text_features
+
+    emb_t = get_text_features(
+        params, ids, config, compute_dtype=compute_dtype, attention_mask=attn_mask
+    )
+    emb_v = get_image_features(params, pixels, config, compute_dtype=compute_dtype)
+    emb = jnp.concatenate([emb_t, emb_v], axis=0)
+    out = topk_int8_rerank_fused(
+        emb, matrix_int8_t, scales, rows_full, k,
+        shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=shortlist_method, keep_scores=keep_scores,
+    )
+    return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     """Batched int8 scan with ON-DEVICE per-row query quantization.

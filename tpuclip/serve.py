@@ -245,7 +245,27 @@ class MicroBatcher:
                         texts = [it for it in group if it.image is None]
                         images = [it for it in group if it.image is not None]
                         done: list = []
-                        if texts and fused_group[(k, folders)]:
+                        mixed = (
+                            bool(texts) and bool(images)
+                            and fused_group[(k, folders)]
+                            and not self.engine.is_naflex
+                        )
+                        if mixed:
+                            # Mixed window: both towers + ONE shared scan
+                            # in a single device program. The previous
+                            # shape (text-fused pass + image pass) paid
+                            # the scan's matrix read twice — measured
+                            # −3.2 ms per 2+2 window at 1M rows on v5e
+                            # (scripts/probe_mixed_batch.py, r4).
+                            uniq = sorted({it.query for it in texts})
+                            t_res, i_res = self.engine._search_mixed_fused(
+                                uniq, [it.image for it in images], k
+                            )
+                            by_text = dict(zip(uniq, t_res))
+                            done += [(it, by_text[it.query]) for it in texts]
+                            done += list(zip(images, i_res))
+                            passes += 1
+                        elif texts and fused_group[(k, folders)]:
                             # ONE device round trip: tokenize -> text tower
                             # -> int8 scan -> exact rescore, fused. Dedup
                             # repeated queries first: a batch of identical hot
@@ -268,7 +288,7 @@ class MicroBatcher:
                             )
                             done += list(zip(texts, batches))
                             passes += 1
-                        if images:
+                        if images and not mixed:
                             if len(images) == 1 and fused_group[(k, folders)]:
                                 # Lone upload: the fused single-program path
                                 # (vision tower + scan + rescore, one round
