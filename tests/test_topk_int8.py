@@ -709,6 +709,8 @@ def test_engine_search_mixed_fused_matches_separate_paths(tmp_path, monkeypatch)
     r4) must return exactly what the separate fused passes return, for
     every text and every image, across bucket-padded shapes (3 texts →
     bucket 4; 2 images → bucket 2)."""
+    from conftest import ON_DEVICE
+
     from tpuclip.io.decode import load_image
 
     eng, root = _tiny_image_db(tmp_path, monkeypatch, seed=51)
@@ -721,18 +723,29 @@ def test_engine_search_mixed_fused_matches_separate_paths(tmp_path, monkeypatch)
     t_res, i_res = eng._search_mixed_fused(texts, imgs, k)
     assert len(t_res) == len(texts) and len(i_res) == len(imgs)
 
+    def assert_results_match(got, exp):
+        # CPU: bit-exact paths + tight scores. Real device: the mixed and
+        # separate programs are DIFFERENT compiled shapes, so bf16-pass
+        # f32 drift (~6e-4 measured on v5e) legitimately perturbs scores
+        # and can flip near-tie ranks — assert set equality + loose
+        # scores there (same policy as conftest.assert_topk_oracle).
+        if ON_DEVICE:
+            assert {p for p, _ in got} == {p for p, _ in exp}
+            np.testing.assert_allclose(
+                sorted(s for _, s in got), sorted(s for _, s in exp),
+                rtol=2e-2, atol=2e-2,
+            )
+        else:
+            assert [p for p, _ in got] == [p for p, _ in exp]
+            np.testing.assert_allclose(
+                [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+            )
+
     exp_t = eng._search_texts_fused(texts, k)
     for got, exp in zip(t_res, exp_t):
-        assert [p for p, _ in got] == [p for p, _ in exp]
-        np.testing.assert_allclose(
-            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
-        )
+        assert_results_match(got, exp)
     for path, img, got in zip(img_paths, imgs, i_res):
-        exp = eng._search_image_fused(img, k)
-        assert [p for p, _ in got] == [p for p, _ in exp]
-        np.testing.assert_allclose(
-            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
-        )
+        assert_results_match(got, eng._search_image_fused(img, k))
         assert got[0][0] == path  # the image finds itself first
 
     # proof-miss fallback on the mixed program: forge ok=False, results
@@ -755,4 +768,7 @@ def test_engine_search_mixed_fused_matches_separate_paths(tmp_path, monkeypatch)
     if calls == ["verified"]:  # CPU resolves to a non-verified method
         assert eng.index.shortlist_stats["shortlist_fallbacks"] == before + 1
     for got, exp in zip(t2 + i2, t_res + i_res):
-        assert [p for p, _ in got] == [p for p, _ in exp]
+        if ON_DEVICE:  # fallback rescore is a different compiled program
+            assert {p for p, _ in got} == {p for p, _ in exp}
+        else:
+            assert [p for p, _ in got] == [p for p, _ in exp]
