@@ -109,24 +109,28 @@ def _credit_stall():
 # docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
 # the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
 _LAST_HARDWARE_RUN = {
-    "recorded": "2026-08-19 (round 3, grouped-resident binary layout)",
-    "source": "docs/benchmarks.md 'Round 3 final full run' table",
-    "headline_verified_scores_p50_ms": 1.562,
+    "recorded": "2026-08-20 (round 4 full run)",
+    "source": "docs/bench_full_r4_run1.json + docs/bench_full_r4_run3.json",
+    "headline_verified_scores_p50_ms": 1.691,
+    "headline_p99_ms": 2.697,
     "shortlist_ok_rate": 0.906,
-    "int8_fused_extract_p50_ms": 3.193,
-    "bf16_scan_p50_ms": 3.16,
-    "binary_p50_ms": 0.577,
-    "int8_scan_only_p50_ms": 1.634,
-    "cascade_p50_ms": 1.988,
-    "cascade_10m_device_p50_ms": 2.544,
-    "batch16_qps": 4418,
-    "batch64_qps": 5687,
-    "text_query_fused_ms": 3.765,
-    "indexing_images_per_min": 42486,
-    "end_to_end_images_per_min": 2094,
-    "end_to_end_note": "tunnel upload-bound that run; 7326 on 2026-08-18",
-    "naflex_images_per_sec": 740.5,
-    "train_images_per_sec": 51.5,
+    "served_fallback_rate_measured": 0.181,
+    "served_fallback_increment_ms": 0.653,
+    "int8_fused_extract_p50_ms": 3.333,
+    "bf16_scan_p50_ms": 3.347,
+    "binary_p50_ms": 0.747,
+    "int8_scan_only_p50_ms": 1.576,
+    "cascade_p50_ms": 1.851,
+    "cascade_10m_p50_ms": 3.863,
+    "batch16_qps": 4916,
+    "batch64_qps": 5717,
+    "text_query_fused_ms": 3.411,
+    "indexing_images_per_min": 42456,
+    "end_to_end_images_per_min": 7352,
+    "e2e_predecoded_images_per_min": 11850,
+    "naflex_images_per_sec": 719.8,
+    "train_images_per_sec": 57.7,
+    "ivf_p50_ms": 6.116,
 }
 
 

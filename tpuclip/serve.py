@@ -139,6 +139,7 @@ class MicroBatcher:
         self.queue: "queue_mod.Queue" = queue_mod.Queue()
         self.device_passes = 0  # scan passes actually run
         self.batched_requests = 0
+        self.mixed_windows = 0  # groups served by the combined mixed program
         self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="tpuclip-microbatch")
         self._thread.start()
@@ -205,6 +206,7 @@ class MicroBatcher:
         from tpuclip.index.dedup import filter_duplicates
 
         passes = 0
+        mixed_count = 0
         try:
             with self.lock:
                 self.engine.index.refresh()
@@ -265,6 +267,7 @@ class MicroBatcher:
                             done += [(it, by_text[it.query]) for it in texts]
                             done += list(zip(images, i_res))
                             passes += 1
+                            mixed_count += 1
                         elif texts and fused_group[(k, folders)]:
                             # ONE device round trip: tokenize -> text tower
                             # -> int8 scan -> exact rescore, fused. Dedup
@@ -330,6 +333,7 @@ class MicroBatcher:
             with self._stats_lock:
                 self.device_passes += passes
                 self.batched_requests += len(items)
+                self.mixed_windows += mixed_count
             for it in items:
                 it.event.set()
 
@@ -338,6 +342,7 @@ class MicroBatcher:
             return {
                 "batched_requests": self.batched_requests,
                 "device_passes": self.device_passes,
+                "mixed_windows": self.mixed_windows,
             }
 
 
