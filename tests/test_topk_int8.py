@@ -772,3 +772,53 @@ def test_engine_search_mixed_fused_matches_separate_paths(tmp_path, monkeypatch)
             assert {p for p, _ in got} == {p for p, _ in exp}
         else:
             assert [p for p, _ in got] == [p for p, _ in exp]
+
+
+def test_naflex_mixed_fused_matches_separate_paths(tmp_path, monkeypatch):
+    """The NaFlex variant of the mixed program (text tower + NaFlex vision
+    tower + one shared scan) matches the separate fused passes, across
+    bucket padding and varied aspect ratios."""
+    from PIL import Image
+
+    from tpuclip.engine import ImageDatabase
+    from tpuclip.io.decode import load_image
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    monkeypatch.setenv("TPUCLIP_SEARCH_PRECISION", "int8")
+    monkeypatch.setenv("TPUCLIP_DEVICE_RERANK", "1")
+    root = tmp_path / "imgs"
+    root.mkdir()
+    rng = np.random.default_rng(57)
+    for i in range(8):
+        h, w = rng.integers(32, 80, 2)
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"img_{i}.jpg")
+    eng = ImageDatabase(
+        db_path=str(tmp_path / "t.db"),
+        model_cache_dir=str(tmp_path / "models"),
+        model_name="tpuclip/test-tiny-naflex",
+        inference_batch_size=4,
+    )
+    assert eng.is_naflex
+    eng.scan_directory(str(root), batch_size=8)
+    k = 4
+    assert eng.index.can_fuse_text_search(k, None)
+    texts = ["a red car", "blue sky", "green field"]  # bucket 4
+    img_paths = [str(root / "img_2.jpg"), str(root / "img_5.jpg")]  # bucket 2
+    imgs = [load_image(p) for p in img_paths]
+
+    t_res, i_res = eng._search_mixed_fused(texts, imgs, k)
+    assert len(t_res) == 3 and len(i_res) == 2
+    exp_t = eng._search_texts_fused(texts, k)
+    for got, exp in zip(t_res, exp_t):
+        assert [p for p, _ in got] == [p for p, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+        )
+    for path, img, got in zip(img_paths, imgs, i_res):
+        exp = eng._search_image_fused(img, k)
+        assert [p for p, _ in got] == [p for p, _ in exp]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+        )
+        assert got[0][0] == path

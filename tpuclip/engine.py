@@ -241,27 +241,53 @@ class ImageDatabase:
         scan in a single device program (the serve micro-batcher's mixed
         window previously paid the scan's matrix read twice — measured
         −3.2 ms per 2+2 window at 1M rows on v5e,
-        scripts/probe_mixed_batch.py). Fixed-resolution family only
-        (NaFlex mixed windows keep the two-pass path). Caller has already
-        checked ``can_fuse_text_search``; returns
-        (text_results, image_results) aligned to the inputs."""
-        from tpuclip.io.preprocess import resize_to_uint8
-
+        scripts/probe_mixed_batch.py). Caller has already checked
+        ``can_fuse_text_search``; returns (text_results, image_results)
+        aligned to the inputs. NaFlex models route through the
+        patchified-variant program."""
         ids, mask = self._tokenize_bucketed(texts)
-        pixels = np.stack([resize_to_uint8(img, self.image_size) for img in images])
+        tb = ids.shape[0]
+        nb = len(images)
         # Same power-of-two bucketing as the text rows: a mixed program
         # compiles per (text-bucket, image-bucket) pair, so arbitrary
         # window compositions reuse a handful of compiled programs.
-        ib = 1 << max(0, (len(images) - 1)).bit_length()
-        if ib > len(images):
-            pixels = np.concatenate(
-                [pixels, np.zeros((ib - len(images),) + pixels.shape[1:], np.uint8)]
+        ib = 1 << max(0, (nb - 1)).bit_length()
+        if self.is_naflex:
+            from tpuclip.io.preprocess import preprocess_naflex
+
+            v = self.config.vision
+            trip = [preprocess_naflex(img, v.patch_size, v.max_num_patches)
+                    for img in images]
+            patches = np.stack([p for p, _, _ in trip])
+            masks = np.stack([m for _, m, _ in trip])
+            shapes = np.asarray([s for _, _, s in trip], np.int32)
+            if ib > nb:
+                pad = ib - nb
+                patches = np.concatenate(
+                    [patches, np.zeros((pad,) + patches.shape[1:], patches.dtype)]
+                )
+                pad_mask = np.zeros((pad, masks.shape[1]), masks.dtype)
+                pad_mask[:, 0] = 1  # all-masked rows would NaN the softmax
+                masks = np.concatenate([masks, pad_mask])
+                shapes = np.concatenate([shapes, np.ones((pad, 2), np.int32)])
+            res = self.index.search_mixed_fused_naflex(
+                self.params, ids, mask, patches, masks, shapes,
+                self.config, k, self.compute_dtype,
             )
-        res = self.index.search_mixed_fused(
-            self.params, ids, mask, pixels, self.config, k, self.compute_dtype
-        )
-        tb = ids.shape[0]
-        return res[: len(texts)], res[tb : tb + len(images)]
+        else:
+            from tpuclip.io.preprocess import resize_to_uint8
+
+            pixels = np.stack(
+                [resize_to_uint8(img, self.image_size) for img in images]
+            )
+            if ib > nb:
+                pixels = np.concatenate(
+                    [pixels, np.zeros((ib - nb,) + pixels.shape[1:], np.uint8)]
+                )
+            res = self.index.search_mixed_fused(
+                self.params, ids, mask, pixels, self.config, k, self.compute_dtype
+            )
+        return res[: len(texts)], res[tb : tb + nb]
 
     def search_image_pil(
         self, img, k: int, filter_folders=None

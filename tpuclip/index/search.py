@@ -816,6 +816,33 @@ class DeviceIndex:
 
         return self._run_fused(run, total, k, total)
 
+    def search_mixed_fused_naflex(
+        self, params, ids, mask, patches, pixel_mask, shapes, config, k,
+        compute_dtype,
+    ):
+        """:meth:`search_mixed_fused` for NaFlex inputs (text tower +
+        NaFlex vision tower + one shared scan; same texts-first padded-row
+        layout). Caller must have checked ``can_fuse_text_search``."""
+        from tpuclip.ops.topk_int8 import mixed_naflex_topk_fused
+
+        on_tpu = jax.default_backend() == "tpu"
+        ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
+        patches_d = jnp.asarray(patches)
+        pmask_d = jnp.asarray(pixel_mask)
+        shapes_d = jnp.asarray(shapes)
+        total = int(ids.shape[0]) + int(patches.shape[0])
+
+        def run(method, keep_scores):
+            return mixed_naflex_topk_fused(
+                params, ids_d, mask_d, patches_d, pmask_d, shapes_d,
+                self._matrix, self._scales, self._rows_device, config, k,
+                n_valid=self._n_valid, compute_dtype=compute_dtype,
+                use_pallas=on_tpu, shortlist_method=method,
+                keep_scores=keep_scores,
+            )
+
+        return self._run_fused(run, total, k, total)
+
     def search_images_fused_naflex(
         self, params, patches, mask, shapes, config, k, compute_dtype, q_count
     ):

@@ -1069,6 +1069,55 @@ def mixed_topk_fused(
     return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config", "k", "compute_dtype", "use_pallas", "shortlist",
+        "shortlist_method", "keep_scores",
+    ),
+)
+def mixed_naflex_topk_fused(
+    params,
+    ids: jnp.ndarray,            # (Tb, 64) token ids (prompted + padded rows)
+    attn_mask: jnp.ndarray,      # (Tb, 64) attention mask (pad rows all-zero)
+    patches: jnp.ndarray,        # (Ib, L, P*P*C) uint8 patchified pixels
+    pixel_mask: jnp.ndarray,     # (Ib, L) valid-patch mask
+    spatial_shapes: jnp.ndarray,  # (Ib, 2) patch grids
+    matrix_int8_t: jnp.ndarray,  # (D, N) int8
+    scales: jnp.ndarray,         # (N,) f32
+    rows_full: jnp.ndarray,      # (N_rows, D) storage-dtype full copy
+    config,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    shortlist: int = 512,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = True,
+    shortlist_method: Optional[str] = None,
+    keep_scores: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`mixed_topk_fused` for the NaFlex (variable-aspect) family:
+    text tower + NaFlex vision tower + ONE shared int8 scan + exact
+    rescore, one device program. Same texts-first row layout and
+    extra-output contract."""
+    from tpuclip.models.naflex import get_image_features_naflex
+    from tpuclip.models.siglip import get_text_features
+
+    emb_t = get_text_features(
+        params, ids, config, compute_dtype=compute_dtype, attention_mask=attn_mask
+    )
+    emb_v = get_image_features_naflex(
+        params, patches, pixel_mask, spatial_shapes, config,
+        compute_dtype=compute_dtype,
+    )
+    emb = jnp.concatenate([emb_t, emb_v], axis=0)
+    out = topk_int8_rerank_fused(
+        emb, matrix_int8_t, scales, rows_full, k,
+        shortlist=shortlist, n_valid=n_valid, use_pallas=use_pallas,
+        shortlist_method=shortlist_method, keep_scores=keep_scores,
+    )
+    return _fused_embedding_tail(out, emb, shortlist_method, keep_scores)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def topk_int8_batch(q_f32, matrix_int8_t, scales, k, n_valid=None, mask=None):
     """Batched int8 scan with ON-DEVICE per-row query quantization.

@@ -250,7 +250,6 @@ class MicroBatcher:
                         mixed = (
                             bool(texts) and bool(images)
                             and fused_group[(k, folders)]
-                            and not self.engine.is_naflex
                         )
                         if mixed:
                             # Mixed window: both towers + ONE shared scan
