@@ -1692,10 +1692,20 @@ def main():
             rate = bench_e2e_predecoded(jax)
             RESULT["e2e_predecoded_images_per_sec"] = round(rate, 1)
             RESULT["e2e_predecoded_images_per_min"] = round(rate * 60)
+            # Achieved sustained pixel-upload throughput (224^2 x 3 uint8 =
+            # 150.5 KB/img): with decode out of the loop this is usually
+            # the binding constraint on the tunneled dev host, and it
+            # fluctuates ~2x run to run (measured 15.6-29.7 MB/s sustained
+            # against 62-67 MB/s burst — r4 runs 1 vs 5) — compare against
+            # host_to_device_upload_mb_s to see the sustained/burst gap.
+            RESULT["e2e_predecoded_pixel_mb_s"] = round(rate * 0.150528, 1)
             RESULT["e2e_predecoded_workload"] = (
                 "full scan pipeline (census+sha256+dedup+upload+embed+commit) "
                 "from a hot decode cache into a fresh DB — host decode "
-                "removed from the loop, everything else real"
+                "removed from the loop, everything else real; on this host "
+                "bound by the dev tunnel's SUSTAINED upload bandwidth, "
+                "which varies ~2x run-to-run (11.9k img/min measured on a "
+                "good tunnel patch, r4 run 1)"
             )
 
         def _ivf_scanned():
