@@ -807,18 +807,30 @@ def test_naflex_mixed_fused_matches_separate_paths(tmp_path, monkeypatch):
     img_paths = [str(root / "img_2.jpg"), str(root / "img_5.jpg")]  # bucket 2
     imgs = [load_image(p) for p in img_paths]
 
+    from conftest import ON_DEVICE
+
     t_res, i_res = eng._search_mixed_fused(texts, imgs, k)
     assert len(t_res) == 3 and len(i_res) == 2
+
+    def assert_results_match(got, exp):
+        # Same device-drift policy as the fixed-res mixed test: the mixed
+        # and separate programs are different compiled shapes on the real
+        # chip, so assert set equality + loose scores there.
+        if ON_DEVICE:
+            assert {p for p, _ in got} == {p for p, _ in exp}
+            np.testing.assert_allclose(
+                sorted(s for _, s in got), sorted(s for _, s in exp),
+                rtol=2e-2, atol=2e-2,
+            )
+        else:
+            assert [p for p, _ in got] == [p for p, _ in exp]
+            np.testing.assert_allclose(
+                [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
+            )
+
     exp_t = eng._search_texts_fused(texts, k)
     for got, exp in zip(t_res, exp_t):
-        assert [p for p, _ in got] == [p for p, _ in exp]
-        np.testing.assert_allclose(
-            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
-        )
+        assert_results_match(got, exp)
     for path, img, got in zip(img_paths, imgs, i_res):
-        exp = eng._search_image_fused(img, k)
-        assert [p for p, _ in got] == [p for p, _ in exp]
-        np.testing.assert_allclose(
-            [s for _, s in got], [s for _, s in exp], rtol=1e-5, atol=1e-6
-        )
+        assert_results_match(got, eng._search_image_fused(img, k))
         assert got[0][0] == path
