@@ -206,9 +206,11 @@ def _emit(final: bool = True):
         line = json.dumps(summary)
         while len(line) > _SUMMARY_MAX_CHARS:
             # Shed lowest-priority keys until it fits; the driver-contract
-            # quartet is never dropped (and alone is ~150 chars).
+            # quartet AND the full-record pointer are never dropped (the
+            # pointer is appended last, so a naive last-first shed would
+            # remove it before any metric — review r4).
             for k in reversed(list(summary)):
-                if k not in ("metric", "value", "unit", "vs_baseline"):
+                if k not in ("metric", "value", "unit", "vs_baseline", "full_record"):
                     del summary[k]
                     break
             else:
@@ -575,6 +577,7 @@ def bench_served_distribution(jax, n, d=1152, k=20):
     import jax.numpy as jnp
 
     from tpuclip.ops.topk_int8 import (
+        fallback_shortlist_depth,
         topk_exact_from_scores,
         topk_int8_rerank_fused,
     )
@@ -597,7 +600,10 @@ def bench_served_distribution(jax, n, d=1152, k=20):
         ok_h = bool(np.asarray(ok))  # host fetch: the serving decision point
         fall = (not ok_h) if force_fallback is None else force_fallback
         if fall:
-            m = min(max(512, 4 * k), scores_res.shape[1])
+            # The production depth formula, not a hand copy (review r4):
+            # a tuned formula must keep this bench measuring what serving
+            # actually executes.
+            m = fallback_shortlist_depth(k, scores_res.shape[1])
             s, idx = topk_exact_from_scores(scores_res, q, prep["rows"], k, m)
         np.asarray(s), np.asarray(idx)  # result fetch, as serving does
         return time.perf_counter() - t0, fall
@@ -657,27 +663,38 @@ def bench_served_distribution(jax, n, d=1152, k=20):
     # paired statistic measured on the 2-tile matrix (pure transport
     # pattern delta). What remains is the device cost a proof miss adds
     # inline — the tail model's increment, measured.
-    def paired_increment(prep, pairs):
+    def paired_increment(prep, pairs, deadline):
+        # Deadline-bounded (review r4): ~900 tunneled calls at full count
+        # cost 60-70 s, and an unbounded loop here could overrun the
+        # driver budget and starve every sub-bench scheduled after
+        # served_dist. The median is valid over however many pairs fit.
         deltas = []
         for i in range(pairs):
+            if time.perf_counter() > deadline or _remaining() < 30:
+                break
             q = jnp.asarray(qs[i % nq])
             wp = min(serve_once(q, prep, force_fallback=False)[0] for _ in range(3))
             wf = min(serve_once(q, prep, force_fallback=True)[0] for _ in range(3))
             deltas.append(wf - wp)
-        return float(np.median(deltas) * 1000)
+        if not deltas:
+            return None, 0
+        return float(np.median(deltas) * 1000), len(deltas)
 
     pair_n = int(os.environ.get("TPUCLIP_BENCH_SERVED_PAIRS", 120))
     if pair_n > 0 and _remaining() > 45:
-        inc_tiny = paired_increment(tiny, max(24, pair_n // 4))
-        inc_real = paired_increment(p, pair_n)
-        out["served_fallback_increment_ms"] = round(inc_real - inc_tiny, 3)
-        out["served_fallback_increment_raw_ms"] = [
-            round(inc_real, 3), round(inc_tiny, 3)
-        ]
-        out["served_fallback_increment_method"] = (
-            "median over paired min-of-3 walls (forced fallback vs pass per "
-            "query), transport pattern delta subtracted via the 2-tile matrix"
-        )
+        pair_deadline = time.perf_counter() + max(20.0, _remaining() - 40.0)
+        inc_tiny, _ = paired_increment(tiny, max(24, pair_n // 4), pair_deadline)
+        inc_real, pairs_done = paired_increment(p, pair_n, pair_deadline)
+        if inc_real is not None and inc_tiny is not None:
+            out["served_fallback_increment_ms"] = round(inc_real - inc_tiny, 3)
+            out["served_fallback_increment_raw_ms"] = [
+                round(inc_real, 3), round(inc_tiny, 3)
+            ]
+            out["served_fallback_increment_pairs"] = pairs_done
+            out["served_fallback_increment_method"] = (
+                "median over paired min-of-3 walls (forced fallback vs pass per "
+                "query), transport pattern delta subtracted via the 2-tile matrix"
+            )
     return out
 
 
@@ -1361,6 +1378,7 @@ def bench_e2e_predecoded(jax):
     n = len(files)
 
     cache_dir = os.path.join(tmp, "dcache")
+    prior_cache = os.environ.get("TPUCLIP_DECODE_CACHE")  # restore after (review r4)
     os.environ["TPUCLIP_DECODE_CACHE"] = cache_dir
     try:
         from tpuclip.io.prefetch import prefetch_batches
@@ -1401,7 +1419,10 @@ def bench_e2e_predecoded(jax):
             engine.store, engine.index, engine.db_path = old_store, old_index, old_db
         return n / dt
     finally:
-        os.environ.pop("TPUCLIP_DECODE_CACHE", None)
+        if prior_cache is None:
+            os.environ.pop("TPUCLIP_DECODE_CACHE", None)
+        else:
+            os.environ["TPUCLIP_DECODE_CACHE"] = prior_cache
 
 
 def _cascade_recall_on_vectors(x, k=20, depths=(320, 640, 1280), n_queries=16):

@@ -529,14 +529,22 @@ def run_suite(out_path: str) -> int:
         f"{counts['errored']} errored, {counts['skipped']} skipped "
         f"in {duration_s}s -> {out_path}"
     )
-    return counts["failed"] + counts["errored"] + (
-        1 if parse_error and proc.returncode != 0 else 0
-    )
+    rc = counts["failed"] + counts["errored"]
+    if rc == 0 and proc.returncode != 0:
+        # pytest failed without failing testcases in the report — e.g.
+        # rc=5 (nothing collected), rc=2/3 (interrupt / internal error
+        # after the XML was written). A broken run must not exit 0 just
+        # because the counts are clean zeros (review r4).
+        rc = 1
+    return rc
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--out", default="TPU_VALIDATE.json")
+    # Default depends on the mode, so None here — an EXPLICIT
+    # "--out TPU_VALIDATE.json" with --suite must be honored, not treated
+    # as the sentinel and silently redirected (review r4).
+    p.add_argument("--out", default=None)
     p.add_argument(
         "--suite", action="store_true",
         help="Run the pytest suite instead of the kernel checks and write a "
@@ -544,6 +552,5 @@ if __name__ == "__main__":
     )
     args = p.parse_args()
     if args.suite:
-        out = args.out if args.out != "TPU_VALIDATE.json" else "SUITE_TPU.json"
-        raise SystemExit(run_suite(out))
-    raise SystemExit(main(args.out))
+        raise SystemExit(run_suite(args.out or "SUITE_TPU.json"))
+    raise SystemExit(main(args.out or "TPU_VALIDATE.json"))

@@ -246,7 +246,6 @@ class ImageDatabase:
         aligned to the inputs. NaFlex models route through the
         patchified-variant program."""
         ids, mask = self._tokenize_bucketed(texts)
-        tb = ids.shape[0]
         nb = len(images)
         # Same power-of-two bucketing as the text rows: a mixed program
         # compiles per (text-bucket, image-bucket) pair, so arbitrary
@@ -273,6 +272,7 @@ class ImageDatabase:
             res = self.index.search_mixed_fused_naflex(
                 self.params, ids, mask, patches, masks, shapes,
                 self.config, k, self.compute_dtype,
+                n_texts=len(texts), n_images=nb,
             )
         else:
             from tpuclip.io.preprocess import resize_to_uint8
@@ -285,9 +285,11 @@ class ImageDatabase:
                     [pixels, np.zeros((ib - nb,) + pixels.shape[1:], np.uint8)]
                 )
             res = self.index.search_mixed_fused(
-                self.params, ids, mask, pixels, self.config, k, self.compute_dtype
+                self.params, ids, mask, pixels, self.config, k, self.compute_dtype,
+                n_texts=len(texts), n_images=nb,
             )
-        return res[: len(texts)], res[tb : tb + nb]
+        # The index drops pad rows and returns real queries texts-first.
+        return res[: len(texts)], res[len(texts):]
 
     def search_image_pil(
         self, img, k: int, filter_folders=None

@@ -702,13 +702,18 @@ class DeviceIndex:
     # copy, single device, no folder mask), not of which tower feeds it.
     can_fuse_image_search = can_fuse_text_search
 
-    def _run_fused(self, run_fused, q_batch: int, k: int, q_count: int):
+    def _run_fused(self, run_fused, q_batch: int, k: int, q_count: int,
+                   row_sel=None):
         """Shared tail of the fused tower→scan→rescore paths.
 
         ``run_fused(method, keep_scores)`` executes the jitted program
         (text or vision tower + int8 scan) and returns its raw outputs.
         Handles the shortlist policy: verified fast path with the
-        resident-scores proof-miss fallback, extract otherwise."""
+        resident-scores proof-miss fallback, extract otherwise.
+        ``row_sel`` selects the REAL output rows when the program's query
+        block holds interior padding (the mixed text+image layout pads
+        each span to its bucket) — without it every pad row would pay a
+        per-row SQLite path lookup in ``_map_batch_results``."""
         from tpuclip.ops.topk_int8 import (
             fallback_shortlist_depth,
             resolve_shortlist_method,
@@ -737,8 +742,13 @@ class DeviceIndex:
             scores, rows = run_fused(
                 method if method != "auto" else None, False
             )
-        scores = np.asarray(scores)[:q_count]
-        rows = np.asarray(rows)[:q_count]
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        if row_sel is not None:
+            scores, rows = scores[row_sel], rows[row_sel]
+            q_count = len(row_sel)
+        else:
+            scores, rows = scores[:q_count], rows[:q_count]
         return self._map_batch_results(scores, rows, q_count)
 
     def search_texts_fused(self, params, ids, mask, config, k, compute_dtype, q_count):
@@ -788,22 +798,26 @@ class DeviceIndex:
         return self._run_fused(run, int(pixels.shape[0]), k, q_count)
 
     def search_mixed_fused(
-        self, params, ids, mask, pixels, config, k, compute_dtype
+        self, params, ids, mask, pixels, config, k, compute_dtype,
+        n_texts: int, n_images: int,
     ):
         """Mixed text+image query block through ONE device program (text
         tower + vision tower + one shared int8 scan + exact rescore;
         ops/topk_int8.mixed_topk_fused — the scan's matrix read is ~flat
         in query count, so the separate text/image passes of a mixed serve
         window paid it twice; measured −3.2 ms per 2+2 window at 1M rows
-        on v5e). Returns mapped results for EVERY row of the padded block:
-        texts at [0, Tb), images at [Tb, Tb+Ib) — the caller slices the
-        real entries. Caller must have checked ``can_fuse_text_search``."""
+        on v5e). Returns results for the REAL queries only, texts first
+        then images (the padded block's layout is texts at [0, Tb),
+        images at [Tb, Tb+Ib); pad rows are dropped before the per-row
+        path mapping). Caller must have checked ``can_fuse_text_search``."""
         from tpuclip.ops.topk_int8 import mixed_topk_fused
 
         on_tpu = jax.default_backend() == "tpu"
         ids_d, mask_d = jnp.asarray(ids), jnp.asarray(mask)
         pixels_d = jnp.asarray(pixels)
-        total = int(ids.shape[0]) + int(pixels.shape[0])
+        tb = int(ids.shape[0])
+        total = tb + int(pixels.shape[0])
+        row_sel = list(range(n_texts)) + list(range(tb, tb + n_images))
 
         def run(method, keep_scores):
             return mixed_topk_fused(
@@ -814,15 +828,15 @@ class DeviceIndex:
                 keep_scores=keep_scores,
             )
 
-        return self._run_fused(run, total, k, total)
+        return self._run_fused(run, total, k, total, row_sel=row_sel)
 
     def search_mixed_fused_naflex(
         self, params, ids, mask, patches, pixel_mask, shapes, config, k,
-        compute_dtype,
+        compute_dtype, n_texts: int, n_images: int,
     ):
         """:meth:`search_mixed_fused` for NaFlex inputs (text tower +
-        NaFlex vision tower + one shared scan; same texts-first padded-row
-        layout). Caller must have checked ``can_fuse_text_search``."""
+        NaFlex vision tower + one shared scan; same texts-first real-rows
+        output contract). Caller must have checked ``can_fuse_text_search``."""
         from tpuclip.ops.topk_int8 import mixed_naflex_topk_fused
 
         on_tpu = jax.default_backend() == "tpu"
@@ -830,7 +844,9 @@ class DeviceIndex:
         patches_d = jnp.asarray(patches)
         pmask_d = jnp.asarray(pixel_mask)
         shapes_d = jnp.asarray(shapes)
-        total = int(ids.shape[0]) + int(patches.shape[0])
+        tb = int(ids.shape[0])
+        total = tb + int(patches.shape[0])
+        row_sel = list(range(n_texts)) + list(range(tb, tb + n_images))
 
         def run(method, keep_scores):
             return mixed_naflex_topk_fused(
@@ -841,7 +857,7 @@ class DeviceIndex:
                 keep_scores=keep_scores,
             )
 
-        return self._run_fused(run, total, k, total)
+        return self._run_fused(run, total, k, total, row_sel=row_sel)
 
     def search_images_fused_naflex(
         self, params, patches, mask, shapes, config, k, compute_dtype, q_count
