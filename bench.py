@@ -154,7 +154,7 @@ _SUMMARY_KEYS = (
     "indexing_images_per_min", "end_to_end_images_per_min",
     "e2e_predecoded_images_per_min",
     "backend", "kernel", "n_vectors",
-    "shortlist_ok_rate", "tunnel_rpc_ms",
+    "shortlist_ok_rate", "tunnel_rpc_ms", "suspect",
     "bf16_scan_p50_ms", "int8_p50_ms", "binary_p50_ms",
     "cascade_p50_ms", "cascade_10m_p50_ms", "ivf_p50_ms",
     "int8_fused_batch64_qps", "ivf_win_config",
@@ -164,6 +164,29 @@ _SUMMARY_KEYS = (
     "backend_init_stalled", "error",
 )
 _SUMMARY_MAX_CHARS = 1500  # driver tail is ~2000; leave real margin
+
+
+def _shed_to_cap(summary):
+    """Serialize ``summary`` under _SUMMARY_MAX_CHARS, shedding
+    lowest-priority keys as needed; the driver-contract quartet AND the
+    full-record pointer are never dropped (the pointer is appended last, so
+    a naive last-first shed would remove it before any metric — review r4).
+    Returns the line, or None if it cannot round-trip as JSON. Mutates
+    ``summary``."""
+    line = json.dumps(summary)
+    while len(line) > _SUMMARY_MAX_CHARS:
+        for k in reversed(list(summary)):
+            if k not in ("metric", "value", "unit", "vs_baseline", "full_record"):
+                del summary[k]
+                break
+        else:
+            break
+        line = json.dumps(summary)
+    try:
+        json.loads(line)  # self-check: the line must round-trip
+    except ValueError:
+        return None
+    return line
 
 
 def _emit(final: bool = True):
@@ -183,6 +206,11 @@ def _emit(final: bool = True):
             # Median tunnel round trip fitted by the slope measurements —
             # the per-invocation overhead the amortized numbers still carry
             RESULT["tunnel_rpc_ms"] = round(float(np.median(_RPC_FITS)), 1)
+        if _FIT_LOG:
+            # Full fit forensics (points, slope, intercept, residual per
+            # fitted latency) go to bench_full.json only — the record must
+            # carry the evidence its own quality claims rest on.
+            RESULT["fit_log"] = [dict(f) for f in _FIT_LOG]
         if RESULT.get("value") is None and RESULT.get("stage") == "backend_init":
             # Backend init is stalled/dead: label the failure mode and carry
             # the last hardware numbers (clearly marked stale) in the record.
@@ -203,22 +231,8 @@ def _emit(final: bool = True):
         else:
             return  # un-dumpable right now; a later flush will retry
         summary["full_record"] = os.path.basename(_FULL_RECORD_PATH)
-        line = json.dumps(summary)
-        while len(line) > _SUMMARY_MAX_CHARS:
-            # Shed lowest-priority keys until it fits; the driver-contract
-            # quartet AND the full-record pointer are never dropped (the
-            # pointer is appended last, so a naive last-first shed would
-            # remove it before any metric — review r4).
-            for k in reversed(list(summary)):
-                if k not in ("metric", "value", "unit", "vs_baseline", "full_record"):
-                    del summary[k]
-                    break
-            else:
-                break
-            line = json.dumps(summary)
-        try:
-            json.loads(line)  # self-check: the line must round-trip
-        except ValueError:
+        line = _shed_to_cap(summary)
+        if line is None:
             return  # never print a malformed line; a later flush retries
         try:
             tmp = _FULL_RECORD_PATH + ".tmp"
@@ -226,9 +240,13 @@ def _emit(final: bool = True):
                 f.write(full + "\n")
             os.replace(tmp, _FULL_RECORD_PATH)
         except OSError as e:
-            # Disk trouble must not block the stdout record.
+            # Disk trouble must not block the stdout record. The mutated
+            # summary goes back through the same cap/round-trip path —
+            # review r4: rebuilding the line ad hoc here skipped both.
             summary["full_record"] = f"unwritable: {e}"[:80]
-            line = json.dumps(summary)
+            line = _shed_to_cap(summary)
+            if line is None:
+                return
         print(line, flush=True)
         if final:
             _EMITTED = True
@@ -371,6 +389,38 @@ def _chained_p50(jax, step, inputs, chain, carry_init, consts=(), samples=5):
 # RPC intercepts collected by _chained_slope across the run (median goes to
 # RESULT["tunnel_rpc_ms"]).
 _RPC_FITS: list = []
+# Every slope fit made during the run, in order. main()'s run() wrapper
+# snapshots the length around each sub-bench and records that sub-bench's
+# fit quality (*_fit_rms_ms / *_fit_degenerate) in RESULT — the record must
+# carry its own measurement-quality evidence (VERDICT r4 item 1a: round-4
+# run 6 emitted a physically impossible binary_p50 of 0.03 ms from a
+# 2-point fit whose RPC variance swamped the per-chain delta, with no
+# indication on the record).
+_FIT_LOG: list = []
+
+
+def _fit_slope(chains, walls_ms):
+    """Least-squares fit wall(c) = intercept + c * slope over >=3 chain
+    lengths (pure numpy; unit-tested in tests/test_bench_emit.py).
+
+    Returns a dict with slope_ms (per-step device time), intercept_ms
+    (tunnel RPC), rms_ms (fit residual — the record's quality signal), the
+    raw points, and degenerate=True when the slope is non-positive, i.e.
+    the per-chain delta drowned in RPC variance and the "device time" the
+    fit would report is meaningless."""
+    cs = np.asarray(chains, np.float64)
+    ws = np.asarray(walls_ms, np.float64)
+    slope, intercept = np.polyfit(cs, ws, 1)
+    pred = intercept + slope * cs
+    rms = float(np.sqrt(np.mean((pred - ws) ** 2)))
+    return {
+        "chains": [int(c) for c in chains],
+        "walls_ms": [round(float(w), 3) for w in walls_ms],
+        "slope_ms": float(slope),
+        "intercept_ms": float(intercept),
+        "rms_ms": rms,
+        "degenerate": bool(slope <= 0),
+    }
 
 
 def _chained_slope(jax, step, inputs, chain, carry_init, consts=(), samples=5):
@@ -384,22 +434,88 @@ def _chained_slope(jax, step, inputs, chain, carry_init, consts=(), samples=5):
     slope-fit noop of 0.07 ms (scripts/probe_chain_slope.py). Production
     v5e hosts dispatch locally in ~tens of us, so the slope (device exec
     per query) is the deployment-relevant latency; the intercept is tunnel
-    overhead. Returns (device_exec_ms, amortized_p50_ms); degenerate fits
-    (slope <= 0, possible when exec is far below tunnel noise) fall back
-    to the amortized value — an upper bound — and record no RPC sample.
+    overhead.
+
+    Since r5 the fit is a THREE-point least-squares line (chain/4, chain/2,
+    chain) with the residual logged to _FIT_LOG (VERDICT r4 item 1a) — two
+    points can fit any pair of noisy walls exactly and therefore carry no
+    evidence of their own quality. Returns (device_exec_ms,
+    amortized_p50_ms); degenerate fits (slope <= 0, possible when exec is
+    far below tunnel noise) fall back to the amortized value — an upper
+    bound — and record no RPC sample.
     """
-    short = max(2, chain // 4)
-    sliced = jax.tree_util.tree_map(lambda x: x[:short], inputs)
-    w_short = _chained_walls(jax, step, sliced, short, carry_init, consts,
-                             samples)
-    w_full = _chained_walls(jax, step, inputs, chain, carry_init, consts,
-                            samples)
-    exec_ms = (w_full - w_short) / (chain - short)
-    amortized = w_full / chain
-    if exec_ms <= 0:
+    c1 = max(2, chain // 4)
+    c2 = max(c1 + 1, chain // 2)
+    points = []
+    for c in (c1, c2, chain):
+        sub = (inputs if c == chain
+               else jax.tree_util.tree_map(lambda x: x[:c], inputs))
+        points.append((c, _chained_walls(jax, step, sub, c, carry_init,
+                                         consts, samples)))
+    fit = _fit_slope([c for c, _ in points], [w for _, w in points])
+    _FIT_LOG.append(fit)
+    amortized = points[-1][1] / chain
+    if fit["degenerate"]:
         return float(amortized), float(amortized)
-    _RPC_FITS.append(w_short - short * exec_ms)
-    return float(exec_ms), float(amortized)
+    _RPC_FITS.append(fit["intercept_ms"])
+    return float(fit["slope_ms"]), float(amortized)
+
+
+# =============================================================================
+# Physical-plausibility bands (VERDICT r4 item 1b)
+# =============================================================================
+# Every latency the summary line carries gets (a) a ROOFLINE floor — the
+# bytes the mode must read from HBM divided by the v5e's 819 GB/s peak; a
+# measurement below it is physically impossible — and (b) a cross-run
+# plausibility band from the six-run round-4 hardware ledger
+# (docs/benchmarks.md). run() re-measures a violating sub-bench once; a
+# value still outside either bound is emitted WITH an inline
+# ``<key>_suspect`` reason and the key listed in the summary's ``suspect``
+# field, so the surviving driver JSON flags its own implausible numbers
+# instead of needing the docs ledger to disclaim them (round 4 shipped
+# binary_p50 0.327 ms — under half of every clean run — unflagged).
+#
+# Floors (N=1M, D=1152, one v5e chip, 819 GB/s):
+#   bf16 scan     2 B/dim  -> 2.304 GB -> 2.81 ms
+#   int8 scan     1 B/dim  -> 1.152 GB -> 1.41 ms
+#   binary scan   1 bit/dim ->  144 MB -> 0.176 ms
+#   cascade 10M   1.44 GB            -> 1.76 ms
+# Bands are the r4 clean-run spread widened ~±40% for congestion weather.
+_PLAUSIBILITY = {
+    #  key                         floor_ms  band_lo  band_hi
+    "value":                        (1.41,    1.3,     3.5),
+    "int8_fused_extract_p50_ms":    (1.41,    2.0,     5.5),
+    "bf16_scan_p50_ms":             (2.81,    2.81,    5.5),
+    "int8_p50_ms":                  (1.41,    1.41,    3.0),
+    "binary_p50_ms":                (0.176,   0.5,     1.3),
+    "cascade_p50_ms":               (0.176,   1.2,     4.5),
+    "cascade_10m_p50_ms":           (1.76,    2.5,     9.0),
+    "fallback_from_scores_p50_ms":  (0.005,   0.3,     1.8),
+    "text_query_fused_ms":          (1.41,    2.3,     6.5),
+    "image_query_fused_ms":         (1.41,    2.8,     8.0),
+    "ivf_p50_ms":                   (0.05,    3.0,     13.0),
+}
+
+
+def _check_plausibility(values):
+    """Pure check of {key: latency_ms} against _PLAUSIBILITY.
+
+    Returns {key: reason} for every violation (empty dict = all plausible).
+    Unknown keys and None values pass. Unit-tested in
+    tests/test_bench_emit.py."""
+    bad = {}
+    for key, v in values.items():
+        spec = _PLAUSIBILITY.get(key)
+        if spec is None or v is None:
+            continue
+        floor, lo, hi = spec
+        if v < floor:
+            bad[key] = (f"below roofline floor {floor} ms "
+                        f"(bytes-read/819 GB/s): physically impossible")
+        elif not (lo <= v <= hi):
+            bad[key] = (f"outside cross-run plausibility band "
+                        f"[{lo}, {hi}] ms (r4 hardware ledger)")
+    return bad
 
 
 # =============================================================================
@@ -556,6 +672,33 @@ def bench_fallback_from_scores(jax, n, d=1152, k=20, chain=32):
     )
 
 
+def _served_corrected_fields(walls_ms, fells, null1_ms, null2_ms):
+    """Transport-corrected served percentiles with HONEST NULLS (VERDICT r4
+    item 1c; pure numpy, unit-tested in tests/test_bench_emit.py).
+
+    corrected_i = wall_i - null_median(pattern_i). Round 4 clamped negative
+    corrections to 0.0 and then emitted the clamp as
+    ``served_p50_measured_ms: 0.0`` — a fabricated "measured" percentile.
+    Now: a percentile at or below zero means the transport null swallowed
+    the signal at that quantile, so the field emits as None plus a reason
+    instead of a number the record's own physics contradicts."""
+    corrected = np.asarray(walls_ms) - np.where(fells, null2_ms, null1_ms)
+    out = {}
+    for pct in (50, 90, 99):
+        v = float(np.percentile(corrected, pct))
+        key = f"served_p{pct}_measured_ms"
+        if v <= 0.0:
+            out[key] = None
+            out[f"served_p{pct}_null_reason"] = (
+                f"transport null ({null1_ms:.1f}/{null2_ms:.1f} ms) >= "
+                f"signal at p{pct} (corrected {v:.3f} ms): sub-noise-floor, "
+                "not measurable through this tunnel"
+            )
+        else:
+            out[key] = round(v, 3)
+    return out
+
+
 def bench_served_distribution(jax, n, d=1152, k=20):
     """MEASURED served latency distribution (VERDICT r3 item 4): fire many
     sequential single queries through the production decision flow —
@@ -623,7 +766,12 @@ def bench_served_distribution(jax, n, d=1152, k=20):
     jitter_ms = float((np.percentile(null1, 99) - np.median(null1)) * 1000)
 
     walls, fells = [], []
-    deadline = time.perf_counter() + max(30.0, min(120.0, _remaining() - 60.0))
+    # Deadline: prefer 30-120 s of timed queries, but never commit the run
+    # past what the driver budget has left (review r4: the unconditional
+    # 30 s floor could overrun an almost-exhausted budget).
+    window = min(max(30.0, min(120.0, _remaining() - 60.0)),
+                 max(5.0, _remaining() - 30.0))
+    deadline = time.perf_counter() + window
     for i in range(nq):
         if time.perf_counter() > deadline:
             break
@@ -632,17 +780,12 @@ def bench_served_distribution(jax, n, d=1152, k=20):
         fells.append(fell)
     walls_ms = np.asarray(walls) * 1000
     fells_arr = np.asarray(fells)
-    corrected = walls_ms - np.where(fells_arr, null2_ms, null1_ms)
-    corrected = np.maximum(corrected, 0.0)
 
     out = {
         "served_queries_measured": int(len(walls)),
         "served_fallback_rate": round(float(fells_arr.mean()), 3),
         "served_wall_p50_ms": round(float(np.percentile(walls_ms, 50)), 3),
         "served_wall_p99_ms": round(float(np.percentile(walls_ms, 99)), 3),
-        "served_p50_measured_ms": round(float(np.percentile(corrected, 50)), 3),
-        "served_p90_measured_ms": round(float(np.percentile(corrected, 90)), 3),
-        "served_p99_measured_ms": round(float(np.percentile(corrected, 99)), 3),
         "served_null_pattern_ms": [round(null1_ms, 3), round(null2_ms, 3)],
         "served_transport_jitter_ms": round(jitter_ms, 3),
         "served_note": (
@@ -653,6 +796,7 @@ def bench_served_distribution(jax, n, d=1152, k=20):
             "paired fallback increment below."
         ),
     }
+    out.update(_served_corrected_fields(walls_ms, fells_arr, null1_ms, null2_ms))
     # Inline fallback increment, jitter-robust (first r4 run showed the
     # population-median approach fails here: the tunnel's RPC jitter —
     # p99-p50 ≈ 14 ms per invocation — swamps the sub-ms device signal,
@@ -686,7 +830,7 @@ def bench_served_distribution(jax, n, d=1152, k=20):
         inc_tiny, _ = paired_increment(tiny, max(24, pair_n // 4), pair_deadline)
         inc_real, pairs_done = paired_increment(p, pair_n, pair_deadline)
         if inc_real is not None and inc_tiny is not None:
-            out["served_fallback_increment_ms"] = round(inc_real - inc_tiny, 3)
+            inc = inc_real - inc_tiny
             out["served_fallback_increment_raw_ms"] = [
                 round(inc_real, 3), round(inc_tiny, 3)
             ]
@@ -695,6 +839,18 @@ def bench_served_distribution(jax, n, d=1152, k=20):
                 "median over paired min-of-3 walls (forced fallback vs pass per "
                 "query), transport pattern delta subtracted via the 2-tile matrix"
             )
+            if inc < 0:
+                # A negative cost is a transport-noise artifact, not a
+                # measurement (VERDICT r4 item 1c: round 4 emitted
+                # -0.086 ms). Null it with the evidence kept in *_raw_ms.
+                out["served_fallback_increment_ms"] = None
+                out["served_fallback_increment_null_reason"] = (
+                    f"paired delta {inc:.3f} ms < 0: below the tunnel "
+                    "noise floor (~±1 ms); raw per-matrix medians kept in "
+                    "served_fallback_increment_raw_ms"
+                )
+            else:
+                out["served_fallback_increment_ms"] = round(inc, 3)
     return out
 
 
@@ -1150,17 +1306,23 @@ def bench_ivf(jax, n, d=1152, k=20, chain=32):
             ts.append(time.perf_counter() - t0)
         return float(np.percentile(np.array(ts), 50) * 1000), out_l
 
-    # chain-length slope fit, like _chained_slope (device exec, RPC excluded)
-    short = max(2, chain // 4)
-    w_short, _ = _wall(short)
-    w_full, out = _wall(chain)
+    # chain-length slope fit, like _chained_slope (3-point least squares,
+    # residual logged; device exec, RPC excluded)
+    c1 = max(2, chain // 4)
+    c2 = max(c1 + 1, chain // 2)
+    walls = []
+    out = None
+    for c in (c1, c2, chain):
+        w, out = _wall(c)
+        walls.append(w)
     _dbg("ivf chained program measured")
-    exec_ms = (w_full - w_short) / (chain - short)
-    if exec_ms > 0:
-        _RPC_FITS.append(w_short - short * exec_ms)
-        p50 = exec_ms
+    fit = _fit_slope([c1, c2, chain], walls)
+    _FIT_LOG.append(fit)
+    if not fit["degenerate"]:
+        _RPC_FITS.append(fit["intercept_ms"])
+        p50 = fit["slope_ms"]
     else:
-        p50 = w_full / chain
+        p50 = walls[-1] / chain
 
     # recall vs the exact scan over the same resident rows
     got = np.asarray(out[1]).reshape(chain, k)
@@ -1565,7 +1727,8 @@ def main():
         RESULT["ivf_status"] = "experimental-frozen; superseded by cascade (README)"
 
         def run(name, est_s, fn, required=False):
-            """Run one sub-bench inside the budget; record outcome."""
+            """Run one sub-bench inside the budget; record outcome, fit
+            quality, and physical plausibility (VERDICT r4 item 1)."""
             if os.environ.get(f"TPUCLIP_BENCH_SKIP_{name.upper()}") == "1":
                 RESULT[f"{name}_skipped"] = "by env"
                 return
@@ -1575,11 +1738,53 @@ def main():
                 return
             t0 = time.perf_counter()
             _dbg(f"{name}: start ({_remaining():.0f}s budget left)")
+            # Bands/floors are calibrated for the default workload only
+            # (TPU backend, N=1M); a CPU dry run or a non-default N would
+            # trip them spuriously.
+            plaus_active = (RESULT.get("backend") == "tpu"
+                            and n == 1_000_000)
+            before = {k: RESULT.get(k) for k in _PLAUSIBILITY}
+            fits_before = len(_FIT_LOG)
+
+            def record_fits():
+                fits = _FIT_LOG[fits_before:]
+                if fits:
+                    RESULT[f"{name}_fit_rms_ms"] = round(
+                        max(f["rms_ms"] for f in fits), 3)
+                    if any(f["degenerate"] for f in fits):
+                        RESULT[f"{name}_fit_degenerate"] = True
+                    else:
+                        RESULT.pop(f"{name}_fit_degenerate", None)
+
+            def changed_latencies():
+                return {k: RESULT.get(k) for k in _PLAUSIBILITY
+                        if RESULT.get(k) != before.get(k)}
+
             try:
                 fn()
             except Exception as e:  # noqa: BLE001
                 RESULT[f"{name}_error"] = str(e)[:200]
                 _dbg(f"{name}: ERROR {e}")
+            record_fits()
+            bad = _check_plausibility(changed_latencies()) if plaus_active else {}
+            if bad and _remaining() > est_s:
+                # One re-measurement: congestion spikes are transient, and a
+                # bad tunnel patch produced round 4's unflagged 0.327 ms
+                # binary_p50. The re-run overwrites the sub-bench's keys.
+                _dbg(f"{name}: implausible {sorted(bad)} — re-measuring once")
+                fits_before = len(_FIT_LOG)
+                try:
+                    fn()
+                except Exception as e:  # noqa: BLE001
+                    RESULT[f"{name}_error"] = str(e)[:200]
+                record_fits()
+                bad = _check_plausibility(changed_latencies())
+            for key, reason in bad.items():
+                RESULT[f"{key}_suspect"] = reason
+                sus = RESULT.setdefault("suspect", [])
+                if key not in sus:
+                    sus.append(key)
+                _dbg(f"{name}: SUSPECT {key}: {reason}")
             timings[name] = round(time.perf_counter() - t0, 1)
             _dbg(f"{name}: done in {timings[name]}s")
             # Progressive emission: keep the last stdout line a complete,

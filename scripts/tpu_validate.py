@@ -473,38 +473,47 @@ def run_suite(out_path: str) -> int:
     import xml.etree.ElementTree as ET
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    xml_path = tempfile.mktemp(suffix="_suite.xml")
+    # mkstemp (not the race-prone, deprecated mktemp) + unlink in finally
+    # (review r4: the junit XML used to leak).
+    xml_fd, xml_path = tempfile.mkstemp(suffix="_suite.xml")
+    os.close(xml_fd)
     env = dict(os.environ)
     env.setdefault("TPUCLIP_TEST_TPU", "1")
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/", "-q", f"--junitxml={xml_path}"],
-        cwd=repo, env=env, capture_output=True, text=True,
-    )
-    duration_s = round(time.time() - t0, 1)
-
-    counts = {"passed": 0, "failed": 0, "errored": 0, "skipped": 0}
-    skip_reasons: dict = {}
-    failed = []
     try:
-        tree = ET.parse(xml_path)
-        for tc in tree.iter("testcase"):
-            name = f"{tc.get('classname')}::{tc.get('name')}"
-            if tc.find("failure") is not None:
-                counts["failed"] += 1
-                failed.append(name)
-            elif tc.find("error") is not None:
-                counts["errored"] += 1
-                failed.append(name)
-            elif (sk := tc.find("skipped")) is not None:
-                counts["skipped"] += 1
-                reason = (sk.get("message") or sk.get("type") or "unknown")[:160]
-                skip_reasons.setdefault(reason, []).append(name)
-            else:
-                counts["passed"] += 1
-        parse_error = None
-    except (ET.ParseError, OSError) as e:
-        parse_error = f"{type(e).__name__}: {e} (pytest likely crashed pre-report)"
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q", f"--junitxml={xml_path}"],
+            cwd=repo, env=env, capture_output=True, text=True,
+        )
+        duration_s = round(time.time() - t0, 1)
+
+        counts = {"passed": 0, "failed": 0, "errored": 0, "skipped": 0}
+        skip_reasons: dict = {}
+        failed = []
+        try:
+            tree = ET.parse(xml_path)
+            for tc in tree.iter("testcase"):
+                name = f"{tc.get('classname')}::{tc.get('name')}"
+                if tc.find("failure") is not None:
+                    counts["failed"] += 1
+                    failed.append(name)
+                elif tc.find("error") is not None:
+                    counts["errored"] += 1
+                    failed.append(name)
+                elif (sk := tc.find("skipped")) is not None:
+                    counts["skipped"] += 1
+                    reason = (sk.get("message") or sk.get("type") or "unknown")[:160]
+                    skip_reasons.setdefault(reason, []).append(name)
+                else:
+                    counts["passed"] += 1
+            parse_error = None
+        except (ET.ParseError, OSError) as e:
+            parse_error = f"{type(e).__name__}: {e} (pytest likely crashed pre-report)"
+    finally:
+        try:
+            os.unlink(xml_path)
+        except OSError:
+            pass
 
     result = {
         "ok": proc.returncode == 0,

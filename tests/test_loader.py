@@ -74,3 +74,50 @@ def test_random_init_requires_opt_in(tmp_path, monkeypatch):
         load_model("tpuclip/test-tiny", str(tmp_path))
     cfg, params = load_model("tpuclip/test-tiny", str(tmp_path), allow_random=True)
     assert cfg.name == "tpuclip/test-tiny"
+
+
+def test_giant_opt_preset_roundtrips_hf_config():
+    """The giant-opt preset (VERDICT r4 item 7) must agree with what
+    config_from_hf_dict would build from an HF-style config.json carrying
+    the published g-opt tower shape (width 1536 / depth 40 / MLP 6144 /
+    16 heads, So400m-sized text tower projecting to the vision width).
+    A real checkpoint's own config.json always overrides the preset
+    (loader.py:64-67); this guards the offline/random-init shape."""
+    from tpuclip.models.configs import config_from_hf_dict, get_config
+
+    hf_cfg = {
+        "model_type": "siglip",  # fixed-resolution variant
+        "vision_config": {
+            "hidden_size": 1536,
+            "intermediate_size": 6144,
+            "num_hidden_layers": 40,
+            "num_attention_heads": 16,
+            "image_size": 384,
+            "patch_size": 16,
+        },
+        "text_config": {
+            "vocab_size": 256000,
+            "hidden_size": 1152,
+            "intermediate_size": 4304,
+            "num_hidden_layers": 27,
+            "num_attention_heads": 16,
+            "projection_size": 1536,
+        },
+    }
+    name = "google/siglip2-giant-opt-patch16-384"
+    preset = get_config(name)
+    derived = config_from_hf_dict(name, hf_cfg)
+    assert preset.vision == derived.vision
+    assert preset.text.vocab_size == derived.text.vocab_size
+    assert preset.text.hidden_size == derived.text.hidden_size
+    assert preset.text.projection_size == derived.text.projection_size
+    assert preset.embedding_dim == 1536
+
+
+def test_giant_opt_naflex_preset_shape():
+    from tpuclip.models.configs import get_config
+
+    cfg = get_config("google/siglip2-giant-opt-patch16-naflex")
+    assert cfg.vision.naflex and cfg.vision.max_num_patches == 256
+    assert cfg.vision.hidden_size == 1536 and cfg.vision.num_layers == 40
+    assert cfg.embedding_dim == 1536

@@ -2,22 +2,20 @@
 np.ascontiguousarray silently promoted 0-d to (1,), corrupting logit_bias
 through tpuclip-native save/load — found by `tpuclip selftest`)."""
 
-import tempfile
-
 import numpy as np
 
 from tpuclip.models.checkpoint import write_safetensors
 from tpuclip.models.convert import read_safetensors
 
 
-def test_zero_d_and_noncontiguous_round_trip():
+def test_zero_d_and_noncontiguous_round_trip(tmp_path):
     src = {
         "scalar": np.float32(3.5),
         "zero_d": np.asarray(2.25, np.float32),
         "vec": np.arange(6, dtype=np.float32),
         "noncontig": np.arange(12, dtype=np.float32).reshape(3, 4).T,
     }
-    p = tempfile.mktemp(suffix=".safetensors")
+    p = str(tmp_path / "scalars.safetensors")
     write_safetensors(p, src)
     out = read_safetensors(p)
     assert out["scalar"].shape == ()

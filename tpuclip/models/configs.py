@@ -127,7 +127,36 @@ PRESETS: Dict[str, SiglipConfig] = {
             num_layers=24, num_heads=16, projection_size=1024,
         ),
     ),
+    # g-opt shape per the published ViT shape-optimization recipe the
+    # SigLIP2 report uses (width 1536, depth 40, MLP 6144, 16 heads),
+    # paired with a So400m-sized text tower projecting to the vision width.
+    # Paper-sourced offline (zero-egress env): a real checkpoint's own
+    # config.json ALWAYS overrides this preset via config_from_hf_dict
+    # (loader.py:64-67), so a dim mismatch cannot corrupt a real load —
+    # the preset only shapes offline/random-init runs.
+    "google/siglip2-giant-opt-patch16-384": SiglipConfig(
+        name="google/siglip2-giant-opt-patch16-384",
+        vision=VisionConfig(
+            hidden_size=1536, intermediate_size=6144, num_layers=40, num_heads=16,
+            image_size=384, patch_size=16,
+        ),
+        text=TextConfig(
+            vocab_size=256000, hidden_size=1152, intermediate_size=4304,
+            num_layers=27, num_heads=16, projection_size=1536,
+        ),
+    ),
     # --- SigLIP 2 NaFlex (variable aspect/resolution) ---
+    "google/siglip2-giant-opt-patch16-naflex": SiglipConfig(
+        name="google/siglip2-giant-opt-patch16-naflex",
+        vision=VisionConfig(
+            hidden_size=1536, intermediate_size=6144, num_layers=40, num_heads=16,
+            patch_size=16, naflex=True, max_num_patches=256,
+        ),
+        text=TextConfig(
+            vocab_size=256000, hidden_size=1152, intermediate_size=4304,
+            num_layers=27, num_heads=16, projection_size=1536,
+        ),
+    ),
     "google/siglip2-so400m-patch16-naflex": SiglipConfig(
         name="google/siglip2-so400m-patch16-naflex",
         vision=VisionConfig(
