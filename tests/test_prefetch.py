@@ -273,3 +273,46 @@ def test_decode_cache_corrupt_entry_falls_through(files, tmp_path, monkeypatch):
     assert out[0].valid.all()
     reread = np.load(cache / sorted(os.listdir(cache))[0])
     assert reread.shape == (16, 16, 3) and reread.dtype == np.uint8
+
+
+def test_gc_decode_cache_evicts_oldest_and_stale_tmps(tmp_path):
+    """Review r4: the decode cache grew without bound. gc_decode_cache
+    evicts oldest-mtime entries down to the cap and clears stale .tmp
+    publish leftovers; dry-run deletes nothing."""
+    import os
+    import time as _time
+
+    from tpuclip.io.prefetch import gc_decode_cache
+
+    d = tmp_path / "cache"
+    d.mkdir()
+    now = _time.time()
+    for i in range(5):
+        p = d / f"hash{i}_224_l0.npy"
+        p.write_bytes(b"x" * 1000)
+        os.utime(p, (now - 1000 + i, now - 1000 + i))  # hash0 oldest
+    stale = d / "hash9_224_l0.npy.1.2.tmp"
+    stale.write_bytes(b"y" * 500)
+    os.utime(stale, (now - 7200, now - 7200))
+    fresh_tmp = d / "hash8_224_l0.npy.3.4.tmp"
+    fresh_tmp.write_bytes(b"z" * 500)
+
+    # Dry run: reports, removes nothing.
+    n, freed, kept = gc_decode_cache(str(d), max_bytes=3000, dry_run=True)
+    assert n == 3 and freed == 2500 and kept == 3000  # 2 entries + stale tmp
+    assert len(list(d.iterdir())) == 7
+
+    n, freed, kept = gc_decode_cache(str(d), max_bytes=3000)
+    assert n == 3 and kept == 3000
+    remaining = sorted(p.name for p in d.iterdir())
+    assert "hash0_224_l0.npy" not in remaining  # oldest evicted first
+    assert "hash1_224_l0.npy" not in remaining
+    assert stale.name not in remaining          # stale tmp removed
+    assert fresh_tmp.name in remaining          # in-flight tmp kept
+
+    # Report-only mode: no cap, nothing removed.
+    n, freed, kept = gc_decode_cache(str(d), max_bytes=None)
+    assert n == 0 and kept == 3000
+
+    # Missing dir: graceful zeros.
+    assert gc_decode_cache(str(tmp_path / "nope"), 1) == (0, 0, 0)

@@ -297,6 +297,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     gc_parser.add_argument("--db", action="append", default=None, help="Database path to keep referenced (repeatable; default: every .db in the databases dir)")
     gc_parser.add_argument("--dry-run", action="store_true", help="Report what would be removed without deleting")
+    gc_parser.add_argument("--decode-cache", default=None, metavar="DIR", help="Also bound the decode cache at DIR (default: $TPUCLIP_DECODE_CACHE when set)")
+    gc_parser.add_argument("--decode-cache-max-gb", type=float, default=None, help="Evict oldest decode-cache entries until under this size (omit to just report the size)")
 
     check_parser = subparsers.add_parser(
         "check",
@@ -931,16 +933,37 @@ def _run_gc(args, paths) -> None:
         else [os.path.join(paths.db_dir, name) for name in list_db_files(paths.db_dir)]
     )
     dbs = [d for d in dbs if os.path.exists(d)]
-    if not dbs:
+    verb = "Would remove" if args.dry_run else "Removed"
+    cache_only = args.decode_cache is not None and not args.db
+    if not dbs and not cache_only:
         log("No databases found; refusing to GC (every thumbnail would look orphaned).")
         sys.exit(2)
-    log(f"Scanning {len(dbs)} database(s) for referenced hashes...")
-    referenced = referenced_hashes_for_dbs(dbs)
-    log(f"  {len(referenced):,} referenced content hashes")
-    thumbnailer = Thumbnailer(paths.thumbnails_dir)
-    removed, reclaimed = thumbnailer.gc_orphans(referenced, dry_run=args.dry_run)
-    verb = "Would remove" if args.dry_run else "Removed"
-    log(f"{verb} {removed:,} orphaned thumbnail(s), reclaiming {reclaimed / 1e6:.1f} MB")
+    if dbs:
+        log(f"Scanning {len(dbs)} database(s) for referenced hashes...")
+        referenced = referenced_hashes_for_dbs(dbs)
+        log(f"  {len(referenced):,} referenced content hashes")
+        thumbnailer = Thumbnailer(paths.thumbnails_dir)
+        removed, reclaimed = thumbnailer.gc_orphans(referenced, dry_run=args.dry_run)
+        log(f"{verb} {removed:,} orphaned thumbnail(s), reclaiming {reclaimed / 1e6:.1f} MB")
+
+    # Decode cache (TPUCLIP_DECODE_CACHE) grows without bound otherwise —
+    # every unique (content, size, level) is a ~150 KB .npy (review r4).
+    cache_dir = args.decode_cache or os.environ.get("TPUCLIP_DECODE_CACHE")
+    if cache_dir and os.path.isdir(cache_dir):
+        from tpuclip.io.prefetch import gc_decode_cache
+
+        max_bytes = (
+            int(args.decode_cache_max_gb * 1e9)
+            if args.decode_cache_max_gb is not None
+            else None
+        )
+        n, freed, kept = gc_decode_cache(cache_dir, max_bytes, dry_run=args.dry_run)
+        if max_bytes is None:
+            log(f"Decode cache: {kept / 1e9:.2f} GB at {cache_dir} "
+                "(bound it with --decode-cache-max-gb)")
+        else:
+            log(f"{verb} {n:,} decode-cache entr(ies), reclaiming "
+                f"{freed / 1e9:.2f} GB; {kept / 1e9:.2f} GB kept")
 
 
 def _run_convert(args) -> None:

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
 from concurrent.futures import Executor, ProcessPoolExecutor, ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Iterable, Iterator, List, Optional, Tuple
@@ -201,6 +202,61 @@ def _decode_cache_put(item: DecodedImage, file_hash, image_size, level, naflex) 
         os.replace(tmp, final)
     except OSError:
         pass  # cache is best-effort; the decode already succeeded
+
+
+def gc_decode_cache(cache_dir: str, max_bytes: Optional[int] = None,
+                    dry_run: bool = False):
+    """Bound the content-addressed decode cache (review r4: every unique
+    (sha256, size, level) writes a ~150 KB .npy forever — 1M images ≈
+    150 GB — and entries from old image_size/level settings are never
+    cleaned). Evicts oldest-mtime entries until the cache fits
+    ``max_bytes`` (None = report only), and always drops stale ``*.tmp``
+    publish leftovers (>1 h old). Reads don't touch mtime, so this is
+    FIFO-by-write-time — the right policy for a cache whose hits are
+    re-scans of recently indexed trees.
+
+    Returns (n_removed, bytes_reclaimed, bytes_kept)."""
+    entries = []  # (mtime, size, path)
+    now = time.time()
+    removed, reclaimed = 0, 0
+    try:
+        it = os.scandir(cache_dir)
+    except OSError:
+        return 0, 0, 0
+    with it:
+        for de in it:
+            try:
+                st = de.stat()
+            except OSError:
+                continue
+            if de.name.endswith(".tmp"):
+                # Orphaned atomic-publish temp (writer died mid-put).
+                if now - st.st_mtime > 3600:
+                    removed += 1
+                    reclaimed += st.st_size
+                    if not dry_run:
+                        try:
+                            os.unlink(de.path)
+                        except OSError:
+                            pass
+                continue
+            if de.name.endswith(".npy"):
+                entries.append((st.st_mtime, st.st_size, de.path))
+    total = sum(sz for _, sz, _ in entries)
+    if max_bytes is not None and total > max_bytes:
+        entries.sort()  # oldest first
+        for _mt, sz, path in entries:
+            if total <= max_bytes:
+                break
+            removed += 1
+            reclaimed += sz
+            total -= sz
+            if not dry_run:
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+    return removed, reclaimed, total
 
 
 def _env_int(name: str, default: int) -> int:
