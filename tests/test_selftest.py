@@ -179,3 +179,23 @@ def test_selftest_cli_exit_codes(hf_dir, tmp_path):
             "--no-download",
         ])
     assert ei.value.code == 1
+
+
+def test_selftest_e2e_product_smoke(tmp_path, monkeypatch):
+    """`tpuclip selftest --e2e` (VERDICT r4 item 4): scan a bundled tree
+    into a temp DB, text + image self-retrieval searches, duplicate
+    filter, gallery, integrity check — all PASS on the CPU backend with
+    the tiny model at random init."""
+    from tpuclip.selftest import run_e2e_selftest
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    report = run_e2e_selftest(
+        "tpuclip/test-tiny", str(tmp_path / "cache"),
+        work_dir=str(tmp_path / "work"),
+    )
+    st = _statuses(report)
+    for step in ("e2e_tree", "e2e_scan", "e2e_text_search",
+                 "e2e_image_self_retrieval", "e2e_duplicate_filter",
+                 "e2e_gallery", "e2e_check"):
+        assert st[step] == "PASS", (step, report.steps)
+    assert report.ok

@@ -335,8 +335,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     selftest_parser.add_argument(
         "--real-checkpoint", action="store_true",
-        help="Run against the real pretrained checkpoint (currently the only "
-        "mode; the flag documents intent)",
+        help="Run against the real pretrained checkpoint (the flag documents "
+        "intent; checkpoint steps run by default)",
+    )
+    selftest_parser.add_argument(
+        "--e2e", action="store_true",
+        help="Also run the full product smoke: scan a bundled ~20-image tree "
+        "into a temp DB, text + image: searches (self-retrieval), duplicate "
+        "filter, gallery, and DB integrity check",
+    )
+    selftest_parser.add_argument(
+        "--e2e-only", action="store_true",
+        help="Run only the product smoke (skip the checkpoint bring-up steps)",
     )
     selftest_parser.add_argument("--model", default=None, help="Model name (default: the engine default model)")
     selftest_parser.add_argument("--source", default=None, help="Local HF-layout checkpoint directory (skips cache lookup and download)")
@@ -780,20 +790,31 @@ def main(argv: Optional[List[str]] = None) -> None:
             model_cache_dir=args.model_cache or None,
         )
     elif args.mode == "selftest":
-        from tpuclip.selftest import DEFAULT_PARITY_BOUND, run_selftest
-
-        report = run_selftest(
-            model_name=args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL),
-            model_cache_dir=args.model_cache or None,
-            source=args.source,
-            allow_download=not args.no_download,
-            parity_bound=(
-                args.parity_bound if args.parity_bound is not None
-                else DEFAULT_PARITY_BOUND
-            ),
-            skip_parity=args.skip_parity,
-            convert_dst=args.convert_to,
+        from tpuclip.selftest import (
+            DEFAULT_PARITY_BOUND,
+            SelftestReport,
+            run_e2e_selftest,
+            run_selftest,
         )
+
+        model_name = args.model or os.environ.get("TPUCLIP_MODEL", DEFAULT_MODEL)
+        cache = args.model_cache or None
+        report = SelftestReport()
+        if not args.e2e_only:
+            report = run_selftest(
+                model_name=model_name,
+                model_cache_dir=cache,
+                source=args.source,
+                allow_download=not args.no_download,
+                parity_bound=(
+                    args.parity_bound if args.parity_bound is not None
+                    else DEFAULT_PARITY_BOUND
+                ),
+                skip_parity=args.skip_parity,
+                convert_dst=args.convert_to,
+            )
+        if args.e2e or args.e2e_only:
+            run_e2e_selftest(model_name, cache, report=report)
         if not report.ok:
             sys.exit(1)
     elif args.mode == "info":

@@ -358,3 +358,189 @@ def _check_parity(report, src, cfg, params, tok, bound) -> None:
         report.add("parity", "PASS", detail)
     else:
         report.add("parity", "FAIL", detail)
+
+
+# =============================================================================
+# Full-product end-to-end smoke (`tpuclip selftest --e2e`, VERDICT r4 item 4)
+# =============================================================================
+
+
+def _build_smoke_tree(root: Path, n: int = 20):
+    """Deterministic ~20-image tree covering the product surface: two
+    folders, mixed formats (JPEG/PNG/BMP — BMP exercises the thumbnailer,
+    reference image_database.py:354-357), one byte-identical duplicate pair
+    (exercises the search-time Hamming dedup filter, reference :1207), no
+    asset files to ship. Returns (all_paths, dup_pair)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(42)
+    paths = []
+    (root / "photos").mkdir(parents=True, exist_ok=True)
+    (root / "art").mkdir(parents=True, exist_ok=True)
+    for i in range(n - 2):
+        folder = "photos" if i % 2 == 0 else "art"
+        ext = ("jpg", "png", "bmp")[i % 3]
+        # Structured content (blocks + gradient), unique per image.
+        base = rng.random((8, 8, 3), np.float32)
+        img = (base.repeat(12, axis=0).repeat(12, axis=1) * 255).astype(np.uint8)
+        img[:, :, i % 3] = np.linspace(0, 255, 96, dtype=np.uint8)[None, :]
+        p = root / folder / f"img_{i:03d}.{ext}"
+        Image.fromarray(img).save(str(p))
+        paths.append(str(p))
+    # Byte-identical duplicate pair (same pixels, same format).
+    dup_src = root / "photos" / "dup_a.png"
+    dup_copy = root / "photos" / "dup_b.png"
+    img = (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(str(dup_src))
+    import shutil
+
+    shutil.copyfile(str(dup_src), str(dup_copy))
+    paths += [str(dup_src), str(dup_copy)]
+    return paths, (str(dup_src), str(dup_copy))
+
+
+def run_e2e_selftest(
+    model_name: str,
+    model_cache_dir: Optional[str],
+    work_dir: Optional[str] = None,
+    report: Optional[SelftestReport] = None,
+    k: int = 5,
+) -> SelftestReport:
+    """Scan a bundled synthetic image tree into a temp DB, run text and
+    image: searches (image self-retrieval top-1 must be the query), write a
+    gallery, and verify DB integrity — one command proving the whole
+    pipeline on any backend (the second half of the first-network-day
+    drill; reference scan→search round trip image_database.py:722,:1308).
+
+    Works with real weights when a checkpoint is present, else falls back
+    to deterministic random init (self-retrieval and the integrity checks
+    are weight-agnostic)."""
+    import shutil
+    import tempfile
+
+    from tpuclip.models.loader import find_local_checkpoint
+
+    report = report if report is not None else SelftestReport()
+    log(f"Selftest --e2e: full product smoke for {model_name}")
+    tmp = Path(work_dir) if work_dir else Path(tempfile.mkdtemp(prefix="tpuclip_e2e_"))
+    tmp.mkdir(parents=True, exist_ok=True)
+    owns_tmp = work_dir is None
+    prev_init = os.environ.get("TPUCLIP_INIT")
+    try:
+        tree = tmp / "tree"
+        try:
+            paths, dup_pair = _build_smoke_tree(tree)
+            report.add("e2e_tree", "PASS", f"{len(paths)} images in 2 folders")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_tree", "FAIL", f"{type(e).__name__}: {str(e)[:160]}")
+            return report
+
+        ckpt = find_local_checkpoint(model_name, model_cache_dir)
+        weights = "checkpoint" if ckpt else "random-init (no checkpoint found)"
+        if ckpt is None:
+            os.environ["TPUCLIP_INIT"] = "random"
+        db_path = str(tmp / "selftest.db")
+        try:
+            from tpuclip.engine import ImageDatabase
+            from tpuclip.pipelines.scan import scan_directory
+
+            engine = ImageDatabase(
+                db_path=db_path, model_cache_dir=model_cache_dir,
+                model_name=model_name, inference_batch_size=8,
+            )
+            stats = scan_directory(engine, str(tree), verbose=False)
+            indexed = engine.store.count_images()
+            if stats is None or indexed != len(paths):
+                report.add(
+                    "e2e_scan", "FAIL",
+                    f"indexed {indexed}/{len(paths)} images ({weights})",
+                )
+                return report
+            report.add("e2e_scan", "PASS", f"{indexed} images indexed ({weights})")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_scan", "FAIL", f"{type(e).__name__}: {str(e)[:200]}")
+            return report
+
+        from tpuclip.pipelines.search import search as run_search
+
+        try:
+            results = run_search(engine, "a red picture", k=k)
+            sims = [s for _, s in results]
+            if not results or not all(np.isfinite(sims)) or max(sims) > 1.0 + 1e-3:
+                report.add("e2e_text_search", "FAIL",
+                           f"{len(results)} results, sims={sims[:3]}")
+                return report
+            report.add("e2e_text_search", "PASS",
+                       f"top-{len(results)}, best {max(sims):.4f}")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_text_search", "FAIL", f"{type(e).__name__}: {str(e)[:200]}")
+            return report
+
+        try:
+            failures = []
+            for q in (paths[0], paths[7], dup_pair[0]):
+                res = run_search(engine, q, k=1, is_image_path=True,
+                                 show_duplicates=True)
+                top1 = res[0][0] if res else None
+                # A byte-identical duplicate has the same embedding — either
+                # member of the pair may rank first.
+                accept = {q} | (set(dup_pair) if q in dup_pair else set())
+                if top1 not in accept or res[0][1] < 0.99:
+                    failures.append((q, top1, res[0][1] if res else None))
+            if failures:
+                report.add("e2e_image_self_retrieval", "FAIL", f"{failures[:2]}")
+                return report
+            report.add("e2e_image_self_retrieval", "PASS",
+                       "top-1 self at sim>=0.99 for 3/3 queries")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_image_self_retrieval", "FAIL",
+                       f"{type(e).__name__}: {str(e)[:200]}")
+            return report
+
+        try:
+            res = run_search(engine, "anything", k=k, show_duplicates=False)
+            res_paths = {p for p, _ in res}
+            if set(dup_pair) <= res_paths:
+                report.add("e2e_duplicate_filter", "FAIL",
+                           "both members of the identical pair survived")
+            else:
+                report.add("e2e_duplicate_filter", "PASS",
+                           "identical pair collapsed to one result")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_duplicate_filter", "FAIL",
+                       f"{type(e).__name__}: {str(e)[:160]}")
+
+        try:
+            from tpuclip.gallery.html import generate_html_gallery
+
+            out = str(tmp / "gallery.html")
+            generate_html_gallery(results, out, query="a red picture",
+                                  thumbnailer=engine.thumbnailer)
+            html_text = open(out, encoding="utf-8").read()
+            if "localexplorer:" not in html_text or "file://" not in html_text:
+                report.add("e2e_gallery", "FAIL", "missing expected markup")
+            else:
+                report.add("e2e_gallery", "PASS", f"{len(html_text)} bytes")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_gallery", "FAIL", f"{type(e).__name__}: {str(e)[:160]}")
+
+        try:
+            from tpuclip.pipelines.check import check_database
+
+            result = check_database(db_path, verbose=False)
+            if result.ok:
+                report.add("e2e_check", "PASS", "database integrity OK")
+            else:
+                report.add("e2e_check", "FAIL", f"{result}")
+        except Exception as e:  # noqa: BLE001
+            report.add("e2e_check", "FAIL", f"{type(e).__name__}: {str(e)[:160]}")
+    finally:
+        if prev_init is None:
+            os.environ.pop("TPUCLIP_INIT", None)
+        else:
+            os.environ["TPUCLIP_INIT"] = prev_init
+        if owns_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    log(report.summary())
+    return report
