@@ -45,6 +45,14 @@ import queue as queue_mod
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog (5) drops connections with
+    # ECONNRESET under a 64-client connect storm — found by the r5 serve
+    # load bench (scripts/serve_load.py) at c=64 on loopback.
+    request_queue_size = 128
+    daemon_threads = True
 from tpuclip.cli import parse_interactive_line
 from tpuclip.utils.logging import log
 
@@ -140,6 +148,10 @@ class MicroBatcher:
         self.device_passes = 0  # scan passes actually run
         self.batched_requests = 0
         self.mixed_windows = 0  # groups served by the combined mixed program
+        self.windows = 0  # _process calls (formed windows)
+        self.window_size_hist: dict = {}  # window size -> count
+        self.lock_wait_s = 0.0  # time spent waiting on the engine lock
+        self.process_s = 0.0  # total window processing wall (incl. wait)
         self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True, name="tpuclip-microbatch")
         self._thread.start()
@@ -207,8 +219,16 @@ class MicroBatcher:
 
         passes = 0
         mixed_count = 0
+        t_win0 = time.perf_counter()
+        lock_wait = 0.0
         try:
-            with self.lock:
+            # Explicit acquire so the engine-lock WAIT is measurable: under
+            # concurrent load the share of window time spent here is the
+            # contention signal /stats reports (serve-load bench, r5).
+            t_lk = time.perf_counter()
+            self.lock.acquire()
+            lock_wait = time.perf_counter() - t_lk
+            try:
                 self.engine.index.refresh()
                 groups: dict = {}
                 for it in items:
@@ -324,6 +344,8 @@ class MicroBatcher:
                             # that already have results into 500s.
                             if it.result is None:
                                 it.error = e
+            finally:
+                self.lock.release()
         except Exception as e:  # noqa: BLE001 - embed/refresh failure fans out
             for it in items:
                 if it.error is None and it.result is None:
@@ -333,6 +355,11 @@ class MicroBatcher:
                 self.device_passes += passes
                 self.batched_requests += len(items)
                 self.mixed_windows += mixed_count
+                self.windows += 1
+                sz = len(items)
+                self.window_size_hist[sz] = self.window_size_hist.get(sz, 0) + 1
+                self.lock_wait_s += lock_wait
+                self.process_s += time.perf_counter() - t_win0
             for it in items:
                 it.event.set()
 
@@ -342,6 +369,14 @@ class MicroBatcher:
                 "batched_requests": self.batched_requests,
                 "device_passes": self.device_passes,
                 "mixed_windows": self.mixed_windows,
+                "windows": self.windows,
+                "window_size_hist": {
+                    str(k): v for k, v in sorted(self.window_size_hist.items())
+                },
+                "lock_wait_s": round(self.lock_wait_s, 3),
+                "process_s": round(self.process_s, 3),
+                "window_ms": self.window_s * 1000.0,
+                "max_batch": self.max_batch,
             }
 
 
@@ -779,7 +814,7 @@ class SearchServer:
         self._lock = threading.Lock()
         self.metrics = ServerMetrics()
         self.batcher = MicroBatcher(engine, self._lock, window_ms=batch_window_ms)
-        self.httpd = ThreadingHTTPServer(
+        self.httpd = _Server(
             (host, port), make_handler(engine, self._lock, self.metrics, self.batcher)
         )
         self.host, self.port = self.httpd.server_address[:2]
