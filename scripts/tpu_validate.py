@@ -446,6 +446,39 @@ def main(out_path: str) -> int:
     except Exception as e:  # noqa: BLE001
         record("serve_microbatch_smoke", False, error=str(e)[:200])
 
+    # Full product smoke on THIS backend (VERDICT r4 item 4): scan a
+    # bundled tree, text + image self-retrieval searches, duplicate
+    # filter, gallery, integrity check — `tpuclip selftest --e2e` recorded
+    # in the hardware validation artifact. Tiny model: the pipeline (and
+    # its compiled programs) is what's validated, not the tower size,
+    # which the parity and bench artifacts cover.
+    try:
+        import os as _os
+        import tempfile as _tf
+
+        from tpuclip.selftest import run_e2e_selftest
+
+        prev_home = _os.environ.get("TPUCLIP_HOME")
+        with _tf.TemporaryDirectory(prefix="tpuclip_val_e2e_") as td:
+            _os.environ["TPUCLIP_HOME"] = _os.path.join(td, "home")
+            try:
+                report = run_e2e_selftest(
+                    "tpuclip/test-tiny", _os.path.join(td, "cache"),
+                    work_dir=_os.path.join(td, "work"),
+                )
+            finally:
+                if prev_home is None:
+                    _os.environ.pop("TPUCLIP_HOME", None)
+                else:
+                    _os.environ["TPUCLIP_HOME"] = prev_home
+        record(
+            "selftest_e2e",
+            report.ok,
+            steps={s.name: s.status for s in report.steps},
+        )
+    except Exception as e:  # noqa: BLE001
+        record("selftest_e2e", False, error=str(e)[:200])
+
     failures = sum(not c["ok"] for c in checks)
     result = {
         "backend": backend,
