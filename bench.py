@@ -59,10 +59,11 @@ import time
 import numpy as np
 
 _T0 = time.perf_counter()
-# 540 since r5: the 3-point slope fits add one wall measurement per bench
-# and served_load joined the roster; r4 completed at 467 s elapsed under
-# the driver, and progressive emission protects the record regardless.
-BUDGET_S = float(os.environ.get("TPUCLIP_BENCH_BUDGET_S", 540))
+# 720 since r5: the 3-point slope fits add one wall measurement per bench
+# and served_load joined the roster (r5 run 1 at 540 skipped the whole
+# continuity tail). r4 completed at 467 s elapsed under the driver, and
+# progressive emission protects the record if the driver kills us first.
+BUDGET_S = float(os.environ.get("TPUCLIP_BENCH_BUDGET_S", 720))
 # Watchdog fires this long after the budget: between-bench checks should
 # keep the happy path well under budget; the grace covers one bench that
 # started near the deadline (or wedged).
@@ -966,21 +967,63 @@ def bench_served_load(jax):
             engine.store = MetadataStore(db_path, embedding_dim=engine.embedding_dim)
             engine.index = DeviceIndex(engine.store, device=engine.device)
 
+        # Bucket-ladder program warm BEFORE serving: the fused text/mixed
+        # programs bucket the query batch to the next power of two, so a
+        # load whose windows span sizes 1..64 compiles up to 7 programs
+        # per method — through the remote-compile tunnel each costs
+        # 10-60 s, and run 1 of r5 measured 0.8 qps because those compiles
+        # landed INSIDE the timed phases (p50 wall = one 24.5 s compile).
+        # A production deployment pays this once at startup; the bench
+        # does the same. Warm-cache cost: seconds.
+        _dbg("served_load: bucket-ladder program warm")
+        import base64 as _b64
+        import io as _io
+
+        from PIL import Image as _Image
+
+        img64 = make_test_image_b64()
+        pil = _Image.open(_io.BytesIO(_b64.b64decode(img64))).convert("RGB")
+        warm_texts = [f"warm bucket query {i}" for i in range(64)]
+        prev_sl0 = os.environ.get("TPUCLIP_SHORTLIST")
+        try:
+            for method in (None, "approx"):
+                if method is None:
+                    os.environ.pop("TPUCLIP_SHORTLIST", None)
+                else:
+                    os.environ["TPUCLIP_SHORTLIST"] = method
+                for b in (1, 2, 4, 8, 16, 32, 64):
+                    try:
+                        engine._search_texts_fused(warm_texts[:b], 20)
+                    except Exception:  # noqa: BLE001 - non-fused index mode
+                        break
+                try:
+                    engine._search_image_fused(pil, 20)
+                    for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8)):
+                        engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
+                except Exception:  # noqa: BLE001 - non-fused index mode
+                    pass
+        finally:
+            if prev_sl0 is None:
+                os.environ.pop("TPUCLIP_SHORTLIST", None)
+            else:
+                os.environ["TPUCLIP_SHORTLIST"] = prev_sl0
+        _dbg("served_load: programs warm")
+
         from tpuclip.serve import SearchServer
 
         server = SearchServer(engine, port=0)
         server.start_background()
         base = f"http://{server.host}:{server.port}"
-        img64 = make_test_image_b64()
         _dbg(f"served_load: server up at {base}; warming endpoints")
-        # Warm every program the load will hit (compiles land here, and the
-        # first one may be the session's first substantial program).
         for ep, payload in (("/search", {"query": "warm query", "k": 20}),
                             ("/search", {"image_b64": img64, "k": 20}),
                             ("/search_batch", {"queries": ["warm a", "warm b",
                                                            "warm c", "warm d"],
                                                "k": 20})):
             _post(base + ep, payload, timeout=600.0)
+        # Organic warm: a short mixed burst compiles any bucket combo the
+        # ladder missed, through the real path.
+        run_load(base, 5.0, 32, image_b64=img64)
         _dbg("served_load: endpoints warm")
         out["served_load_mix"] = "70% text /search, 15% image_b64, 15% batch-of-4"
 
@@ -2317,7 +2360,7 @@ def main():
         run("e2e_predecoded", 60, _e2e_predecoded)
         # After the e2e pair so it can reuse that resident engine (saves a
         # ~1.8 GB param upload); before ivf_scanned, which pops the engine.
-        run("served_load", 110, _served_load)
+        run("served_load", 140, _served_load)
         run("bf16_scan", 20, _bf16_scan)
         run("batch", 15, _batch)
         run("binary", 30, _binary)
