@@ -984,24 +984,24 @@ def bench_served_load(jax):
         img64 = make_test_image_b64()
         pil = _Image.open(_io.BytesIO(_b64.b64decode(img64))).convert("RGB")
         warm_texts = [f"warm bucket query {i}" for i in range(64)]
+        # The retargeted index has never refreshed: load the matrix and
+        # decide fused-ness BEFORE the ladder, or the first fused call
+        # raises and the whole warm silently no-ops (r5 run 2).
+        engine.index.refresh()
+        ladder_ok = engine.index.can_fuse_text_search(20, None)
+        _dbg(f"served_load: fused ladder eligible: {ladder_ok}")
         prev_sl0 = os.environ.get("TPUCLIP_SHORTLIST")
         try:
-            for method in (None, "approx"):
+            for method in (None, "approx") if ladder_ok else ():
                 if method is None:
                     os.environ.pop("TPUCLIP_SHORTLIST", None)
                 else:
                     os.environ["TPUCLIP_SHORTLIST"] = method
                 for b in (1, 2, 4, 8, 16, 32, 64):
-                    try:
-                        engine._search_texts_fused(warm_texts[:b], 20)
-                    except Exception:  # noqa: BLE001 - non-fused index mode
-                        break
-                try:
-                    engine._search_image_fused(pil, 20)
-                    for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8)):
-                        engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
-                except Exception:  # noqa: BLE001 - non-fused index mode
-                    pass
+                    engine._search_texts_fused(warm_texts[:b], 20)
+                engine._search_image_fused(pil, 20)
+                for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8)):
+                    engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
         finally:
             if prev_sl0 is None:
                 os.environ.pop("TPUCLIP_SHORTLIST", None)
