@@ -1000,8 +1000,18 @@ def bench_served_load(jax):
                 for b in (1, 2, 4, 8, 16, 32, 64):
                     engine._search_texts_fused(warm_texts[:b], 20)
                 engine._search_image_fused(pil, 20)
-                for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8)):
+                # Mixed (text-bucket, image-bucket) pairs incl. the full
+                # 64-text windows c=64 load actually forms (r5 run 3:
+                # windows of 52-54 requests bucket text to 64).
+                for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8),
+                               (64, 2), (64, 8)):
                     engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
+            # Image-only windows (>=2 uploads, no texts) take embed_pils +
+            # index.search_batch, which buckets per query count.
+            qv = rng.standard_normal((8, engine.embedding_dim)).astype(np.float32)
+            qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+            for qb in (2, 8, 32):
+                engine.index.search_batch(np.repeat(qv, max(1, qb // 8), 0)[:qb], 20)
         finally:
             if prev_sl0 is None:
                 os.environ.pop("TPUCLIP_SHORTLIST", None)

@@ -684,10 +684,18 @@ class DeviceIndex:
             )
         return out
 
-    def can_fuse_text_search(self, k: int, filter_folders) -> bool:
+    def can_fuse_text_search(self, k: int, filter_folders,
+                             assume_fresh: bool = False) -> bool:
         """True when the token-ids → text-tower → int8 scan → exact rescore
-        pipeline can run as ONE device program for this index state."""
-        self.refresh()
+        pipeline can run as ONE device program for this index state.
+
+        ``assume_fresh=True`` skips the implicit refresh — for callers that
+        just called :meth:`refresh` under the same lock (the serve
+        micro-batcher): each refresh is a pair of full-index-aggregate
+        SQLite scans, and the r5 load bench measured the redundant one at
+        ~145 ms/window on a 100k-row DB (pre covering index)."""
+        if not assume_fresh:
+            self.refresh()
         return (
             not filter_folders
             and self.precision == "int8"

@@ -144,6 +144,18 @@ class MetadataStore:
                 ON binary_embeddings(image_id)
                 """
             )
+            # Covering index for embeddings_fingerprint(): image_id is the
+            # rowid PK, so its aggregates otherwise SCAN the blob b-tree
+            # (~350 MB at 100k rows — measured 123 ms/refresh vs 16 ms with
+            # the index). The serve micro-batcher fingerprints every
+            # window; the r5 load bench surfaced this as ~10% of window
+            # time. ~1 MB at 100k rows.
+            cursor.execute(
+                """
+                CREATE INDEX IF NOT EXISTS idx_embeddings_image_id
+                ON embeddings(image_id)
+                """
+            )
             cursor.execute(
                 """
                 CREATE TABLE IF NOT EXISTS meta (

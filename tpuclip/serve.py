@@ -240,7 +240,8 @@ class MicroBatcher:
                 # and each extra ask costs full-table fingerprint scans.
                 fused_group: dict = {
                     key: self.engine.index.can_fuse_text_search(
-                        key[0], list(key[1]) if key[1] else None
+                        key[0], list(key[1]) if key[1] else None,
+                        assume_fresh=True,  # refresh() ran above, same lock
                     )
                     for key in groups
                 }
