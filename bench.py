@@ -997,21 +997,25 @@ def bench_served_load(jax):
                     os.environ.pop("TPUCLIP_SHORTLIST", None)
                 else:
                     os.environ["TPUCLIP_SHORTLIST"] = method
-                for b in (1, 2, 4, 8, 16, 32, 64):
+                # The engine buckets batches to the {1,4,16,64} ladder
+                # (tpuclip/utils/bucketing.py) exactly so this warm set is
+                # COMPLETE: text-only programs, every realistic mixed
+                # (text-bucket, image-bucket) pair, the lone-image fused
+                # program, and the batch-search shapes image-only windows
+                # take. A production deployment runs the same ladder at
+                # startup.
+                for b in (1, 4, 16, 64):
                     engine._search_texts_fused(warm_texts[:b], 20)
                 engine._search_image_fused(pil, 20)
-                # Mixed (text-bucket, image-bucket) pairs incl. the full
-                # 64-text windows c=64 load actually forms (r5 run 3:
-                # windows of 52-54 requests bucket text to 64).
-                for tb, ib in ((2, 1), (4, 2), (8, 2), (16, 4), (32, 8),
-                               (64, 2), (64, 8)):
+                for tb, ib in ((4, 1), (16, 1), (16, 4), (64, 1), (64, 4),
+                               (64, 16)):
                     engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
             # Image-only windows (>=2 uploads, no texts) take embed_pils +
-            # index.search_batch, which buckets per query count.
-            qv = rng.standard_normal((8, engine.embedding_dim)).astype(np.float32)
+            # index.search_batch (ladder-bucketed internally).
+            qv = rng.standard_normal((4, engine.embedding_dim)).astype(np.float32)
             qv /= np.linalg.norm(qv, axis=1, keepdims=True)
-            for qb in (2, 8, 32):
-                engine.index.search_batch(np.repeat(qv, max(1, qb // 8), 0)[:qb], 20)
+            for qb in (4, 16, 64):
+                engine.index.search_batch(np.repeat(qv, 16, 0)[:qb], 20)
         finally:
             if prev_sl0 is None:
                 os.environ.pop("TPUCLIP_SHORTLIST", None)

@@ -38,6 +38,9 @@ from tpuclip.text.tokenizer import build_prompt, load_tokenizer
 from tpuclip.utils.logging import banner, log, safe_print_path
 
 
+from tpuclip.utils.bucketing import batch_bucket as _batch_bucket
+
+
 class ImageDatabase:
     """Searchable image database: SigLIP embeddings + on-device retrieval."""
 
@@ -177,15 +180,15 @@ class ImageDatabase:
         return np.asarray(out[:b], dtype=np.float32)
 
     def _tokenize_bucketed(self, texts: List[str]):
-        """Prompt + tokenize, padded to the next power-of-two batch size so
-        arbitrary request sizes reuse a handful of compiled programs instead
-        of compiling per length. Returns (ids, mask); pad rows are all-zero
+        """Prompt + tokenize, padded to the ladder batch size so arbitrary
+        request sizes reuse a handful of compiled programs instead of
+        compiling per length. Returns (ids, mask); pad rows are all-zero
         (masked out) and must be sliced off by the caller."""
         b = len(texts)
         ids, mask = self.tokenizer.encode_batch_with_mask(
             [build_prompt(t) for t in texts]
         )
-        bucket = 1 << max(0, (b - 1)).bit_length()
+        bucket = _batch_bucket(b)
         if bucket > b:
             pad = bucket - b
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
@@ -247,10 +250,10 @@ class ImageDatabase:
         patchified-variant program."""
         ids, mask = self._tokenize_bucketed(texts)
         nb = len(images)
-        # Same power-of-two bucketing as the text rows: a mixed program
-        # compiles per (text-bucket, image-bucket) pair, so arbitrary
-        # window compositions reuse a handful of compiled programs.
-        ib = 1 << max(0, (nb - 1)).bit_length()
+        # Same ladder bucketing as the text rows: a mixed program compiles
+        # per (text-bucket, image-bucket) pair, so arbitrary window
+        # compositions reuse a small fixed set of compiled programs.
+        ib = _batch_bucket(nb)
         if self.is_naflex:
             from tpuclip.io.preprocess import preprocess_naflex
 

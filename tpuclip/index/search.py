@@ -591,7 +591,20 @@ class DeviceIndex:
             )
         if self._matrix is None:
             return [self.search(q, k, filter_folders) for q in np.atleast_2d(queries)]
-        q = jnp.asarray(np.asarray(queries, np.float32).reshape(len(queries), -1))
+        # Ladder-bucket the query count: the device paths below compile per
+        # Q shape, and serve windows arrive at arbitrary sizes (r5 load
+        # bench). Zero pad rows score 0 everywhere and are sliced off
+        # before result mapping.
+        from tpuclip.utils.bucketing import batch_bucket
+
+        q_real = len(queries)
+        q_host = np.asarray(queries, np.float32).reshape(q_real, -1)
+        bucket = batch_bucket(q_real)
+        if bucket > q_real:
+            q_host = np.concatenate(
+                [q_host, np.zeros((bucket - q_real, q_host.shape[1]), np.float32)]
+            )
+        q = jnp.asarray(q_host)
         mask = (
             self._folder_mask(filter_folders, self._ids, self._matrix.shape[1])
             if filter_folders
@@ -666,7 +679,9 @@ class DeviceIndex:
             scores, rows = cosine_topk(q, self._matrix, k, mask=mask, n_valid=self._n_valid)
             scores = np.asarray(scores)
         rows = np.asarray(rows)
-        return self._map_batch_results(scores, rows, len(queries))
+        # Drop the bucket pad rows: _map_batch_results does a per-row path
+        # lookup, which pad rows must not pay.
+        return self._map_batch_results(scores[:q_real], rows[:q_real], q_real)
 
     def _map_batch_results(self, scores, rows, q_count):
         """(Q, k) host scores/rows → per-query [(path, similarity)] lists."""
