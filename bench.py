@@ -1007,9 +1007,15 @@ def bench_served_load(jax):
                 for b in (1, 4, 16, 64):
                     engine._search_texts_fused(warm_texts[:b], 20)
                 engine._search_image_fused(pil, 20)
-                for tb, ib in ((4, 1), (16, 1), (16, 4), (64, 1), (64, 4),
-                               (64, 16)):
-                    engine._search_mixed_fused(warm_texts[:tb], [pil] * ib, 20)
+                # The COMPLETE mixed matrix: the ladder bounds it at 4x4
+                # pairs, so warming all of them is feasible — any pair left
+                # out is a multi-second remote compile inside a live
+                # window (r5 run 6: a (4,4) window stalled the c=4 phase).
+                for tb in (1, 4, 16, 64):
+                    for ib in (1, 4, 16, 64):
+                        engine._search_mixed_fused(
+                            warm_texts[:tb], [pil] * ib, 20
+                        )
             # Image-only windows (>=2 uploads, no texts) take embed_pils +
             # index.search_batch (ladder-bucketed internally).
             qv = rng.standard_normal((4, engine.embedding_dim)).astype(np.float32)
