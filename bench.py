@@ -967,67 +967,20 @@ def bench_served_load(jax):
             engine.store = MetadataStore(db_path, embedding_dim=engine.embedding_dim)
             engine.index = DeviceIndex(engine.store, device=engine.device)
 
-        # Bucket-ladder program warm BEFORE serving: the fused text/mixed
-        # programs bucket the query batch to the next power of two, so a
-        # load whose windows span sizes 1..64 compiles up to 7 programs
-        # per method — through the remote-compile tunnel each costs
-        # 10-60 s, and run 1 of r5 measured 0.8 qps because those compiles
-        # landed INSIDE the timed phases (p50 wall = one 24.5 s compile).
-        # A production deployment pays this once at startup; the bench
-        # does the same. Warm-cache cost: seconds.
-        _dbg("served_load: bucket-ladder program warm")
-        import base64 as _b64
-        import io as _io
-
-        from PIL import Image as _Image
+        # Full program-matrix warm BEFORE serving — the SAME routine
+        # `tpuclip serve --warm` runs at deployment startup
+        # (tpuclip/serve.py:warm_programs): the ladder-bucketed fused
+        # programs otherwise compile inside live windows (r5 runs 1-6:
+        # one cold mixed-bucket compile consumed an entire measurement
+        # phase at 0.8 qps). k=20 matches the load below (k is a static
+        # jit arg). Warm-cache cost: seconds.
+        _dbg("served_load: full program-matrix warm (serve --warm routine)")
+        from tpuclip.serve import warm_programs
 
         img64 = make_test_image_b64()
-        pil = _Image.open(_io.BytesIO(_b64.b64decode(img64))).convert("RGB")
-        warm_texts = [f"warm bucket query {i}" for i in range(64)]
-        # The retargeted index has never refreshed: load the matrix and
-        # decide fused-ness BEFORE the ladder, or the first fused call
-        # raises and the whole warm silently no-ops (r5 run 2).
-        engine.index.refresh()
-        ladder_ok = engine.index.can_fuse_text_search(20, None)
-        _dbg(f"served_load: fused ladder eligible: {ladder_ok}")
-        prev_sl0 = os.environ.get("TPUCLIP_SHORTLIST")
-        try:
-            for method in (None, "approx") if ladder_ok else ():
-                if method is None:
-                    os.environ.pop("TPUCLIP_SHORTLIST", None)
-                else:
-                    os.environ["TPUCLIP_SHORTLIST"] = method
-                # The engine buckets batches to the {1,4,16,64} ladder
-                # (tpuclip/utils/bucketing.py) exactly so this warm set is
-                # COMPLETE: text-only programs, every realistic mixed
-                # (text-bucket, image-bucket) pair, the lone-image fused
-                # program, and the batch-search shapes image-only windows
-                # take. A production deployment runs the same ladder at
-                # startup.
-                for b in (1, 4, 16, 64):
-                    engine._search_texts_fused(warm_texts[:b], 20)
-                engine._search_image_fused(pil, 20)
-                # The COMPLETE mixed matrix: the ladder bounds it at 4x4
-                # pairs, so warming all of them is feasible — any pair left
-                # out is a multi-second remote compile inside a live
-                # window (r5 run 6: a (4,4) window stalled the c=4 phase).
-                for tb in (1, 4, 16, 64):
-                    for ib in (1, 4, 16, 64):
-                        engine._search_mixed_fused(
-                            warm_texts[:tb], [pil] * ib, 20
-                        )
-            # Image-only windows (>=2 uploads, no texts) take embed_pils +
-            # index.search_batch (ladder-bucketed internally).
-            qv = rng.standard_normal((4, engine.embedding_dim)).astype(np.float32)
-            qv /= np.linalg.norm(qv, axis=1, keepdims=True)
-            for qb in (4, 16, 64):
-                engine.index.search_batch(np.repeat(qv, 16, 0)[:qb], 20)
-        finally:
-            if prev_sl0 is None:
-                os.environ.pop("TPUCLIP_SHORTLIST", None)
-            else:
-                os.environ["TPUCLIP_SHORTLIST"] = prev_sl0
-        _dbg("served_load: programs warm")
+        warmed = warm_programs(engine, k=20)
+        out["served_load_programs_warmed"] = warmed
+        _dbg(f"served_load: programs warm ({warmed} calls)")
 
         from tpuclip.serve import SearchServer
 

@@ -697,3 +697,18 @@ def test_sustained_mixed_load_and_batcher_instrumentation(engine):
         assert b1["device_passes"] > b0["device_passes"]
     finally:
         srv.shutdown()
+
+
+def test_warm_programs_handles_nonfused_index(engine):
+    """warm_programs (the `serve --warm` routine) must no-op gracefully
+    when the index is not fused-eligible (CPU backend) and return the
+    call count otherwise — it is also the serve-load bench's warm step."""
+    from tpuclip.serve import warm_programs
+
+    n = warm_programs(engine, k=3)
+    if engine.index.can_fuse_text_search(3, None):
+        # Complete matrix: 4 text + 1 image + 16 mixed per method (x2),
+        # plus 3 batch shapes.
+        assert n == 2 * (4 + 1 + 16) + 3
+    else:
+        assert n == 0

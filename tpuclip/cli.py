@@ -266,6 +266,7 @@ def build_parser() -> argparse.ArgumentParser:
     serve_parser.add_argument("--model-cache", default=paths.model_cache_dir, help="Model cache directory")
     serve_parser.add_argument("--precision", choices=["bf16", "int8"], default=None, help="Search precision")
     serve_parser.add_argument("--mode", dest="search_mode", choices=["exact", "ivf", "cascade"], default=None, help="Search mode (see search --mode)")
+    serve_parser.add_argument("--warm", action="store_true", help="Precompile the full serving program matrix (every batch-bucket combo, both shortlist methods) before accepting traffic — no live window ever pays a jit compile")
 
     merge_parser = subparsers.add_parser(
         "merge", help="Merge shard databases (from sharded scans) into one"

@@ -844,6 +844,66 @@ class SearchServer:
         self.batcher.shutdown()
 
 
+def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
+    """Precompile the COMPLETE bounded serving program matrix.
+
+    The engine buckets request batches to the {1,4,16,64} ladder
+    (tpuclip/utils/bucketing.py), so the full matrix is small: 4 text-only
+    fused programs, 4x4 mixed (text-bucket, image-bucket) programs, the
+    lone-image fused program, and 3 batch-search shapes — per shortlist
+    method. Any program left cold is a multi-second jit (minutes through a
+    remote-compile tunnel) landing inside a live request window — the r5
+    serve load bench measured a single cold (4,4) mixed compile consuming
+    an entire measurement phase. Run this at deployment startup
+    (``tpuclip serve --warm``); on a warm persistent compile cache it
+    costs seconds. Returns the number of warm calls made. No-op (returns
+    0) when the index is not fused-eligible — the non-fused paths compile
+    two cheap programs the single warmup query covers."""
+    import numpy as np
+    from PIL import Image
+
+    from tpuclip.utils.bucketing import BATCH_BUCKETS
+
+    engine.index.refresh()
+    if not engine.index.can_fuse_text_search(k, None, assume_fresh=True):
+        return 0
+    rng = np.random.default_rng(0)
+    pil = Image.fromarray(
+        (rng.random((96, 96, 3)) * 255).astype(np.uint8)
+    )
+    texts = [f"warmup bucket query {i}" for i in range(max(BATCH_BUCKETS))]
+    calls = 0
+    prev = os.environ.get("TPUCLIP_SHORTLIST")
+    try:
+        for method in methods:
+            if method is None:
+                os.environ.pop("TPUCLIP_SHORTLIST", None)
+            else:
+                os.environ["TPUCLIP_SHORTLIST"] = method
+            for b in BATCH_BUCKETS:
+                engine._search_texts_fused(texts[:b], k)
+                calls += 1
+            engine._search_image_fused(pil, k)
+            calls += 1
+            for tb in BATCH_BUCKETS:
+                for ib in BATCH_BUCKETS:
+                    engine._search_mixed_fused(texts[:tb], [pil] * ib, k)
+                    calls += 1
+    finally:
+        if prev is None:
+            os.environ.pop("TPUCLIP_SHORTLIST", None)
+        else:
+            os.environ["TPUCLIP_SHORTLIST"] = prev
+    # Image-only windows (>=2 uploads, no texts): embed_pils +
+    # ladder-bucketed index.search_batch.
+    qv = rng.standard_normal((4, engine.embedding_dim)).astype(np.float32)
+    qv /= np.linalg.norm(qv, axis=1, keepdims=True)
+    for qb in (4, 16, 64):
+        engine.index.search_batch(np.repeat(qv, 16, 0)[:qb], k)
+        calls += 1
+    return calls
+
+
 def run_serve(args, paths) -> None:
     """CLI entry: load the engine once, serve until interrupted."""
     import os
@@ -863,7 +923,15 @@ def run_serve(args, paths) -> None:
         # request timeout. k is a STATIC jit argument — warm with the
         # endpoint's default k so the common case actually hits the cache.
         engine.search_texts(["warmup"], 10)
-        log("Warmup query compiled the serving programs.")
+        if getattr(args, "warm", False):
+            # Full ladder: every (text, image) bucket combo + batch shapes
+            # for both shortlist methods, so no live window ever pays a
+            # compile. Seconds on a warm compile cache; minutes cold.
+            n = warm_programs(engine)
+            log(f"Warmed the full serving program matrix ({n} programs).")
+        else:
+            log("Warmup query compiled the serving programs "
+                "(use --warm to precompile the full batch-bucket matrix).")
     except Exception as e:  # noqa: BLE001 - an empty DB still serves /embed
         log(f"Warmup query skipped: {e}")
     srv = SearchServer(engine, args.host, args.port)
