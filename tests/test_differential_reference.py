@@ -326,3 +326,33 @@ def test_html_gallery_differential(ref, tmp_path):
     assert len(want_cards) == len(results)  # the regex really matched the ref
     assert got_cards == want_cards
     assert got_query == want_query
+
+
+def test_filter_duplicates_many_matches_per_request(ref, tmp_path):
+    """The serve micro-batcher's batched dedup (one binary fetch per
+    window, r5) must return exactly what the per-request filter returns
+    for every list."""
+    from tpuclip.index.dedup import filter_duplicates, filter_duplicates_many
+
+    rng = np.random.default_rng(9)
+    d = 128
+    rows, pool = [], []
+    for i in range(12):
+        base = rng.integers(0, 2, d).astype(np.uint8)
+        rows.append((f"/img/b{i}.jpg", base))
+        pool.append((f"/img/b{i}.jpg", round(0.9 - i * 0.01, 4)))
+        near = base.copy()
+        near[rng.choice(d, 2, replace=False)] ^= 1
+        rows.append((f"/img/b{i}_dup.jpg", near))
+        pool.append((f"/img/b{i}_dup.jpg", round(0.89 - i * 0.01, 4)))
+    _db, store = _make_db(tmp_path, rows)
+
+    lists = [
+        sorted(pool[:10], key=lambda x: x[1], reverse=True),
+        sorted(pool[6:20], key=lambda x: x[1], reverse=True),
+        [],
+        [("/img/missing.jpg", 0.5)] + pool[:4],
+    ]
+    batched = filter_duplicates_many(store, [list(x) for x in lists])
+    singles = [filter_duplicates(store, list(x)) for x in lists]
+    assert batched == singles

@@ -215,7 +215,7 @@ class MicroBatcher:
     def _process(self, items) -> None:
         import numpy as np
 
-        from tpuclip.index.dedup import filter_duplicates
+        from tpuclip.index.dedup import filter_duplicates_many
 
         passes = 0
         mixed_count = 0
@@ -334,10 +334,27 @@ class MicroBatcher:
                                 )
                                 done += list(zip(images, batches))
                             passes += 1
+                        # Duplicate filtering: ONE batched binary fetch for
+                        # the whole group instead of a connection + query
+                        # per request (r5 load bench: ~30% of window time
+                        # at c=64 went to per-request dedup SQLite).
+                        to_filter = [
+                            (it, results) for it, results in done
+                            if not it.show_duplicates and results
+                        ]
+                        if to_filter:
+                            filtered = filter_duplicates_many(
+                                self.engine.store,
+                                [results for _, results in to_filter],
+                            )
+                            filt_by_id = {
+                                id(it): res
+                                for (it, _), res in zip(to_filter, filtered)
+                            }
+                        else:
+                            filt_by_id = {}
                         for it, results in done:
-                            if not it.show_duplicates and results:
-                                results = filter_duplicates(self.engine.store, results)
-                            it.result = results
+                            it.result = filt_by_id.get(id(it), results)
                     except Exception as e:  # noqa: BLE001
                         for it in group:
                             # A failure partway through the group (e.g. in the
