@@ -80,8 +80,9 @@ def run_load(
     lock = threading.Lock()
     walls: list = []
     counts = {"text": 0, "image": 0, "batch": 0}
-    errors: list = []
-    queries_done = [0]
+    errors: list = []  # capped SAMPLE of error messages
+    error_total = [0]  # unbounded failure count (review r5: len(errors)
+    queries_done = [0]  # saturated at the sample cap, hiding degradation)
 
     def client(cid: int) -> None:
         i = cid  # offset so clients interleave endpoint kinds
@@ -114,9 +115,9 @@ def run_load(
                     queries_done[0] += nq
             except Exception as e:  # noqa: BLE001 - recorded, load continues
                 with lock:
+                    error_total[0] += 1
                     if len(errors) < 10:
                         errors.append(f"{kind}: {type(e).__name__}: {e}"[:120])
-                    counts[kind] = counts[kind]  # keep counts of successes only
 
     t_start = time.perf_counter()
     threads = [
@@ -139,7 +140,7 @@ def run_load(
         "qps_requests": round(len(walls) / elapsed, 1),
         "qps_queries": round(queries_done[0] / elapsed, 1),
         "counts": counts,
-        "error_count": len(errors),
+        "error_count": error_total[0],
         "errors": errors[:5],
         "wall_p50_ms": round(float(np.percentile(walls_ms, 50)), 1),
         "wall_p99_ms": round(float(np.percentile(walls_ms, 99)), 1),

@@ -107,3 +107,17 @@ def test_info_command(env, capsys):
     assert "Images:            3" in out
     assert "Full embeddings:   3" in out
     assert "Embedding dim:     64" in out
+
+
+def test_gc_decode_cache_bad_path_errors(tmp_path, monkeypatch):
+    """Review r5: an explicitly passed --decode-cache that is not a
+    directory must exit 2, not silently skip the GC."""
+    import pytest
+
+    from tpuclip.cli import main as cli_main
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    with pytest.raises(SystemExit) as exc:
+        cli_main(["gc", "--decode-cache", str(tmp_path / "no_such_dir"),
+                  "--decode-cache-max-gb", "1"])
+    assert exc.value.code == 2

@@ -199,3 +199,34 @@ def test_selftest_e2e_product_smoke(tmp_path, monkeypatch):
                  "e2e_gallery", "e2e_check"):
         assert st[step] == "PASS", (step, report.steps)
     assert report.ok
+
+
+def test_strip_edge_specials():
+    """Review r5: the helper the tokenizer-oracle comparison depends on
+    (was referenced-but-undefined — the oracle step would NameError on any
+    real checkpoint shipping tokenizer.json)."""
+    from tpuclip.selftest import _strip_edge_specials
+
+    specials = {0, 1, 2}
+    assert _strip_edge_specials([2, 5, 6, 1, 0], specials) == [5, 6]
+    assert _strip_edge_specials([5, 1, 6], specials) == [5, 1, 6]  # mid kept
+    assert _strip_edge_specials([1, 1], specials) == []
+    assert _strip_edge_specials([], specials) == []
+
+
+def test_selftest_e2e_honors_source(hf_dir, tmp_path, monkeypatch):
+    """Review r5: `selftest --e2e --source DIR` must run the smoke with the
+    supplied checkpoint, not silently fall back to random init."""
+    from tpuclip.selftest import run_e2e_selftest
+
+    monkeypatch.setenv("TPUCLIP_HOME", str(tmp_path / "home"))
+    report = run_e2e_selftest(
+        MODEL_NAME, str(tmp_path / "empty_cache"),
+        work_dir=str(tmp_path / "work"), source=str(hf_dir),
+    )
+    st = _statuses(report)
+    assert st["e2e_scan"] == "PASS"
+    scan_step = next(s for s in report.steps if s.name == "e2e_scan")
+    assert "checkpoint" in scan_step.detail
+    assert "random-init" not in scan_step.detail
+    assert report.ok

@@ -815,7 +815,8 @@ def main(argv: Optional[List[str]] = None) -> None:
                 convert_dst=args.convert_to,
             )
         if args.e2e or args.e2e_only:
-            run_e2e_selftest(model_name, cache, report=report)
+            run_e2e_selftest(model_name, cache, report=report,
+                             source=args.source)
         if not report.ok:
             sys.exit(1)
     elif args.mode == "info":
@@ -986,6 +987,15 @@ def _run_gc(args, paths) -> None:
         else:
             log(f"{verb} {n:,} decode-cache entr(ies), reclaiming "
                 f"{freed / 1e9:.2f} GB; {kept / 1e9:.2f} GB kept")
+    elif args.decode_cache is not None:
+        # An explicitly named dir that doesn't exist is an error, not a
+        # silent no-op (review r5: a typo'd path made the user believe a
+        # 150 GB cache was bounded).
+        log(f"[X] Error: --decode-cache {args.decode_cache} is not a directory")
+        sys.exit(2)
+    elif args.decode_cache_max_gb is not None:
+        log("[WARNING] --decode-cache-max-gb given but no decode cache dir "
+            "(pass --decode-cache DIR or set TPUCLIP_DECODE_CACHE); skipped.")
 
 
 def _run_convert(args) -> None:

@@ -93,6 +93,21 @@ def _deterministic_pixels(image_size: int, n: int = 2) -> np.ndarray:
 _SPOT_PROMPTS = ("Cat", "a red car on a street", "Fine Art — café")
 
 
+def _strip_edge_specials(ids_list, specials):
+    """Drop leading/trailing special tokens (bos/eos/pad) from a token-id
+    list. Conventions differ between a tokenizer.json's post-processor and
+    the raw-SP SigLIP contract; the oracle comparison is over CORE pieces
+    so a correct tokenizer is not false-FAILed on bos/eos placement
+    (review r4). Edge-only on purpose: a special id appearing mid-sequence
+    would be a real mismatch and must survive."""
+    ids_list = list(ids_list)
+    while ids_list and ids_list[0] in specials:
+        ids_list = ids_list[1:]
+    while ids_list and ids_list[-1] in specials:
+        ids_list = ids_list[:-1]
+    return ids_list
+
+
 def run_selftest(
     model_name: str,
     model_cache_dir: Optional[str],
@@ -405,6 +420,7 @@ def run_e2e_selftest(
     work_dir: Optional[str] = None,
     report: Optional[SelftestReport] = None,
     k: int = 5,
+    source: Optional[str] = None,
 ) -> SelftestReport:
     """Scan a bundled synthetic image tree into a temp DB, run text and
     image: searches (image self-retrieval top-1 must be the query), write a
@@ -435,6 +451,22 @@ def run_e2e_selftest(
             report.add("e2e_tree", "FAIL", f"{type(e).__name__}: {str(e)[:160]}")
             return report
 
+        if source and (Path(source) / "config.json").exists():
+            # Honor --source (review r5): expose the explicit checkpoint
+            # dir to the engine's cache-probing loader through a flat-
+            # layout link in a private cache dir.
+            shim_cache = tmp / "source_cache"
+            shim_cache.mkdir(parents=True, exist_ok=True)
+            link = shim_cache / model_name.replace("/", "--")
+            if not link.exists():
+                try:
+                    link.symlink_to(Path(source).resolve(),
+                                    target_is_directory=True)
+                except OSError:
+                    import shutil as _sh
+
+                    _sh.copytree(str(source), str(link))
+            model_cache_dir = str(shim_cache)
         ckpt = find_local_checkpoint(model_name, model_cache_dir)
         weights = "checkpoint" if ckpt else "random-init (no checkpoint found)"
         if ckpt is None:

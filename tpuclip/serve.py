@@ -343,10 +343,15 @@ class MicroBatcher:
                             if not it.show_duplicates and results
                         ]
                         if to_filter:
-                            filtered = filter_duplicates_many(
-                                self.engine.store,
-                                [results for _, results in to_filter],
-                            )
+                            try:
+                                filtered = filter_duplicates_many(
+                                    self.engine.store,
+                                    [results for _, results in to_filter],
+                                )
+                            except Exception:  # noqa: BLE001
+                                # Dedup is cosmetic: unfiltered results
+                                # beat turning the whole group into 500s.
+                                filtered = [r for _, r in to_filter]
                             filt_by_id = {
                                 id(it): res
                                 for (it, _), res in zip(to_filter, filtered)
