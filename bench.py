@@ -113,28 +113,31 @@ def _credit_stall():
 # docs/benchmarks.md round-3 table (v5e via dev tunnel, 2026-08-17, before
 # the tunnel relay died; see ROADMAP.md "hardware-revalidation debt").
 _LAST_HARDWARE_RUN = {
-    "recorded": "2026-08-20 (round 4 full run)",
-    "source": "docs/bench_full_r4_run1.json + docs/bench_full_r4_run3.json",
-    "headline_verified_scores_p50_ms": 1.691,
-    "headline_p99_ms": 2.697,
+    "recorded": "2026-08-20 (round 5 runs 2/6/7/8)",
+    "source": "docs/bench_full_r5_run{2,6,7,8}.json",
+    "headline_verified_scores_p50_ms": 1.61,
+    "headline_p99_ms": 2.323,
     "shortlist_ok_rate": 0.906,
-    "served_fallback_rate_measured": 0.181,
-    "served_fallback_increment_ms": 0.653,
-    "int8_fused_extract_p50_ms": 3.333,
-    "bf16_scan_p50_ms": 3.347,
-    "binary_p50_ms": 0.747,
-    "int8_scan_only_p50_ms": 1.576,
-    "cascade_p50_ms": 1.851,
-    "cascade_10m_p50_ms": 3.863,
-    "batch16_qps": 4916,
-    "batch64_qps": 5717,
-    "text_query_fused_ms": 3.411,
-    "indexing_images_per_min": 42456,
-    "end_to_end_images_per_min": 7352,
-    "e2e_predecoded_images_per_min": 11850,
-    "naflex_images_per_sec": 719.8,
-    "train_images_per_sec": 57.7,
-    "ivf_p50_ms": 6.116,
+    "served_fallback_rate_measured": 0.205,
+    "served_fallback_increment_ms": 0.463,
+    "int8_fused_extract_p50_ms": 3.346,
+    "bf16_scan_p50_ms": 3.293,
+    "binary_p50_ms": 0.535,
+    "int8_scan_only_p50_ms": 1.618,
+    "cascade_p50_ms": 2.135,
+    "cascade_10m_p50_ms": 3.884,
+    "batch64_qps": 6061,
+    "batch64_approx_qps": 14965,
+    "text_query_fused_ms": 3.431,
+    "image_query_fused_ms": 3.991,
+    "indexing_images_per_min": 42252,
+    "end_to_end_images_per_min": 8549,
+    "e2e_predecoded_images_per_min": 13323,
+    "served_load_qps_c16": 63.8,
+    "served_load_qps_c64": 93.5,
+    "naflex_images_per_sec": 734.7,
+    "train_images_per_sec": 58.2,
+    "ivf_p50_ms": 6.076,
 }
 
 
