@@ -977,11 +977,21 @@ def bench_served_load(jax):
         # one cold mixed-bucket compile consumed an entire measurement
         # phase at 0.8 qps). k=20 matches the load below (k is a static
         # jit arg). Warm-cache cost: seconds.
-        _dbg("served_load: full program-matrix warm (serve --warm routine)")
+        _dbg("served_load: program-matrix warm (serve --warm routine)")
         from tpuclip.serve import warm_programs
 
         img64 = make_test_image_b64()
-        warmed = warm_programs(engine, k=20)
+        # Deadline-bounded, default-method-only: on this tunnel each
+        # program's per-process executable load costs ~5-15 s, so the
+        # complete 2-method matrix ran 200-500 s (r5 run 9: 465 s, which
+        # starved every bench after it). Shapes left cold pay their load
+        # inside a window — visible in wall_p99, bounded (~10 s each),
+        # honest. `serve --warm` in production still warms everything.
+        warm_deadline = time.perf_counter() + min(
+            240.0, max(60.0, _remaining() - 120.0)
+        )
+        warmed = warm_programs(engine, k=20, methods=(None,),
+                               deadline=warm_deadline)
         out["served_load_programs_warmed"] = warmed
         _dbg(f"served_load: programs warm ({warmed} calls)")
 
@@ -1045,10 +1055,14 @@ def bench_served_load(jax):
             out["served_load_fallback_rate"] = sweep[16]["fallback_rate"]
             out["served_load_lock_wait_share"] = sweep[16]["lock_wait_share"]
 
-        # Exact vs approx A/B through the same HTTP path (the approx mode
-        # trades a measured ~1%-of-queries near-tie top-k deviation for
-        # 2.4x kernel batch qps; what does that buy END TO END?).
-        if _remaining() > 45 and 16 in sweep:
+        # Exact vs approx A/B through the same HTTP path. Settled r5
+        # (runs 7-8, docs/benchmarks.md): a WASH end-to-end at 100k rows
+        # (63.8 vs 63.7 qps — the scan is ~0.2 ms there; the approx
+        # kernel's 2.4x only matters where the scan dominates, covered by
+        # the 1M-row batch A/B above). Env-gated off by default: its warm
+        # re-pays the whole approx program ladder's executable loads.
+        if (os.environ.get("TPUCLIP_BENCH_SERVE_AB") == "1"
+                and _remaining() > 45 and 16 in sweep):
             prev_sl = os.environ.get("TPUCLIP_SHORTLIST")
             os.environ["TPUCLIP_SHORTLIST"] = "approx"
             try:
@@ -1062,6 +1076,12 @@ def bench_served_load(jax):
                     os.environ.pop("TPUCLIP_SHORTLIST", None)
                 else:
                     os.environ["TPUCLIP_SHORTLIST"] = prev_sl
+        else:
+            out["served_load_approx_ab"] = (
+                "skipped by default (TPUCLIP_BENCH_SERVE_AB=1 to run): "
+                "measured a wash at 100k rows, r5 runs 7-8 "
+                "(docs/benchmarks.md serve-load section)"
+            )
         out["served_load_note"] = (
             "qps/window/fallback counters are transport-robust; wall "
             "percentiles inside the sweep are TRANSPORT-BOUND through the "
@@ -2334,16 +2354,19 @@ def main():
         run("indexing", 60, _indexing)
         run("e2e", 150, _e2e)
         run("e2e_predecoded", 60, _e2e_predecoded)
-        # After the e2e pair so it can reuse that resident engine (saves a
-        # ~1.8 GB param upload); before ivf_scanned, which pops the engine.
-        run("served_load", 140, _served_load)
+        # Cheap continuity latencies land BEFORE served_load: its warm
+        # cost is the run's most variable item (per-process executable
+        # loads, deadline-bounded but up to ~4 min on a slow tunnel).
         run("bf16_scan", 20, _bf16_scan)
-        run("batch", 15, _batch)
         run("binary", 30, _binary)
         run("cascade", 30, _cascade)
         run("cascade_10m", 60, _cascade_10m)
         run("int8", 15, _int8)
         run("text_fused", 45, _text_fused)
+        # After the e2e pair so it can reuse that resident engine (saves a
+        # ~1.8 GB param upload); before ivf_scanned, which pops the engine.
+        run("served_load", 140, _served_load)
+        run("batch", 15, _batch)
         run("ivf_scanned", 120, _ivf_scanned)
         run("ivf", 120, _ivf)
         run("naflex", 60, _naflex)

@@ -866,7 +866,8 @@ class SearchServer:
         self.batcher.shutdown()
 
 
-def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
+def warm_programs(engine, k: int = 10, methods=(None, "approx"),
+                  deadline: float = None) -> int:
     """Precompile the COMPLETE bounded serving program matrix.
 
     The engine buckets request batches to the {1,4,16,64} ladder
@@ -880,7 +881,15 @@ def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
     (``tpuclip serve --warm``); on a warm persistent compile cache it
     costs seconds. Returns the number of warm calls made. No-op (returns
     0) when the index is not fused-eligible — the non-fused paths compile
-    two cheap programs the single warmup query covers."""
+    two cheap programs the single warmup query covers.
+
+    ``deadline`` (absolute ``time.perf_counter()`` value) bounds the warm:
+    on a dev tunnel each program's per-process executable load costs
+    ~5-15 s, so the complete matrix can take minutes — a bounded caller
+    (the bench) warms in priority order (text ladder, small→large mixed,
+    image, batch) and stops at the deadline; the uncovered shapes then pay
+    their load inside a live window, visibly, instead of the warm starving
+    everything scheduled after it."""
     import numpy as np
     from PIL import Image
 
@@ -895,6 +904,10 @@ def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
     )
     texts = [f"warmup bucket query {i}" for i in range(max(BATCH_BUCKETS))]
     calls = 0
+
+    def expired():
+        return deadline is not None and time.perf_counter() > deadline
+
     prev = os.environ.get("TPUCLIP_SHORTLIST")
     try:
         for method in methods:
@@ -903,12 +916,18 @@ def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
             else:
                 os.environ["TPUCLIP_SHORTLIST"] = method
             for b in BATCH_BUCKETS:
+                if expired():
+                    return calls
                 engine._search_texts_fused(texts[:b], k)
                 calls += 1
+            if expired():
+                return calls
             engine._search_image_fused(pil, k)
             calls += 1
             for tb in BATCH_BUCKETS:
                 for ib in BATCH_BUCKETS:
+                    if expired():
+                        return calls
                     engine._search_mixed_fused(texts[:tb], [pil] * ib, k)
                     calls += 1
     finally:
@@ -921,6 +940,8 @@ def warm_programs(engine, k: int = 10, methods=(None, "approx")) -> int:
     qv = rng.standard_normal((4, engine.embedding_dim)).astype(np.float32)
     qv /= np.linalg.norm(qv, axis=1, keepdims=True)
     for qb in (4, 16, 64):
+        if expired():
+            return calls
         engine.index.search_batch(np.repeat(qv, 16, 0)[:qb], k)
         calls += 1
     return calls
